@@ -1,0 +1,182 @@
+"""Avro manifests + manifest lists with per-data-file min/max/null/row stats.
+
+This is the data-skipping layer the reference gets from Delta/liquid clustering
+("WHERE time >= ... efficient", `utilities/post_setup_ocsf_tables.py:25-29,78-81`).
+Every data file carries per-column lower/upper bounds, null counts, and row
+counts; the Python planner prunes manifest entries BEFORE building the Spark
+scan, so Catalyst sees only surviving files (no custom rules needed).
+
+Bounds are stored as JSON-encoded strings keyed by column name; comparisons are
+restored per-type at prune time (`plans/pruning.py`). String upper bounds are
+truncated-with-increment (Iceberg-style) so long `text` payloads do not bloat
+metadata while remaining valid upper bounds.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+from . import avro
+
+STATUS_EXISTING = 0
+STATUS_ADDED = 1
+STATUS_DELETED = 2
+
+_STRING_BOUND_MAX = 32
+
+MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": "long"},
+        {"name": "path", "type": "string"},
+        {"name": "file_format", "type": "string"},
+        {"name": "partition", "type": {"type": "map", "values": ["null", "string"]}},
+        {"name": "record_count", "type": "long"},
+        {"name": "file_size_bytes", "type": "long"},
+        {"name": "lower_bounds", "type": {"type": "map", "values": "string"}},
+        {"name": "upper_bounds", "type": {"type": "map", "values": "string"}},
+        {"name": "null_counts", "type": {"type": "map", "values": "long"}},
+    ],
+}
+
+MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "added_files_count", "type": "int"},
+        {"name": "existing_files_count", "type": "int"},
+        {"name": "deleted_files_count", "type": "int"},
+        {"name": "added_rows_count", "type": "long"},
+        {"name": "existing_rows_count", "type": "long"},
+        {"name": "partition_summaries", "type": {"type": "map", "values": "string"}},
+    ],
+}
+
+
+def truncate_lower(s: str, width: int = _STRING_BOUND_MAX) -> str:
+    """A prefix of a string is always a valid lower bound."""
+    return s[:width]
+
+
+def truncate_upper(s: str, width: int = _STRING_BOUND_MAX) -> str | None:
+    """Truncate + increment last char so the result still upper-bounds the value.
+
+    Returns None when no valid truncated upper bound exists (all chars at max
+    code point) — caller should then omit the bound (conservative).
+    """
+    if len(s) <= width:
+        return s
+    prefix = s[:width]
+    chars = list(prefix)
+    for i in range(len(chars) - 1, -1, -1):
+        cp = ord(chars[i])
+        if cp < 0x10FFFF:
+            chars[i] = chr(cp + 1)
+            return "".join(chars[: i + 1])
+    return None
+
+
+def encode_bound(value) -> str:
+    return json.dumps(value, default=str, separators=(",", ":"))
+
+
+def decode_bound(s: str):
+    return json.loads(s)
+
+
+@dataclass
+class DataFile:
+    path: str
+    partition: dict[str, str | None]
+    record_count: int
+    file_size_bytes: int
+    lower_bounds: dict[str, str] = field(default_factory=dict)
+    upper_bounds: dict[str, str] = field(default_factory=dict)
+    null_counts: dict[str, int] = field(default_factory=dict)
+    file_format: str = "parquet"
+
+    def to_entry(self, status: int, snapshot_id: int) -> dict:
+        return {
+            "status": status,
+            "snapshot_id": snapshot_id,
+            "path": self.path,
+            "file_format": self.file_format,
+            "partition": self.partition,
+            "record_count": self.record_count,
+            "file_size_bytes": self.file_size_bytes,
+            "lower_bounds": self.lower_bounds,
+            "upper_bounds": self.upper_bounds,
+            "null_counts": self.null_counts,
+        }
+
+    @staticmethod
+    def from_entry(e: dict) -> "DataFile":
+        return DataFile(
+            path=e["path"],
+            partition=e["partition"],
+            record_count=e["record_count"],
+            file_size_bytes=e["file_size_bytes"],
+            lower_bounds=e["lower_bounds"],
+            upper_bounds=e["upper_bounds"],
+            null_counts=e["null_counts"],
+            file_format=e.get("file_format", "parquet"),
+        )
+
+
+def write_manifest(path: str, files: list[DataFile], snapshot_id: int,
+                   status: int = STATUS_ADDED) -> dict:
+    """Write one manifest; return its manifest_file record (for the manifest list)."""
+    entries = [f.to_entry(status, snapshot_id) for f in files]
+    avro.write_ocf(path, MANIFEST_ENTRY_SCHEMA, entries)
+    import os
+
+    summaries: dict[str, str] = {}
+    if files:
+        keys = files[0].partition.keys()
+        for k in keys:
+            vals = [f.partition.get(k) for f in files if f.partition.get(k) is not None]
+            if vals:
+                summaries[k] = json.dumps({"lo": min(vals), "hi": max(vals)})
+    added = len(files) if status == STATUS_ADDED else 0
+    existing = len(files) if status == STATUS_EXISTING else 0
+    return {
+        "path": path,
+        "manifest_length": os.path.getsize(path),
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": added,
+        "existing_files_count": existing,
+        "deleted_files_count": len(files) if status == STATUS_DELETED else 0,
+        "added_rows_count": sum(f.record_count for f in files) if status == STATUS_ADDED else 0,
+        "existing_rows_count": sum(f.record_count for f in files) if status == STATUS_EXISTING else 0,
+        "partition_summaries": summaries,
+    }
+
+
+def read_manifest(path: str) -> list[dict]:
+    _, entries = avro.read_ocf(path)
+    return entries
+
+
+def live_files(manifest_paths: list[str]) -> list[DataFile]:
+    """All non-deleted data files across the given manifests."""
+    out: list[DataFile] = []
+    for mp in manifest_paths:
+        for e in read_manifest(mp):
+            if e["status"] != STATUS_DELETED:
+                out.append(DataFile.from_entry(e))
+    return out
+
+
+def write_manifest_list(path: str, manifest_files: list[dict]) -> None:
+    avro.write_ocf(path, MANIFEST_FILE_SCHEMA, manifest_files)
+
+
+def read_manifest_list(path: str) -> list[dict]:
+    _, records = avro.read_ocf(path)
+    return records

@@ -1,0 +1,108 @@
+"""Per-data-file column statistics, harvested with one distributed Spark agg.
+
+Mirrors what Delta collects at write time for data skipping (the reference
+enables it implicitly; see `utilities/post_setup_ocsf_tables.py:78-81`). One
+``groupBy(_metadata.file_path)`` aggregation computes row counts and per-column
+min/max/null-count for every freshly written file — fully distributed, so the
+harvest scales with executors (no driver-side footer reads). The file-metadata
+pseudo-column is the same one the reference uses for provenance
+(`bronze_github_audit_logs.py:26`).
+
+Only one metadata-sized row per file is collected to the driver.
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .manifest import DataFile, encode_bound, truncate_lower, truncate_upper
+from .partition import PARTITION_COL_PREFIX
+
+_BOUNDABLE = (
+    T.StringType, T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+    T.FloatType, T.DoubleType, T.DateType, T.TimestampType, T.TimestampNTZType,
+    T.BooleanType, T.DecimalType,
+)
+
+
+def _normalize(value) -> object:
+    if isinstance(value, (datetime.datetime, datetime.date)):
+        return str(value)
+    if isinstance(value, bool):
+        return int(value)
+    return value
+
+
+def harvest_file_stats(
+    spark: SparkSession,
+    staging_dir: str,
+    schema: T.StructType,
+    partition_col_names: list[str],
+) -> list[DataFile]:
+    """Compute DataFile entries (stats + partition tuple) for every parquet file
+    under ``staging_dir`` (a directory Spark just wrote, possibly partitionBy'd).
+    """
+    df = spark.read.parquet(staging_dir)
+    return harvest_df_stats(df, schema, partition_col_names)
+
+
+def harvest_df_stats(
+    df: DataFrame,
+    schema: T.StructType,
+    partition_col_names: list[str],
+) -> list[DataFile]:
+    stat_fields = [f for f in schema.fields if isinstance(f.dataType, _BOUNDABLE)]
+    aggs = [
+        F.count(F.lit(1)).alias("_rc"),
+        F.max(F.col("_metadata.file_size")).alias("_fsize"),
+    ]
+    for f in stat_fields:
+        aggs.append(F.min(f.name).alias(f"_lo_{f.name}"))
+        aggs.append(F.max(f.name).alias(f"_hi_{f.name}"))
+        aggs.append(F.count(F.when(F.col(f.name).isNull(), 1)).alias(f"_nc_{f.name}"))
+
+    # partition values live in `_p_<name>` directory columns (partition.py);
+    # alias back to the logical partition-field names for manifest entries
+    group_cols = [F.col("_metadata.file_path").alias("_fp")] + [
+        F.col(PARTITION_COL_PREFIX + c).cast("string").alias(c)
+        for c in partition_col_names
+    ]
+    rows = df.groupBy(*group_cols).agg(*aggs).collect()
+
+    out: list[DataFile] = []
+    for r in rows:
+        lower, upper, nulls = {}, {}, {}
+        for f in stat_fields:
+            lo, hi = r[f"_lo_{f.name}"], r[f"_hi_{f.name}"]
+            nulls[f.name] = r[f"_nc_{f.name}"]
+            if lo is None:
+                continue
+            lo, hi = _normalize(lo), _normalize(hi)
+            if isinstance(f.dataType, T.StringType):
+                lo = truncate_lower(lo)
+                hi = truncate_upper(hi)
+                if hi is None:
+                    continue
+            lower[f.name] = encode_bound(lo)
+            upper[f.name] = encode_bound(hi)
+        path = r["_fp"]
+        if path.startswith("file://"):
+            path = path[len("file:"):]  # keep plain local paths in manifests
+        out.append(
+            DataFile(
+                path=path,
+                partition={c: r[c] for c in partition_col_names},
+                record_count=r["_rc"],
+                file_size_bytes=r["_fsize"],
+                lower_bounds=lower,
+                upper_bounds=upper,
+                null_counts=nulls,
+            )
+        )
+    out.sort(key=lambda d: d.path)
+    return out

@@ -1,0 +1,484 @@
+"""Table: Iceberg-style table object — create / append / scan / rewrite / expire.
+
+The engine-side replacement for the reference's Delta streaming tables
+(`@sdp.table`, `bronze_github_audit_logs.py:30-36`) and sinks
+(`sdp.create_sink(... mergeSchema ...)`,
+`gold_ocsf_iam_event_classes_delta_sinks.py:117-124`):
+
+- ``append`` = write Parquet data files + harvest stats + new Avro manifest +
+  snapshot commit (the reference's append flows, `:184-305`, map to sequential
+  append snapshots that never block each other).
+- schema evolution on append = the ``mergeSchema:"true"`` analogue (`:122`):
+  union-by-name, new columns appended, missing columns null-filled.
+- ``scan`` = manifest-pruned `spark.read.parquet` over the pinned snapshot's
+  file set (snapshot isolation: readers of snapshot S never see S+1's files).
+- ``commit_rewrite`` = the commit primitive compaction / clustering / MERGE use
+  (copy-on-write file replacement with conflict detection on rebase).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import manifest as mf
+from . import snapshot as snap
+from .manifest import DataFile
+from .partition import PartitionSpec
+from .stats import harvest_file_stats
+from ..plans.pruning import Predicate, prune_files
+
+
+class CommitConflict(Exception):
+    """A concurrent commit invalidated this one (deleted files no longer live)."""
+
+
+_WIDEN = {("integer", "long"), ("float", "double"), ("int", "bigint"), ("date", "timestamp")}
+
+
+class Table:
+    def __init__(self, spark: SparkSession, meta: snap.TableMetadata):
+        self.spark = spark
+        self.meta = meta
+
+    # ------------------------------------------------------------- lifecycle
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        location: str,
+        schema: T.StructType,
+        partition_spec: PartitionSpec = PartitionSpec.unpartitioned(),
+        properties: dict[str, str] | None = None,
+        cluster_keys: Sequence[str] = (),
+    ) -> "Table":
+        props = {"write.target-file-size-bytes": str(128 * 1024 * 1024)}
+        props.update(properties or {})
+        meta = snap.TableMetadata(
+            table_uuid=uuid.uuid4().hex,
+            location=os.path.abspath(location),
+            schema_json=schema.jsonValue(),
+            partition_spec=partition_spec.to_list(),
+            properties=props,
+            snapshots=[],
+            current_snapshot_id=None,
+            version=1,
+            cluster_keys=list(cluster_keys),
+        )
+        os.makedirs(os.path.join(meta.location, "data"), exist_ok=True)
+        snap.commit_metadata(meta)
+        return Table(spark, meta)
+
+    @staticmethod
+    def load(spark: SparkSession, location: str) -> "Table":
+        return Table(spark, snap.load_metadata(os.path.abspath(location)))
+
+    def refresh(self) -> "Table":
+        self.meta = snap.load_metadata(self.meta.location)
+        return self
+
+    # ------------------------------------------------------------ properties
+
+    @property
+    def location(self) -> str:
+        return self.meta.location
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.meta.schema_json)
+
+    @property
+    def spec(self) -> PartitionSpec:
+        return PartitionSpec.from_list(self.meta.partition_spec)
+
+    @property
+    def snapshots(self) -> list[snap.Snapshot]:
+        return self.meta.snapshots
+
+    def current_snapshot(self) -> snap.Snapshot | None:
+        return self.meta.current_snapshot()
+
+    def property_int(self, key: str, default: int) -> int:
+        try:
+            return int(self.meta.properties.get(key, default))
+        except ValueError:
+            return default
+
+    # ---------------------------------------------------------------- files
+
+    def live_data_files(self, snapshot_id: int | None = None) -> list[DataFile]:
+        s = (
+            self.meta.snapshot_by_id(snapshot_id)
+            if snapshot_id is not None
+            else self.current_snapshot()
+        )
+        if s is None:
+            return []
+        manifests = [m["path"] for m in mf.read_manifest_list(s.manifest_list)]
+        return mf.live_files(manifests)
+
+    def plan_scan(
+        self,
+        predicates: Sequence[Predicate] | None = None,
+        snapshot_id: int | None = None,
+    ) -> list[DataFile]:
+        files = self.live_data_files(snapshot_id)
+        return prune_files(files, predicates, self.schema, self.spec)
+
+    # ----------------------------------------------------------------- scan
+
+    def scan(
+        self,
+        predicates: Sequence[Predicate] | None = None,
+        columns: Sequence[str] | None = None,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        files = self.plan_scan(predicates, snapshot_id)
+        schema = self.schema
+        if not files:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(*[f.path for f in files])
+        if predicates:
+            df = df.filter(self._residual(predicates))  # residual: correctness
+        if columns:
+            df = df.select(*columns)
+        return df
+
+    @staticmethod
+    def _residual(predicates: Sequence[Predicate]):
+        cond = F.lit(True)
+        for col, op, value in predicates:
+            c = F.col(col)
+            if op == "=":
+                cond = cond & (c == F.lit(value))
+            elif op == "<":
+                cond = cond & (c < F.lit(value))
+            elif op == "<=":
+                cond = cond & (c <= F.lit(value))
+            elif op == ">":
+                cond = cond & (c > F.lit(value))
+            elif op == ">=":
+                cond = cond & (c >= F.lit(value))
+            elif op == "in":
+                cond = cond & c.isin(list(value))
+            elif op == "isnull":
+                cond = cond & c.isNull()
+            elif op == "notnull":
+                cond = cond & c.isNotNull()
+            else:
+                raise ValueError(f"unknown predicate op {op}")
+        return cond
+
+    # --------------------------------------------------------------- append
+
+    def _align_to_schema(self, df: DataFrame, merge_schema: bool) -> tuple[DataFrame, T.StructType]:
+        """unionByName(allowMissingColumns=True) semantics against the table schema."""
+        table_schema = self.schema
+        existing = {f.name: f for f in table_schema.fields}
+        incoming = {f.name: f for f in df.schema.fields}
+        new_fields = [f for f in df.schema.fields if f.name not in existing]
+        if new_fields and not merge_schema:
+            raise ValueError(f"schema mismatch, new columns {[f.name for f in new_fields]} "
+                             "and merge_schema=False")
+        merged = T.StructType(
+            list(table_schema.fields)
+            + [T.StructField(f.name, f.dataType, True) for f in new_fields]
+        )
+        cols = []
+        for f in merged.fields:
+            if f.name in incoming:
+                src = incoming[f.name]
+                if src.dataType != f.dataType:
+                    pair = (src.dataType.simpleString(), f.dataType.simpleString())
+                    if pair in _WIDEN:
+                        cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+                    else:
+                        raise ValueError(
+                            f"incompatible type for {f.name}: {pair[0]} vs {pair[1]}")
+                else:
+                    cols.append(F.col(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*cols), merged
+
+    def write_data_files(
+        self,
+        df: DataFrame,
+        *,
+        n_files: int | None = None,
+        sort_within: Sequence[str] | None = None,
+        job_tag: str = "append",
+    ) -> list[DataFile]:
+        """Write df as data files under this table's location; return stat'd entries.
+
+        The pre-write ``repartition``/``sortWithinPartitions`` mirrors Delta's
+        optimized writes (`utilities/utils.py:86`): target-size output files
+        instead of one file per input task.
+        """
+        spec = self.spec
+        out = df
+        if spec.fields:
+            out = spec.with_partition_columns(out)
+        if n_files:
+            if sort_within:
+                out = out.repartitionByRange(n_files, *sort_within)
+            else:
+                out = out.repartition(n_files)
+        if sort_within:
+            out = out.sortWithinPartitions(*(spec.column_names + list(sort_within)))
+        staging = os.path.join(
+            self.meta.location, "data", f"{job_tag}-{uuid.uuid4().hex[:12]}"
+        )
+        writer = out.write.mode("error")
+        if spec.fields:
+            writer = writer.partitionBy(*spec.column_names)
+        writer.parquet(staging)
+        return harvest_file_stats(self.spark, staging, self.schema, [
+            f.name for f in spec.fields
+        ])
+
+    def append(
+        self,
+        df: DataFrame,
+        *,
+        n_files: int | None = None,
+        sort_within: Sequence[str] | None = None,
+        merge_schema: bool = True,
+    ) -> snap.Snapshot:
+        aligned, merged_schema = self._align_to_schema(df, merge_schema)
+        schema_changed = merged_schema.jsonValue() != self.meta.schema_json
+        if schema_changed:
+            self.meta.schema_json = merged_schema.jsonValue()
+        files = self.write_data_files(aligned, n_files=n_files, sort_within=sort_within)
+        return self._commit_append(files, schema_json=merged_schema.jsonValue()
+                                   if schema_changed else None)
+
+    # -------------------------------------------------------------- commits
+
+    def _new_manifest_path(self) -> str:
+        mdir = snap.metadata_dir(self.meta.location)
+        os.makedirs(mdir, exist_ok=True)
+        return os.path.join(mdir, f"manifest-{uuid.uuid4().hex}.avro")
+
+    def _manifest_list_path(self, snapshot_id: int) -> str:
+        return os.path.join(
+            snap.metadata_dir(self.meta.location),
+            f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro",
+        )
+
+    def _commit(self, build) -> snap.Snapshot:
+        """Optimistic commit loop: build(meta) -> (snapshot, schema_json|None)."""
+        for _ in range(20):
+            self.refresh()
+            snapshot, schema_json = build(self.meta)
+            new_meta = snap.TableMetadata(
+                table_uuid=self.meta.table_uuid,
+                location=self.meta.location,
+                schema_json=schema_json or self.meta.schema_json,
+                partition_spec=self.meta.partition_spec,
+                properties=self.meta.properties,
+                snapshots=self.meta.snapshots + [snapshot],
+                current_snapshot_id=snapshot.snapshot_id,
+                version=self.meta.version + 1,
+                cluster_keys=self.meta.cluster_keys,
+            )
+            try:
+                snap.commit_metadata(new_meta)
+                self.meta = new_meta
+                return snapshot
+            except FileExistsError:
+                continue  # lost the race: rebase on fresh metadata and retry
+        raise CommitConflict("gave up after 20 optimistic-commit retries")
+
+    def _next_ids(self, meta: snap.TableMetadata) -> tuple[int, int | None, int]:
+        parent = meta.current_snapshot()
+        sid = (max((s.snapshot_id for s in meta.snapshots), default=0)) + 1
+        seq = (max((s.sequence_number for s in meta.snapshots), default=0)) + 1
+        return sid, (parent.snapshot_id if parent else None), seq
+
+    def _commit_append(self, files: list[DataFile],
+                       schema_json: dict | None = None) -> snap.Snapshot:
+        def build(meta: snap.TableMetadata):
+            sid, parent_id, seq = self._next_ids(meta)
+            mpath = self._new_manifest_path()
+            record = mf.write_manifest(mpath, files, sid, mf.STATUS_ADDED)
+            parent = meta.current_snapshot()
+            records = (
+                mf.read_manifest_list(parent.manifest_list) if parent else []
+            ) + [record]
+            mlist = self._manifest_list_path(sid)
+            mf.write_manifest_list(mlist, records)
+            s = snap.Snapshot(
+                sid, parent_id, seq, snap.now_ms(), "append", mlist,
+                {
+                    "added-data-files": len(files),
+                    "added-records": sum(f.record_count for f in files),
+                    "added-bytes": sum(f.file_size_bytes for f in files),
+                },
+            )
+            return s, schema_json
+        return self._commit(build)
+
+    def commit_rewrite(
+        self,
+        deleted_paths: Sequence[str],
+        added_files: list[DataFile],
+        operation: str = "replace",
+        summary_extra: dict | None = None,
+    ) -> snap.Snapshot:
+        """Copy-on-write file replacement (compaction / clustering / MERGE).
+
+        Manifest rewrite semantics: untouched manifests are reused verbatim in
+        the new manifest list; manifests containing deleted files are rewritten
+        with surviving entries only (Avro manifest rewrite per BASELINE.json
+        north_star). Rebase validation: every deleted path must still be live,
+        else CommitConflict.
+        """
+        deleted = set(deleted_paths)
+
+        def build(meta: snap.TableMetadata):
+            sid, parent_id, seq = self._next_ids(meta)
+            parent = meta.current_snapshot()
+            old_records = (
+                mf.read_manifest_list(parent.manifest_list) if parent else []
+            )
+            live = set()
+            new_records = []
+            for rec in old_records:
+                entries = mf.read_manifest(rec["path"])
+                paths = {e["path"] for e in entries if e["status"] != mf.STATUS_DELETED}
+                live |= paths
+                hit = paths & deleted
+                if not hit:
+                    new_records.append(rec)
+                    continue
+                survivors = [
+                    DataFile.from_entry(e)
+                    for e in entries
+                    if e["status"] != mf.STATUS_DELETED and e["path"] not in deleted
+                ]
+                if survivors:
+                    mpath = self._new_manifest_path()
+                    new_records.append(
+                        mf.write_manifest(mpath, survivors, sid, mf.STATUS_EXISTING)
+                    )
+            missing = deleted - live
+            if missing:
+                raise CommitConflict(
+                    f"{len(missing)} files to replace are no longer live "
+                    f"(concurrent rewrite): {sorted(missing)[:3]}..."
+                )
+            if added_files:
+                mpath = self._new_manifest_path()
+                new_records.append(
+                    mf.write_manifest(mpath, added_files, sid, mf.STATUS_ADDED)
+                )
+            mlist = self._manifest_list_path(sid)
+            mf.write_manifest_list(mlist, new_records)
+            summary = {
+                "deleted-data-files": len(deleted),
+                "added-data-files": len(added_files),
+                "added-records": sum(f.record_count for f in added_files),
+            }
+            summary.update(summary_extra or {})
+            s = snap.Snapshot(sid, parent_id, seq, snap.now_ms(), operation, mlist, summary)
+            return s, None
+
+        return self._commit(build)
+
+    # ----------------------------------------------------- snapshot expiry
+
+    def expire_snapshots(self, keep_last: int = 3) -> tuple[list[int], list[str]]:
+        """Drop all but the newest ``keep_last`` snapshots (current always kept).
+
+        Returns (expired snapshot ids, data-file paths whose refcount dropped
+        to zero) — the GC candidates. Physical deletion is the orphan-GC job's
+        responsibility (`operators/expire.py`), keeping metadata and filesystem
+        mutation separated.
+        """
+        ordered = sorted(self.meta.snapshots, key=lambda s: s.sequence_number)
+        if len(ordered) <= keep_last:
+            return [], []
+        keep = ordered[-keep_last:]
+        cur = self.current_snapshot()
+        if cur and cur not in keep:
+            keep.append(cur)
+        keep_ids = {s.snapshot_id for s in keep}
+        expired = [s for s in ordered if s.snapshot_id not in keep_ids]
+
+        def refs(snapshots: list[snap.Snapshot]) -> set[str]:
+            out: set[str] = set()
+            for s in snapshots:
+                for rec in mf.read_manifest_list(s.manifest_list):
+                    for e in mf.read_manifest(rec["path"]):
+                        if e["status"] != mf.STATUS_DELETED:
+                            out.add(e["path"])
+            return out
+
+        live_refs = refs(keep)
+        dead_refs = refs(expired) - live_refs
+
+        # rewrite snapshot list: retained + the new expire snapshot
+        for _ in range(20):
+            self.refresh()
+            meta = self.meta
+            retained = [s for s in meta.snapshots if s.snapshot_id in keep_ids]
+            sid, parent_id, seq = self._next_ids(meta)
+            cur2 = meta.current_snapshot()
+            mlist = self._manifest_list_path(sid)
+            mf.write_manifest_list(mlist, mf.read_manifest_list(cur2.manifest_list))
+            new_snap = snap.Snapshot(
+                sid, parent_id, seq, snap.now_ms(), "expire", mlist,
+                {"expired-snapshots": len(expired)},
+            )
+            new_meta = snap.TableMetadata(
+                table_uuid=meta.table_uuid,
+                location=meta.location,
+                schema_json=meta.schema_json,
+                partition_spec=meta.partition_spec,
+                properties=meta.properties,
+                snapshots=retained + [new_snap],
+                current_snapshot_id=new_snap.snapshot_id,
+                version=meta.version + 1,
+                cluster_keys=meta.cluster_keys,
+            )
+            try:
+                snap.commit_metadata(new_meta)
+                self.meta = new_meta
+                break
+            except FileExistsError:
+                continue
+        else:
+            raise CommitConflict("expire: gave up after 20 retries")
+        return [s.snapshot_id for s in expired], sorted(dead_refs)
+
+    # ------------------------------------------------------------- utility
+
+    def all_data_files_on_disk(self) -> list[str]:
+        out = []
+        for root, _dirs, names in os.walk(os.path.join(self.meta.location, "data")):
+            for n in names:
+                if n.endswith(".parquet"):
+                    out.append(os.path.join(root, n))
+        return sorted(out)
+
+    def describe(self) -> dict[str, Any]:
+        cur = self.current_snapshot()
+        files = self.live_data_files() if cur else []
+        return {
+            "location": self.meta.location,
+            "schema": self.schema.simpleString(),
+            "partition_spec": self.meta.partition_spec,
+            "cluster_keys": self.meta.cluster_keys,
+            "current_snapshot_id": cur.snapshot_id if cur else None,
+            "snapshot_count": len(self.meta.snapshots),
+            "file_count": len(files),
+            "record_count": sum(f.record_count for f in files),
+            "total_bytes": sum(f.file_size_bytes for f in files),
+        }

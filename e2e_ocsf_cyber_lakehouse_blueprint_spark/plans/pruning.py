@@ -1,0 +1,124 @@
+"""Manifest min/max + partition pruning — the engine's data-skipping planner.
+
+Equivalent of the file-level skipping Delta's liquid clustering provides the
+reference ("optimizes time-based queries like 'last 7 days'",
+`utilities/post_setup_ocsf_tables.py:25-29,78-81`), done here in driver-side
+Python BEFORE DataFrame construction: predicates filter manifest entries, and
+only surviving file paths reach `spark.read.parquet`. Catalyst still applies
+the same predicates as residual filters + parquet row-group pushdown, so
+pruning is a pure performance layer — correctness never depends on it.
+
+Predicates are conjunctive triples ``(column, op, value)`` with op in
+``= < <= > >= in notnull isnull``.
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Any, Iterable, Sequence
+
+from pyspark.sql import types as T
+
+from ..format.manifest import DataFile, decode_bound
+from ..format.partition import PartitionSpec
+
+Predicate = tuple[str, str, Any]
+
+_STRINGLY = (T.StringType, T.DateType, T.TimestampType, T.TimestampNTZType)
+
+
+def _norm_value(value: Any, dtype: T.DataType | None) -> Any:
+    if isinstance(value, (datetime.datetime, datetime.date)):
+        return str(value)
+    if dtype is not None and isinstance(dtype, _STRINGLY):
+        return str(value)
+    return value
+
+
+def _survives_bounds(f: DataFile, col: str, op: str, value: Any,
+                     dtype: T.DataType | None) -> bool:
+    """False only when the predicate is provably unsatisfiable for this file."""
+    nc = f.null_counts.get(col)
+    if op == "isnull":
+        return nc is None or nc > 0
+    if nc is not None and nc == f.record_count:
+        return False  # all-null column cannot satisfy any non-null comparison
+    if op == "notnull":
+        return True
+    lo_s, hi_s = f.lower_bounds.get(col), f.upper_bounds.get(col)
+    if lo_s is None or hi_s is None:
+        return True  # no stats -> cannot prune
+    lo, hi = decode_bound(lo_s), decode_bound(hi_s)
+    try:
+        if op == "in":
+            vals = [_norm_value(v, dtype) for v in value]
+            return any(lo <= v <= hi for v in vals)
+        v = _norm_value(value, dtype)
+        if op == "=":
+            return lo <= v <= hi
+        if op == "<":
+            return lo < v
+        if op == "<=":
+            return lo <= v
+        if op == ">":
+            return hi > v
+        if op == ">=":
+            return hi >= v
+    except TypeError:
+        return True  # incomparable types -> conservative keep
+    return True
+
+
+def _survives_partition(f: DataFile, spec: PartitionSpec, col: str, op: str,
+                        value: Any) -> bool:
+    """Partition-value pruning for identity/days transforms (string-safe ops)."""
+    for field in spec.fields:
+        if field.source != col:
+            continue
+        pv = f.partition.get(field.name)
+        if pv is None:
+            continue
+        tv = field.apply_python(value) if op != "in" else None
+        if op == "in":
+            tvs = [field.apply_python(v) for v in value]
+            if all(t is not None for t in tvs) and pv not in tvs:
+                if field.transform in ("identity", "days"):
+                    return False
+            continue
+        if tv is None:
+            continue
+        if field.transform == "days":
+            # yyyy-MM-dd strings order correctly
+            if op == "=" and pv != tv:
+                return False
+            if op in ("<", "<=") and pv > tv:
+                return False
+            if op in (">", ">=") and pv < tv:
+                return False
+        elif field.transform == "identity" and op == "=" and pv != tv:
+            return False
+    return True
+
+
+def prune_files(
+    files: Iterable[DataFile],
+    predicates: Sequence[Predicate] | None,
+    schema: T.StructType | None = None,
+    spec: PartitionSpec | None = None,
+) -> list[DataFile]:
+    if not predicates:
+        return list(files)
+    dtypes = {f.name: f.dataType for f in schema.fields} if schema else {}
+    out = []
+    for f in files:
+        keep = True
+        for col, op, value in predicates:
+            if not _survives_bounds(f, col, op, value, dtypes.get(col)):
+                keep = False
+                break
+            if spec is not None and not _survives_partition(f, spec, col, op, value):
+                keep = False
+                break
+        if keep:
+            out.append(f)
+    return out

@@ -1,0 +1,134 @@
+"""Table format end-to-end: create → append → scan (+ pruning, schema evolution,
+snapshot isolation). SURVEY.md §7 step 3 — the minimum end-to-end slice."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.partition import (
+    PartitionSpec, bucket, days,
+)
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.table import Table
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.sources.transcripts import (
+    SCHEMA_DDL, generate_transcripts,
+)
+
+
+def transcripts_schema():
+    return T.StructType.fromDDL(SCHEMA_DDL)
+
+
+def default_spec():
+    return PartitionSpec.of(days("ts_day", "ts"), bucket("conv_bucket", "conv_id", 4))
+
+
+@pytest.fixture()
+def small_df(spark):
+    return generate_transcripts(spark, n_convs=40, hot_convs=1, hot_turns=60).cache()
+
+
+def sorted_rows(df):
+    return [tuple(r) for r in df.orderBy("conv_id", "turn_idx").collect()]
+
+
+def test_create_append_scan_roundtrip(spark, tmp_table_dir, small_df):
+    t = Table.create(spark, tmp_table_dir, transcripts_schema(), default_spec())
+    t.append(small_df)
+    got = sorted_rows(t.scan())
+    want = sorted_rows(small_df)
+    assert got == want  # per-turn text equality under stable ordering
+    d = t.describe()
+    assert d["record_count"] == len(want)
+    assert d["snapshot_count"] == 1
+
+
+def test_scan_with_predicates_and_pruning(spark, tmp_table_dir, small_df):
+    t = Table.create(spark, tmp_table_dir, transcripts_schema(), default_spec())
+    t.append(small_df, n_files=3)
+    conv = small_df.select("conv_id").orderBy("conv_id").first()[0]
+    preds = [("conv_id", "=", conv)]
+    planned = t.plan_scan(preds)
+    all_files = t.live_data_files()
+    assert 0 < len(planned) < len(all_files)  # min/max stats actually prune
+    got = sorted_rows(t.scan(preds))
+    want = sorted_rows(small_df.filter(F.col("conv_id") == conv))
+    assert got == want
+
+
+def test_date_partition_pruning(spark, tmp_table_dir, small_df):
+    t = Table.create(spark, tmp_table_dir, transcripts_schema(), default_spec())
+    t.append(small_df)
+    lo, hi = small_df.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    preds = [("ts", ">=", mid)]
+    planned = t.plan_scan(preds)
+    assert len(planned) < len(t.live_data_files())
+    got = t.scan(preds).count()
+    want = small_df.filter(F.col("ts") >= F.lit(mid)).count()
+    assert got == want
+
+
+def test_multiple_appends_accumulate(spark, tmp_table_dir, small_df):
+    t = Table.create(spark, tmp_table_dir, transcripts_schema(), default_spec())
+    t.append(small_df)
+    t.append(small_df)
+    assert t.scan().count() == 2 * small_df.count()
+    assert len(t.snapshots) == 2
+    assert t.snapshots[1].parent_snapshot_id == t.snapshots[0].snapshot_id
+
+
+def test_snapshot_isolation_reader_pinned(spark, tmp_table_dir, small_df):
+    t = Table.create(spark, tmp_table_dir, transcripts_schema(), default_spec())
+    s1 = t.append(small_df)
+    n1 = t.scan().count()
+    t.append(small_df)
+    # reader pinned at s1 still sees the old file set
+    assert t.scan(snapshot_id=s1.snapshot_id).count() == n1
+    assert t.scan().count() == 2 * n1
+
+
+def test_schema_evolution_merge(spark, tmp_table_dir, small_df):
+    t = Table.create(spark, tmp_table_dir, transcripts_schema(), default_spec())
+    t.append(small_df)
+    evolved = small_df.withColumn("model", F.lit("m-1"))
+    t.append(evolved)  # mergeSchema analogue (delta sinks :122)
+    assert "model" in [f.name for f in t.schema.fields]
+    df = t.scan()
+    assert df.filter(F.col("model").isNull()).count() == small_df.count()
+    assert df.filter(F.col("model") == "m-1").count() == small_df.count()
+    # missing-column append still works after evolution
+    t.append(small_df)
+    assert t.scan().filter(F.col("model").isNull()).count() == 2 * small_df.count()
+
+
+def test_schema_evolution_rejects_incompatible(spark, tmp_table_dir, small_df):
+    t = Table.create(spark, tmp_table_dir, transcripts_schema(), default_spec())
+    t.append(small_df)
+    bad = small_df.withColumn("turn_idx", F.col("turn_idx").cast("string"))
+    with pytest.raises(ValueError, match="incompatible type"):
+        t.append(bad)
+
+
+def test_unpartitioned_table(spark, tmp_table_dir, small_df):
+    t = Table.create(spark, tmp_table_dir, transcripts_schema())
+    t.append(small_df, n_files=2)
+    assert t.scan().count() == small_df.count()
+    assert len(t.live_data_files()) == 2
+
+
+def test_empty_scan(spark, tmp_table_dir):
+    t = Table.create(spark, tmp_table_dir, transcripts_schema(), default_spec())
+    assert t.scan().count() == 0
+    assert t.scan().schema == transcripts_schema()
+
+
+def test_concurrent_append_optimistic_retry(spark, tmp_table_dir, small_df):
+    t1 = Table.create(spark, tmp_table_dir, transcripts_schema(), default_spec())
+    t2 = Table.load(spark, tmp_table_dir)
+    t1.append(small_df)
+    t2.append(small_df)  # stale handle: must rebase, not clobber
+    t1.refresh()
+    assert len(t1.snapshots) == 2
+    assert t1.scan().count() == 2 * small_df.count()
