@@ -1,0 +1,146 @@
+"""Per-partition checkpoint ledger: lineage + metrics, resumable jobs.
+
+The engine-side replacement for the checkpointing the reference delegates to
+SDP/Auto Loader ("SDP handles checkpointing and schema evolution automatically",
+`_resources/PIPELINE_OVERVIEW.md:165`; checkpoint volume `utilities/utils.py:26-27`).
+
+Every maintenance job writes one JSONL record per table partition:
+``(job_id, partition, input_files -> output_files, rows, bytes, spill, state)``.
+A restarted job skips partitions whose record is ``committed`` and reuses their
+recorded output files — idempotent resume per BASELINE.json north_rule. Records
+carry full output DataFile dicts so resume never re-reads data.
+
+Appends are crash-safe: a torn final line is detected (json parse failure) and
+ignored on read; each record is flushed+fsynced before the worker reports done.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+from typing import Any, Iterable
+
+from ..format.manifest import DataFile
+
+STATE_COMMITTED = "committed"
+STATE_JOB_DONE = "job-committed"
+
+
+def partition_key(partition: dict[str, str | None]) -> str:
+    if not partition:
+        return "unpartitioned"
+    return json.dumps(partition, sort_keys=True, separators=(",", ":"))
+
+
+class Ledger:
+    def __init__(self, table_location: str, job_id: str, job_type: str):
+        self.job_id = job_id
+        self.job_type = job_type
+        ldir = os.path.join(table_location, "metadata", "ledger")
+        os.makedirs(ldir, exist_ok=True)
+        self.path = os.path.join(ldir, f"{job_id}.jsonl")
+        self._lock = threading.Lock()
+
+    # --------------------------------------------------------------- write
+
+    def record_partition(
+        self,
+        partition: dict[str, str | None],
+        input_files: list[str],
+        output_files: list[DataFile],
+        *,
+        rows: int,
+        bytes_written: int,
+        spill_bytes: int = 0,
+        started_ms: int | None = None,
+    ) -> None:
+        rec = {
+            "job_id": self.job_id,
+            "job_type": self.job_type,
+            "state": STATE_COMMITTED,
+            "partition": partition,
+            "partition_key": partition_key(partition),
+            "input_files": sorted(input_files),
+            "output_files": [vars(f) for f in output_files],
+            "rows": rows,
+            "bytes": bytes_written,
+            "spill_bytes": spill_bytes,
+            "started_ms": started_ms,
+            "finished_ms": int(time.time() * 1000),
+        }
+        self._append(rec)
+
+    def record_job_done(self, summary: dict[str, Any] | None = None) -> None:
+        self._append({
+            "job_id": self.job_id,
+            "job_type": self.job_type,
+            "state": STATE_JOB_DONE,
+            "summary": summary or {},
+            "finished_ms": int(time.time() * 1000),
+        })
+
+    def _append(self, rec: dict) -> None:
+        line = json.dumps(rec, sort_keys=True) + "\n"
+        with self._lock:
+            with open(self.path, "a") as f:
+                f.write(line)
+                f.flush()
+                os.fsync(f.fileno())
+
+    # ---------------------------------------------------------------- read
+
+    def records(self) -> list[dict]:
+        if not os.path.exists(self.path):
+            return []
+        out = []
+        with open(self.path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    out.append(json.loads(line))
+                except json.JSONDecodeError:
+                    continue  # torn tail line from a crash — safely ignored
+        return out
+
+    def completed_partitions(self) -> dict[str, dict]:
+        """partition_key -> newest committed record (last writer wins)."""
+        out: dict[str, dict] = {}
+        for rec in self.records():
+            if rec.get("state") == STATE_COMMITTED:
+                out[rec["partition_key"]] = rec
+        return out
+
+    def job_done(self) -> bool:
+        return any(r.get("state") == STATE_JOB_DONE for r in self.records())
+
+    @staticmethod
+    def output_data_files(rec: dict) -> list[DataFile]:
+        return [DataFile(**d) for d in rec["output_files"]]
+
+
+def spill_metrics(spark) -> int:
+    """Best-effort shuffle/sort spill bytes via the Spark UI REST API.
+
+    Returns 0 when the UI is disabled (tests) — on a cluster deploy the UI/
+    history server is the canonical source for memoryBytesSpilled/
+    diskBytesSpilled and this picks them up without code changes.
+    """
+    try:
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return 0
+        app_id = spark.sparkContext.applicationId
+        with urllib.request.urlopen(f"{base}/api/v1/applications/{app_id}/stages", timeout=2) as r:
+            stages = json.loads(r.read().decode())
+        return sum(
+            int(s.get("memoryBytesSpilled", 0)) + int(s.get("diskBytesSpilled", 0))
+            for s in stages
+        )
+    except Exception:
+        return 0

@@ -1,0 +1,148 @@
+"""Compaction: FFD packer properties, scan-equivalence, snapshot isolation, resume."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.partition import (
+    PartitionSpec, bucket, days,
+)
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.table import Table
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.compaction import (
+    CompactionJob, ffd_pack, plan_compaction,
+)
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.ledger import Ledger
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.sources.transcripts import (
+    SCHEMA_DDL, generate_transcripts,
+)
+
+
+# ------------------------------------------------------------- FFD unit
+
+def test_ffd_respects_capacity():
+    items = [(f"f{i}", s) for i, s in enumerate([70, 50, 40, 30, 20, 10, 5])]
+    bins = ffd_pack(items, 100)
+    sizes = dict(items)
+    for b in bins:
+        assert sum(sizes[i] for i in b) <= 100
+    assert sorted(i for b in bins for i in b) == sorted(sizes)
+
+
+def test_ffd_oversized_items_get_own_bin():
+    bins = ffd_pack([("big", 500), ("a", 10), ("b", 20)], 100)
+    assert ["big"] in bins
+
+
+def test_ffd_is_deterministic_and_reasonably_tight():
+    items = [(f"f{i}", (i * 37) % 90 + 10) for i in range(50)]
+    b1, b2 = ffd_pack(items, 128), ffd_pack(items, 128)
+    assert b1 == b2
+    total = sum(s for _, s in items)
+    assert len(b1) <= (total // 128) * 2 + 2  # FFD is within 2x of optimal (loose)
+
+
+# ------------------------------------------------------- end-to-end job
+
+def schema():
+    return T.StructType.fromDDL(SCHEMA_DDL)
+
+
+def spec():
+    return PartitionSpec.of(days("ts_day", "ts"), bucket("conv_bucket", "conv_id", 2))
+
+
+@pytest.fixture()
+def fragmented_table(spark, tmp_table_dir):
+    """Table with many small files per partition (FIXTURES.md: compaction has real work)."""
+    df = generate_transcripts(spark, n_convs=60, hot_convs=1, hot_turns=100, span_days=5)
+    t = Table.create(
+        spark, tmp_table_dir, schema(), spec(),
+        properties={"write.target-file-size-bytes": str(4 * 1024 * 1024)},
+    )
+    for _ in range(3):  # 3 appends x n_files=4 -> lots of small files per partition
+        t.append(df, n_files=4)
+    return t, df
+
+
+def sorted_rows(df):
+    return [tuple(r) for r in df.orderBy("conv_id", "turn_idx", "ts").collect()]
+
+
+def test_compaction_scan_equivalence(spark, fragmented_table):
+    t, _src = fragmented_table
+    before = sorted_rows(t.scan())
+    n_files_before = len(t.live_data_files())
+    res = CompactionJob(t, max_concurrency=4).run()
+    n_files_after = len(t.live_data_files())
+    assert n_files_after < n_files_before
+    assert res.files_in > res.files_out
+    after = sorted_rows(t.scan())
+    assert after == before  # per-turn text equality under stable ordering
+    assert res.rows == len(after)
+
+
+def test_compaction_preserves_partition_membership(spark, fragmented_table):
+    t, _ = fragmented_table
+    CompactionJob(t, max_concurrency=2).run()
+    # every output file's recorded partition matches its actual content bounds
+    for f in t.live_data_files():
+        df = spark.read.schema(t.schema).parquet(f.path)
+        derived = spec().with_partition_columns(df).select("_p_ts_day", "_p_conv_bucket").distinct().collect()
+        assert len(derived) == 1
+        assert derived[0][0] == f.partition["ts_day"]
+        assert derived[0][1] == f.partition["conv_bucket"]
+
+
+def test_compaction_snapshot_isolation(spark, fragmented_table):
+    t, _ = fragmented_table
+    pre = t.current_snapshot().snapshot_id
+    pre_count = t.scan(snapshot_id=pre).count()
+    CompactionJob(t).run()
+    assert t.scan(snapshot_id=pre).count() == pre_count  # pinned reader unaffected
+    assert t.current_snapshot().operation == "replace"
+
+
+def test_compaction_ledger_lineage_partitions_inputs(spark, fragmented_table):
+    t, _ = fragmented_table
+    snap_before = t.current_snapshot().snapshot_id
+    inputs_before = {f.path for f in t.live_data_files()}
+    CompactionJob(t).run()
+    ledger = Ledger(t.location, f"compact-{snap_before}", "compact")
+    recs = [r for r in ledger.records() if r.get("state") == "committed"]
+    all_inputs = [p for r in recs for p in r["input_files"]]
+    assert len(all_inputs) == len(set(all_inputs))  # disjoint
+    assert set(all_inputs) <= inputs_before
+    assert ledger.job_done()
+
+
+def test_compaction_resume_skips_completed_partitions(spark, fragmented_table, monkeypatch):
+    t, _ = fragmented_table
+    job = CompactionJob(t, max_concurrency=1)
+    plans = plan_compaction(
+        t, target_file_size=job.target_file_size,
+        small_file_ratio=job.small_file_ratio, min_input_files=job.min_input_files,
+    )
+    assert len(plans) >= 2
+    # simulate a crash: run rewrite for the first partition only, record it
+    snap_id = t.current_snapshot().snapshot_id
+    ledger = Ledger(t.location, f"compact-{snap_id}", "compact")
+    outs = job._rewrite_partition(plans[0], f"compact-{snap_id}")
+    ledger.record_partition(
+        plans[0].partition, [f.path for f in plans[0].input_files], outs,
+        rows=sum(f.record_count for f in outs),
+        bytes_written=sum(f.file_size_bytes for f in outs),
+    )
+    before = sorted_rows(t.scan())
+    res = CompactionJob(t, max_concurrency=1).run(resume=True)
+    assert res.skipped_resume == 1  # partition 0 reused, not recomputed
+    assert sorted_rows(t.scan()) == before
+
+
+def test_compaction_idempotent_noop_after_run(spark, fragmented_table):
+    t, _ = fragmented_table
+    CompactionJob(t).run()
+    files_after = {f.path for f in t.live_data_files()}
+    res2 = CompactionJob(t).run()
+    assert res2.partitions == 0 or res2.files_in == 0
+    assert {f.path for f in t.live_data_files()} == files_after
