@@ -38,25 +38,36 @@ def _normalize(value) -> object:
     return value
 
 
+def hash_bound_key(col: str) -> str:
+    return f"xxh64({col})"
+
+
 def harvest_file_stats(
     spark: SparkSession,
     staging_dir: str,
     schema: T.StructType,
     partition_col_names: list[str],
+    hash_stat_columns: list[str] | None = None,
 ) -> list[DataFile]:
     """Compute DataFile entries (stats + partition tuple) for every parquet file
     under ``staging_dir`` (a directory Spark just wrote, possibly partitionBy'd).
     """
     df = spark.read.parquet(staging_dir)
-    return harvest_df_stats(df, schema, partition_col_names)
+    return harvest_df_stats(df, schema, partition_col_names, hash_stat_columns)
 
 
 def harvest_df_stats(
     df: DataFrame,
     schema: T.StructType,
     partition_col_names: list[str],
+    hash_stat_columns: list[str] | None = None,
 ) -> list[DataFile]:
     stat_fields = [f for f in schema.fields if isinstance(f.dataType, _BOUNDABLE)]
+    hash_cols = [
+        c for c in (hash_stat_columns or [])
+        if c in {f.name for f in schema.fields
+                 if isinstance(f.dataType, T.StringType)}
+    ]
     aggs = [
         F.count(F.lit(1)).alias("_rc"),
         F.max(F.col("_metadata.file_size")).alias("_fsize"),
@@ -65,6 +76,11 @@ def harvest_df_stats(
         aggs.append(F.min(f.name).alias(f"_lo_{f.name}"))
         aggs.append(F.max(f.name).alias(f"_hi_{f.name}"))
         aggs.append(F.count(F.when(F.col(f.name).isNull(), 1)).alias(f"_nc_{f.name}"))
+    for c in hash_cols:
+        # derived hash bounds: prune conv_id = X even when file order is
+        # hash-of-conv (Z-order dimension), where string bounds stay wide
+        aggs.append(F.min(F.xxhash64(c)).alias(f"_hlo_{c}"))
+        aggs.append(F.max(F.xxhash64(c)).alias(f"_hhi_{c}"))
 
     # partition values live in `_p_<name>` directory columns (partition.py);
     # alias back to the logical partition-field names for manifest entries
@@ -90,6 +106,10 @@ def harvest_df_stats(
                     continue
             lower[f.name] = encode_bound(lo)
             upper[f.name] = encode_bound(hi)
+        for c in hash_cols:
+            if r[f"_hlo_{c}"] is not None:
+                lower[hash_bound_key(c)] = encode_bound(int(r[f"_hlo_{c}"]))
+                upper[hash_bound_key(c)] = encode_bound(int(r[f"_hhi_{c}"]))
         path = r["_fp"]
         if path.startswith("file://"):
             path = path[len("file:"):]  # keep plain local paths in manifests

@@ -58,6 +58,10 @@ class Table:
         cluster_keys: Sequence[str] = (),
     ) -> "Table":
         props = {"write.target-file-size-bytes": str(128 * 1024 * 1024)}
+        if any(f.name == "conv_id" for f in schema.fields):
+            # derived xxh64 bounds make conv_id point lookups prunable even
+            # under hash-dimension Z-ordering (see functions/xxh64.py)
+            props["stats.hash-columns"] = "conv_id"
         props.update(properties or {})
         meta = snap.TableMetadata(
             table_uuid=uuid.uuid4().hex,
@@ -108,6 +112,10 @@ class Table:
             return int(self.meta.properties.get(key, default))
         except ValueError:
             return default
+
+    def hash_stat_columns(self) -> list[str]:
+        raw = self.meta.properties.get("stats.hash-columns", "")
+        return [c.strip() for c in raw.split(",") if c.strip()]
 
     # ---------------------------------------------------------------- files
 
@@ -239,9 +247,10 @@ class Table:
         if spec.fields:
             writer = writer.partitionBy(*spec.column_names)
         writer.parquet(staging)
-        return harvest_file_stats(self.spark, staging, self.schema, [
-            f.name for f in spec.fields
-        ])
+        return harvest_file_stats(
+            self.spark, staging, self.schema,
+            [f.name for f in spec.fields], self.hash_stat_columns(),
+        )
 
     def append(
         self,

@@ -1,0 +1,221 @@
+"""Z-order / Hilbert clustering job — the engine's liquid clustering.
+
+Mirrors what the reference delegates to Delta (`cluster_by` at table creation,
+`bronze_github_audit_logs.py:30-35`; post-hoc `ALTER TABLE ... CLUSTER BY (time)`,
+`utilities/post_setup_ocsf_tables.py:40-53`, motivated by "last 7 days" scans
+`:25-29`). Instead of a single clustering column, files are rewritten in
+space-filling-curve order over (hash(conv_id), turn_idx, epoch_us(ts)):
+
+  plan   (Python): dimension ranges from manifest stats (metadata only);
+                   per-partition file census -> n_out = ceil(bytes/target)
+  execute (Spark): scan -> normalize dims (Catalyst) -> curve key (Arrow UDF)
+                   -> repartitionByRange(n_out, key) -> sortWithinPartitions(key)
+                   -> write (key column dropped — it is a physical layout
+                   artifact, never table data)
+  commit (Python): one copy-on-write snapshot; ledger per partition.
+
+Effect: manifest min/max gets tight on every clustered dimension, so the
+pruning planner skips files for conv_id point lookups AND ts ranges at once.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import time
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+
+from pyspark.sql import functions as F
+
+from ..format.manifest import DataFile, decode_bound
+from ..format.stats import harvest_file_stats
+from ..format.table import Table
+from ..functions.zorder import cluster_key_column
+from .compaction import DEFAULT_TARGET_FILE_SIZE
+from .ledger import Ledger, partition_key, spill_metrics
+
+_KEY_COL = "_zkey"
+
+
+@dataclass
+class ClusteringResult:
+    snapshot_id: int | None
+    curve: str
+    partitions: int
+    files_in: int
+    files_out: int
+    rows: int
+    bytes_in: int
+    skipped_resume: int = 0
+    elapsed_sec: float = 0.0
+    spill_bytes: int = 0
+
+
+def _parse_ts_us(s: str) -> float:
+    dt = datetime.datetime.fromisoformat(s)
+    return dt.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e6
+
+
+def dimension_ranges(files: list[DataFile]) -> tuple[tuple[float, float], tuple[float, float]]:
+    """(turn_idx range, ts epoch-us range) from manifest bounds — no data scan."""
+    t_lo, t_hi = math.inf, -math.inf
+    ts_lo, ts_hi = math.inf, -math.inf
+    for f in files:
+        if "turn_idx" in f.lower_bounds:
+            t_lo = min(t_lo, decode_bound(f.lower_bounds["turn_idx"]))
+            t_hi = max(t_hi, decode_bound(f.upper_bounds["turn_idx"]))
+        if "ts" in f.lower_bounds:
+            ts_lo = min(ts_lo, _parse_ts_us(decode_bound(f.lower_bounds["ts"])))
+            ts_hi = max(ts_hi, _parse_ts_us(decode_bound(f.upper_bounds["ts"])))
+    if not math.isfinite(t_lo):
+        t_lo, t_hi = 0.0, 1.0
+    if not math.isfinite(ts_lo):
+        ts_lo, ts_hi = 0.0, 1.0
+    return (float(t_lo), float(t_hi)), (ts_lo, ts_hi)
+
+
+@dataclass
+class PartitionClusterPlan:
+    partition: dict[str, str | None]
+    input_files: list[DataFile]
+    n_output_files: int
+
+    @property
+    def key(self) -> str:
+        return partition_key(self.partition)
+
+
+class ClusteringJob:
+    def __init__(
+        self,
+        table: Table,
+        *,
+        curve: str = "zorder",
+        target_file_size: int | None = None,
+        conv_col: str = "conv_id",
+        turn_col: str = "turn_idx",
+        ts_col: str = "ts",
+        min_input_files: int = 1,
+        max_concurrency: int = 8,
+    ):
+        if curve not in ("zorder", "hilbert"):
+            raise ValueError(f"unknown curve {curve!r}")
+        self.table = table
+        self.curve = curve
+        self.target_file_size = target_file_size or table.property_int(
+            "write.target-file-size-bytes", DEFAULT_TARGET_FILE_SIZE
+        )
+        self.conv_col, self.turn_col, self.ts_col = conv_col, turn_col, ts_col
+        self.min_input_files = min_input_files
+        self.max_concurrency = max_concurrency
+
+    def _plan(self) -> list[PartitionClusterPlan]:
+        by_part: dict[str, list[DataFile]] = {}
+        parts: dict[str, dict] = {}
+        for f in self.table.live_data_files():
+            k = partition_key(f.partition)
+            by_part.setdefault(k, []).append(f)
+            parts[k] = f.partition
+        plans = []
+        for k, files in sorted(by_part.items()):
+            if len(files) < self.min_input_files:
+                continue
+            total = sum(f.file_size_bytes for f in files)
+            plans.append(
+                PartitionClusterPlan(
+                    parts[k], files, max(1, math.ceil(total / self.target_file_size))
+                )
+            )
+        return plans
+
+    def _rewrite(self, plan: PartitionClusterPlan, job_tag: str,
+                 turn_range, ts_range) -> list[DataFile]:
+        spark = self.table.spark
+        df = spark.read.schema(self.table.schema).parquet(
+            *[f.path for f in plan.input_files]
+        )
+        key = cluster_key_column(
+            self.curve,
+            conv_col=self.conv_col, turn_col=self.turn_col, ts_col=self.ts_col,
+            turn_range=turn_range, ts_us_range=ts_range,
+        )
+        out = (
+            df.withColumn(_KEY_COL, key)
+            .repartitionByRange(plan.n_output_files, _KEY_COL)
+            .sortWithinPartitions(_KEY_COL)
+            .drop(_KEY_COL)
+        )
+        out_dir = os.path.join(
+            self.table.location, "data", f"{job_tag}-{uuid.uuid4().hex[:12]}"
+        )
+        out.write.mode("error").parquet(out_dir)
+        files = harvest_file_stats(spark, out_dir, self.table.schema, [],
+                                   self.table.hash_stat_columns())
+        for f in files:
+            f.partition = dict(plan.partition)
+        return files
+
+    def run(self, *, resume: bool = True) -> ClusteringResult:
+        t0 = time.time()
+        self.table.refresh()
+        snapshot = self.table.current_snapshot()
+        if snapshot is None:
+            return ClusteringResult(None, self.curve, 0, 0, 0, 0, 0)
+        plans = self._plan()
+        if not plans:
+            return ClusteringResult(snapshot.snapshot_id, self.curve, 0, 0, 0, 0, 0,
+                                    elapsed_sec=time.time() - t0)
+        all_files = [f for p in plans for f in p.input_files]
+        turn_range, ts_range = dimension_ranges(all_files)
+        job_id = f"cluster-{self.curve}-{snapshot.snapshot_id}"
+        ledger = Ledger(self.table.location, job_id, "cluster")
+        done = ledger.completed_partitions() if resume else {}
+        skipped = 0
+
+        def work(plan: PartitionClusterPlan):
+            nonlocal skipped
+            rec = done.get(plan.key)
+            if rec is not None and sorted(rec["input_files"]) == sorted(
+                f.path for f in plan.input_files
+            ):
+                return plan, Ledger.output_data_files(rec), True
+            started = int(time.time() * 1000)
+            outs = self._rewrite(plan, job_id, turn_range, ts_range)
+            ledger.record_partition(
+                plan.partition, [f.path for f in plan.input_files], outs,
+                rows=sum(f.record_count for f in outs),
+                bytes_written=sum(f.file_size_bytes for f in outs),
+                spill_bytes=spill_metrics(self.table.spark),
+                started_ms=started,
+            )
+            return plan, outs, False
+
+        with ThreadPoolExecutor(max_workers=self.max_concurrency) as pool:
+            results = list(pool.map(work, plans))
+
+        deleted, added = [], []
+        for plan, outs, was_resumed in results:
+            if was_resumed:
+                skipped += 1
+            deleted.extend(f.path for f in plan.input_files)
+            added.extend(outs)
+        snap = self.table.commit_rewrite(
+            deleted, added, operation="replace",
+            summary_extra={"job": "cluster", "curve": self.curve, "job-id": job_id},
+        )
+        ledger.record_job_done({"snapshot_id": snap.snapshot_id})
+        return ClusteringResult(
+            snapshot_id=snap.snapshot_id,
+            curve=self.curve,
+            partitions=len(plans),
+            files_in=len(deleted),
+            files_out=len(added),
+            rows=sum(f.record_count for f in added),
+            bytes_in=sum(f.file_size_bytes for f in all_files),
+            skipped_resume=skipped,
+            elapsed_sec=time.time() - t0,
+            spill_bytes=spill_metrics(self.table.spark),
+        )

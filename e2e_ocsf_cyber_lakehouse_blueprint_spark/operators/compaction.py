@@ -148,7 +148,8 @@ class CompactionJob:
             self.table.location, "data", f"{job_tag}-{uuid.uuid4().hex[:12]}"
         )
         df.write.mode("error").parquet(out_dir)
-        files = harvest_file_stats(spark, out_dir, self.table.schema, [])
+        files = harvest_file_stats(spark, out_dir, self.table.schema, [],
+                                   self.table.hash_stat_columns())
         # rewrites stay inside one partition: stamp its values onto the outputs
         for f in files:
             f.partition = dict(plan.partition)

@@ -21,6 +21,7 @@ from pyspark.sql import types as T
 
 from ..format.manifest import DataFile, decode_bound
 from ..format.partition import PartitionSpec
+from ..functions.xxh64 import spark_xxhash64_string
 
 Predicate = tuple[str, str, Any]
 
@@ -45,6 +46,17 @@ def _survives_bounds(f: DataFile, col: str, op: str, value: Any,
         return False  # all-null column cannot satisfy any non-null comparison
     if op == "notnull":
         return True
+    # derived xxh64 bounds: hash-ordered files (Z-order conv dimension) keep
+    # wide string bounds, but equality predicates prune via the hash range
+    if op in ("=", "in"):
+        hkey = f"xxh64({col})"
+        hlo_s, hhi_s = f.lower_bounds.get(hkey), f.upper_bounds.get(hkey)
+        if hlo_s is not None and hhi_s is not None:
+            vals = list(value) if op == "in" else [value]
+            if all(isinstance(v, str) for v in vals):
+                hlo, hhi = decode_bound(hlo_s), decode_bound(hhi_s)
+                if not any(hlo <= spark_xxhash64_string(v) <= hhi for v in vals):
+                    return False
     lo_s, hi_s = f.lower_bounds.get(col), f.upper_bounds.get(col)
     if lo_s is None or hi_s is None:
         return True  # no stats -> cannot prune
