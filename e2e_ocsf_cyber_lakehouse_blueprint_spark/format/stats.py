@@ -30,6 +30,14 @@ _BOUNDABLE = (
 )
 
 
+def normalize_path(path: str) -> str:
+    """Canonical manifest path: strip file:/ URI prefixes (Hadoop emits both
+    ``file:/p`` and ``file:///p``) so metadata joins against plain listings."""
+    if path.startswith("file:"):
+        path = "/" + path[len("file:"):].lstrip("/")
+    return path
+
+
 def _normalize(value) -> object:
     if isinstance(value, (datetime.datetime, datetime.date)):
         return str(value)
@@ -110,9 +118,7 @@ def harvest_df_stats(
             if r[f"_hlo_{c}"] is not None:
                 lower[hash_bound_key(c)] = encode_bound(int(r[f"_hlo_{c}"]))
                 upper[hash_bound_key(c)] = encode_bound(int(r[f"_hhi_{c}"]))
-        path = r["_fp"]
-        if path.startswith("file://"):
-            path = path[len("file:"):]  # keep plain local paths in manifests
+        path = normalize_path(r["_fp"])
         out.append(
             DataFile(
                 path=path,

@@ -1,0 +1,228 @@
+"""MERGE INTO — copy-on-write upsert of late / corrected transcript turns.
+
+The reference is append-only (15 `@sdp.append_flow`s, zero updates,
+`gold_ocsf_iam_event_classes_delta_sinks.py:184-305`); updates enter through
+the north_rule's MERGE requirement. Semantics: ``MERGE INTO target ON
+(conv_id, turn_idx)`` — matched rows take source values (or are deleted),
+unmatched source rows insert, everything else is untouched.
+
+Scale design (SURVEY.md §2.3):
+- **File scoping first**: source key bounds are joined against manifest min/max
+  entries (a broadcast join over metadata-sized bounds, plus derived xxh64
+  bounds) so only files that can possibly contain matched keys are rewritten.
+  An upsert touching one conversation rewrites one file neighborhood, not the
+  table.
+- **Skew**: the update join runs salted (operators/skew.py) when
+  ``salt_buckets`` is set, on top of session-wide AQE skew-join splitting —
+  hot conversations (Zipf head, FIXTURES.md) cannot pin a single reducer.
+- **Join formulation**: 3-way (inner update ∪ left-anti insert ∪ left-anti
+  keep) rather than one full-outer — each leg shuffles on the same keys (AQE
+  reuses the exchange) and each leg tolerates salting, which full-outer does
+  not.
+- **Atomicity**: new files staged first; one copy-on-write snapshot swaps
+  affected files. A crash before commit leaves the table untouched (staged
+  files become orphans for GC); rerunning from the same source is idempotent.
+- **Dedup**: duplicate source keys resolve last-writer-wins by ``ts`` before
+  the merge (SURVEY.md §2.5 window).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..format.manifest import DataFile, decode_bound
+from ..format.table import Table
+from .ledger import Ledger, partition_key, spill_metrics
+from .skew import salted_join
+
+
+@dataclass
+class MergeResult:
+    snapshot_id: int | None
+    files_scoped: int
+    files_total: int
+    files_written: int
+    rows_updated: int
+    rows_deleted: int
+    rows_inserted: int
+    rows_copied: int
+    elapsed_sec: float = 0.0
+    spill_bytes: int = 0
+
+
+def _scope_files(
+    table: Table, source: DataFrame, key_col: str
+) -> tuple[list[DataFile], list[DataFile]]:
+    """Split live files into (possibly-affected, untouched) using manifest
+    bounds vs source keys — a broadcast join over metadata, never a data scan.
+    """
+    files = table.live_data_files()
+    bounded, unbounded = [], []
+    rows = []
+    for i, f in enumerate(files):
+        lo_s = f.lower_bounds.get(key_col)
+        hi_s = f.upper_bounds.get(key_col)
+        if lo_s is None or hi_s is None:
+            unbounded.append(f)  # no stats -> conservatively affected
+            continue
+        bounded.append(f)
+        hlo = f.lower_bounds.get(f"xxh64({key_col})")
+        hhi = f.upper_bounds.get(f"xxh64({key_col})")
+        rows.append((
+            len(bounded) - 1,
+            decode_bound(lo_s), decode_bound(hi_s),
+            decode_bound(hlo) if hlo else None,
+            decode_bound(hhi) if hhi else None,
+        ))
+    if not bounded:
+        return unbounded, []
+    spark = table.spark
+    bounds_df = spark.createDataFrame(
+        rows, "fid int, lo string, hi string, hlo long, hhi long"
+    )
+    keys = source.select(F.col(key_col).alias("_k")).distinct()
+    cond = (F.col("_k") >= F.col("lo")) & (F.col("_k") <= F.col("hi")) & (
+        F.col("hlo").isNull()
+        | ((F.xxhash64("_k") >= F.col("hlo")) & (F.xxhash64("_k") <= F.col("hhi")))
+    )
+    hit_ids = {
+        r["fid"]
+        for r in keys.join(F.broadcast(bounds_df), cond, "inner")
+        .select("fid").distinct().collect()
+    }
+    affected = unbounded + [f for i, f in enumerate(bounded) if i in hit_ids]
+    untouched = [f for i, f in enumerate(bounded) if i not in hit_ids]
+    return affected, untouched
+
+
+class MergeIntoJob:
+    def __init__(
+        self,
+        table: Table,
+        *,
+        key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+        dedup_order_col: str = "ts",
+        when_matched: str = "update",      # update | delete
+        when_not_matched: str = "insert",  # insert | ignore
+        salt_buckets: int | None = None,
+        sort_keys: Sequence[str] | None = None,
+    ):
+        if when_matched not in ("update", "delete"):
+            raise ValueError(when_matched)
+        if when_not_matched not in ("insert", "ignore"):
+            raise ValueError(when_not_matched)
+        self.table = table
+        self.key_cols = list(key_cols)
+        self.dedup_order_col = dedup_order_col
+        self.when_matched = when_matched
+        self.when_not_matched = when_not_matched
+        self.salt_buckets = salt_buckets
+        self.sort_keys = list(sort_keys or key_cols)
+
+    def _dedup_source(self, source: DataFrame) -> DataFrame:
+        """Last-writer-wins among duplicate source keys (deterministic)."""
+        w = Window.partitionBy(*self.key_cols).orderBy(
+            F.col(self.dedup_order_col).desc_nulls_last(),
+            *[F.col(c) for c in source.columns if c not in self.key_cols],
+        )
+        return (
+            source.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def run(self, source: DataFrame) -> MergeResult:
+        t0 = time.time()
+        table = self.table
+        table.refresh()
+        snapshot = table.current_snapshot()
+        schema = table.schema
+        cols = [f.name for f in schema.fields]
+        source = self._dedup_source(source.select(*cols))
+
+        files_all = table.live_data_files()
+        affected, _untouched = _scope_files(table, source, self.key_cols[0])
+        spark = table.spark
+
+        if affected:
+            tgt = spark.read.schema(schema).parquet(*[f.path for f in affected])
+        else:
+            tgt = spark.createDataFrame([], schema)
+
+        # 3-way merge (exchange-reused shuffles on the same keys)
+        if self.salt_buckets and self.when_matched == "update":
+            upd = salted_join(
+                tgt.select(*self.key_cols),
+                source, self.key_cols,
+                how="inner", salt_buckets=self.salt_buckets,
+            ).select(*cols)
+        else:
+            upd = tgt.select(*self.key_cols).join(source, self.key_cols, "inner").select(*cols)
+        keep = tgt.join(source.select(*self.key_cols), self.key_cols, "left_anti")
+        ins = source.join(tgt.select(*self.key_cols), self.key_cols, "left_anti")
+
+        parts = [keep]
+        if self.when_matched == "update":
+            parts.append(upd)
+        if self.when_not_matched == "insert":
+            parts.append(ins)
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+
+        target_size = table.property_int("write.target-file-size-bytes", 128 * 1024 * 1024)
+        bytes_affected = sum(f.file_size_bytes for f in affected) or 1
+        n_files = max(1, round(bytes_affected / target_size)) or 1
+        outs = table.write_data_files(
+            merged, n_files=n_files, sort_within=self.sort_keys, job_tag="merge"
+        )
+
+        n_tgt = tgt.count()
+        n_keep = keep.count()
+        n_ins = ins.count() if self.when_not_matched == "insert" else 0
+        n_matched = n_tgt - n_keep
+        snap = table.commit_rewrite(
+            [f.path for f in affected], outs, operation="overwrite",
+            summary_extra={"job": "merge", "matched": n_matched, "inserted": n_ins},
+        )
+
+        # lineage: per-partition input/output mapping for the audit ledger
+        job_id = f"merge-{snapshot.snapshot_id if snapshot else 0}-{snap.snapshot_id}"
+        ledger = Ledger(table.location, job_id, "merge")
+        by_part_in: dict[str, list[str]] = {}
+        for f in affected:
+            by_part_in.setdefault(partition_key(f.partition), []).append(f.path)
+        by_part_out: dict[str, list[DataFile]] = {}
+        for f in outs:
+            by_part_out.setdefault(partition_key(f.partition), []).append(f)
+        for k in sorted(set(by_part_in) | set(by_part_out)):
+            po = by_part_out.get(k, [])
+            ledger.record_partition(
+                po[0].partition if po else next(
+                    f.partition for f in affected if partition_key(f.partition) == k
+                ),
+                by_part_in.get(k, []),
+                po,
+                rows=sum(f.record_count for f in po),
+                bytes_written=sum(f.file_size_bytes for f in po),
+                spill_bytes=0,
+            )
+        ledger.record_job_done({"snapshot_id": snap.snapshot_id})
+
+        return MergeResult(
+            snapshot_id=snap.snapshot_id,
+            files_scoped=len(affected),
+            files_total=len(files_all),
+            files_written=len(outs),
+            rows_updated=n_matched if self.when_matched == "update" else 0,
+            rows_deleted=n_matched if self.when_matched == "delete" else 0,
+            rows_inserted=n_ins,
+            rows_copied=n_keep,
+            elapsed_sec=time.time() - t0,
+            spill_bytes=spill_metrics(spark),
+        )

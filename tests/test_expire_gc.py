@@ -1,0 +1,104 @@
+"""Snapshot expiration + orphan GC: refcount safety, pinned-reader preservation."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.partition import PartitionSpec, days
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.table import Table
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.compaction import CompactionJob
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.expire import (
+    ExpireSnapshotsJob, referenced_files,
+)
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.ledger import Ledger
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.sources.transcripts import (
+    SCHEMA_DDL, generate_transcripts,
+)
+
+
+def schema():
+    return T.StructType.fromDDL(SCHEMA_DDL)
+
+
+@pytest.fixture()
+def table_with_history(spark, tmp_table_dir):
+    df = generate_transcripts(spark, n_convs=50, hot_convs=1, hot_turns=50, span_days=4)
+    t = Table.create(
+        spark, tmp_table_dir, schema(),
+        PartitionSpec.of(days("ts_day", "ts")),
+        properties={"write.target-file-size-bytes": str(1024 * 1024)},
+    )
+    t.append(df, n_files=3)
+    t.append(df, n_files=3)
+    CompactionJob(t).run()  # replaces files -> old appends' files become expirable
+    return t, df
+
+
+def test_expire_reclaims_only_dead_files(spark, table_with_history):
+    t, df = table_with_history
+    assert len(t.snapshots) == 3
+    live_before = {f.path for f in t.live_data_files()}
+    rows_before = t.scan().count()
+    res = ExpireSnapshotsJob(t, keep_last=1).run()
+    assert res.expired_snapshot_ids  # something expired
+    assert res.deleted_files > 0
+    # live files untouched, scan identical
+    assert {f.path for f in t.live_data_files()} == live_before
+    assert t.scan().count() == rows_before
+    for p in live_before:
+        assert os.path.exists(p)
+
+
+def test_expire_never_deletes_retained_refs(spark, table_with_history):
+    t, _ = table_with_history
+    ExpireSnapshotsJob(t, keep_last=2).run()
+    # every retained snapshot still fully scannable
+    for s in t.snapshots:
+        if s.operation == "expire":
+            continue
+        n = t.scan(snapshot_id=s.snapshot_id).count()
+        assert n > 0
+
+
+def test_gc_protects_inflight_ledger_outputs(spark, table_with_history, tmp_path):
+    t, _ = table_with_history
+    # simulate a crashed job: stage a file + ledger record, no job-done marker
+    staged_dir = os.path.join(t.location, "data", "crashed-job")
+    os.makedirs(staged_dir)
+    staged = os.path.join(staged_dir, "part-0.parquet")
+    t.scan().limit(5).coalesce(1).write.mode("overwrite").parquet(staged_dir + "-tmp")
+    src = next(
+        os.path.join(staged_dir + "-tmp", f)
+        for f in os.listdir(staged_dir + "-tmp") if f.endswith(".parquet")
+    )
+    os.rename(src, staged)
+    led = Ledger(t.location, "compact-999", "compact")
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.manifest import DataFile
+
+    led.record_partition(
+        {"ts_day": "2025-01-01"}, ["/nonexistent-input"],
+        [DataFile(staged, {"ts_day": "2025-01-01"}, 5, os.path.getsize(staged))],
+        rows=5, bytes_written=1,
+    )
+    ExpireSnapshotsJob(t, keep_last=1).run()
+    assert os.path.exists(staged)  # in-flight output survived GC
+
+
+def test_gc_removes_true_orphans(spark, table_with_history):
+    t, _ = table_with_history
+    orphan = os.path.join(t.location, "data", "orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"PAR1 not really parquet")
+    ExpireSnapshotsJob(t, keep_last=len(t.snapshots)).run()
+    assert not os.path.exists(orphan)
+
+
+def test_referenced_files_covers_all_snapshots(spark, table_with_history):
+    t, _ = table_with_history
+    refs = referenced_files(t)
+    live = {f.path for f in t.live_data_files()}
+    assert live <= refs
+    assert len(refs) > len(live)  # history references replaced files too

@@ -1,0 +1,131 @@
+"""MERGE INTO: upsert semantics, file scoping, dedup, skew (salted), oracle equality."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.partition import (
+    PartitionSpec, bucket, days,
+)
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.table import Table
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.merge import MergeIntoJob
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.sources.transcripts import (
+    SCHEMA_DDL, generate_transcripts,
+)
+
+
+def schema():
+    return T.StructType.fromDDL(SCHEMA_DDL)
+
+
+@pytest.fixture()
+def merge_table(spark, tmp_table_dir):
+    df = generate_transcripts(spark, n_convs=100, hot_convs=2, hot_turns=200, span_days=10)
+    t = Table.create(
+        spark, tmp_table_dir, schema(),
+        PartitionSpec.of(days("ts_day", "ts"), bucket("conv_bucket", "conv_id", 2)),
+        properties={"write.target-file-size-bytes": str(512 * 1024)},
+    )
+    t.append(df, n_files=2, sort_within=("conv_id", "turn_idx"))
+    return t, df.cache()
+
+
+def oracle_merge(target_df, source_df, mode="update"):
+    """Plain-DataFrame merge oracle (SURVEY.md §5 gold conformance)."""
+    keys = ["conv_id", "turn_idx"]
+    keep = target_df.join(source_df.select(*keys), keys, "left_anti")
+    ins = source_df.join(target_df.select(*keys), keys, "left_anti")
+    upd = source_df.join(target_df.select(*keys), keys, "inner") if mode == "update" else None
+    out = keep.unionByName(ins)
+    if upd is not None:
+        out = out.unionByName(upd)
+    return out
+
+
+def rows(df):
+    return sorted(
+        [tuple(r) for r in df.collect()],
+        key=lambda x: (x[0], x[1], str(x[5])),
+    )
+
+
+def test_merge_update_and_insert(spark, merge_table):
+    t, df = merge_table
+    # corrections for an existing conv + a brand-new conv
+    some_conv = df.select("conv_id").distinct().orderBy("conv_id").collect()[3][0]
+    updates = (
+        df.filter(F.col("conv_id") == some_conv)
+        .withColumn("text", F.concat(F.lit("CORRECTED:"), "text"))
+    )
+    inserts = updates.withColumn("conv_id", F.lit("conv-new-9999"))
+    source = updates.unionByName(inserts)
+
+    before_total = t.scan().count()
+    res = MergeIntoJob(t).run(source)
+    assert res.rows_updated == updates.count()
+    assert res.rows_inserted == inserts.count()
+    assert res.files_scoped < res.files_total  # manifest scoping pruned files
+
+    got = rows(t.scan())
+    want = rows(oracle_merge(df, source))
+    assert got == want
+    assert t.scan().count() == before_total + inserts.count()
+    assert (
+        t.scan([("conv_id", "=", some_conv)])
+        .filter(~F.col("text").startswith("CORRECTED:")).count() == 0
+    )
+
+
+def test_merge_delete_mode(spark, merge_table):
+    t, df = merge_table
+    victim = df.select("conv_id").distinct().orderBy("conv_id").collect()[1][0]
+    source = df.filter(F.col("conv_id") == victim)
+    res = MergeIntoJob(t, when_matched="delete", when_not_matched="ignore").run(source)
+    assert res.rows_deleted == source.count()
+    assert t.scan([("conv_id", "=", victim)]).count() == 0
+    assert t.scan().count() == df.count() - source.count()
+
+
+def test_merge_source_dedup_last_writer_wins(spark, merge_table):
+    t, df = merge_table
+    conv = df.select("conv_id").distinct().orderBy("conv_id").collect()[2][0]
+    base = df.filter((F.col("conv_id") == conv) & (F.col("turn_idx") == 0))
+    old = base.withColumn("text", F.lit("OLD")).withColumn("ts", F.expr("ts - interval 1 hour"))
+    new = base.withColumn("text", F.lit("NEW"))
+    MergeIntoJob(t).run(old.unionByName(new))
+    got = t.scan([("conv_id", "=", conv), ("turn_idx", "=", 0)]).select("text").collect()
+    assert [r[0] for r in got] == ["NEW"]
+
+
+def test_merge_salted_matches_plain(spark, merge_table):
+    t, df = merge_table
+    hot = df.select("conv_id").groupBy("conv_id").count().orderBy(F.desc("count")).first()[0]
+    source = (
+        df.filter(F.col("conv_id") == hot)
+        .withColumn("text", F.concat(F.lit("HOT:"), "text"))
+    )
+    res = MergeIntoJob(t, salt_buckets=8).run(source)
+    assert res.rows_updated == source.count()
+    got = rows(t.scan())
+    want = rows(oracle_merge(df, source))
+    assert got == want
+
+
+def test_merge_into_empty_table_inserts(spark, tmp_table_dir):
+    df = generate_transcripts(spark, n_convs=10, hot_convs=0, span_days=2)
+    t = Table.create(spark, tmp_table_dir, schema(),
+                     PartitionSpec.of(days("ts_day", "ts")))
+    res = MergeIntoJob(t).run(df)
+    assert res.rows_inserted == df.count()
+    assert t.scan().count() == df.count()
+
+
+def test_merge_snapshot_isolation(spark, merge_table):
+    t, df = merge_table
+    pre = t.current_snapshot().snapshot_id
+    pre_rows = rows(t.scan(snapshot_id=pre))
+    src = df.limit(20).withColumn("text", F.lit("X"))
+    MergeIntoJob(t).run(src)
+    assert rows(t.scan(snapshot_id=pre)) == pre_rows
