@@ -1,0 +1,184 @@
+"""Training-data ops: text analysis, dedup strategies, similarity search, multimodal."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.functions import dedup as D
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.functions import similarity as S
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.functions import text as X
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.functions.multimodal import (
+    extract_features, sample_frames, synthetic_media,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+# ------------------------------------------------------------------ text
+
+def test_token_count_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "   "), (3, None), (4, "a b  c")],
+        "id int, text string",
+    )
+    got = {r["id"]: (r["n"], r["q"]) for r in df.select(
+        "id", X.token_count("text").alias("n"), X.quality_score("text").alias("q")
+    ).collect()}
+    assert got[1][0] == 4
+    assert got[2][0] == 0
+    assert got[3] == (None, None)
+    assert got[4][0] == 3
+    assert 0.0 <= got[1][1] <= 1.0
+
+
+def test_lang_id_votes(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog went to the park and it was fun"),
+         (2, "el perro y el gato en la casa con los amigos"),
+         (3, "le chat et le chien dans la maison pour les amis"),
+         (4, "der hund und die katze ist von den kindern mit brot"),
+         (5, "zzz qqq xxx")],
+        "id int, text string",
+    )
+    got = {r["id"]: r["l"] for r in df.select("id", X.lang_id("text").alias("l")).collect()}
+    assert got == {1: "en", 2: "es", 3: "fr", 4: "de", 5: "und"}
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "HELLO\tWORLD "), (4, "other")],
+        "id int, text string",
+    )
+    fps = [r[0] for r in df.select(X.fingerprint("text")).collect()]
+    assert fps[0] == fps[1] == fps[2] != fps[3]
+
+
+def test_shingles_and_rolling_fp(spark):
+    df = spark.createDataFrame([(1, "a b c d e")], "id int, text string")
+    sh = df.select(X.shingles("text", 3).alias("s")).first()["s"]
+    assert sh == ["a b c", "b c d", "c d e"]
+    short = spark.createDataFrame([(1, "one two")], "id int, text string")
+    fp = short.select(X.rolling_fingerprint("text", 5).alias("f")).first()["f"]
+    assert fp == short.select(X.fingerprint("text").alias("f")).first()["f"]
+
+
+# ----------------------------------------------------------------- dedup
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = []
+    for i in range(50):
+        rows.append((i, f"unique document number {i} with words {i*7} and {i*13}"))
+    rows.append((100, "unique document number 3 with words 21 and 39"))  # exact dup of 3
+    rows.append((101, "Unique  Document Number 3 with words 21 and 39"))  # normalized dup
+    rows.append((102, "unique document number 3 with words 21 and 40 extra"))  # near-dup
+    long_text = " ".join(f"token{j}" for j in range(60))
+    rows.append((103, long_text))                                   # long doc
+    rows.append((104, long_text.replace("token30", "changed")))     # 1-word edit
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(dup_docs):
+    kept = D.exact_dedup(dup_docs)
+    ids = {r[0] for r in kept.select("doc_id").collect()}
+    assert 100 not in ids and 101 not in ids  # dups collapsed to doc 3
+    assert 3 in ids and 102 in ids
+    groups = D.duplicate_groups(dup_docs).collect()
+    assert len(groups) == 1 and groups[0]["n_dups"] == 3 and groups[0]["keep_id"] == 3
+
+
+def test_minhash_lsh_finds_near_dups(dup_docs):
+    pairs = D.minhash_lsh_candidates(dup_docs, n_hashes=32, bands=16).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (3, 100) in got and (3, 101) in got  # exact dups always collide
+    assert (3, 102) in got                       # near-dup lands in some band
+    # sanity: nowhere near all-pairs
+    assert len(got) < 100
+
+
+def test_ngram_jaccard_pairs(dup_docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(dup_docs, threshold=0.5).collect()}
+    assert pairs[(3, 100)] == 1.0
+    assert pairs[(3, 101)] == 1.0
+    assert 0.5 <= pairs[(3, 102)] < 1.0
+
+
+def test_simhash_candidates(dup_docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in D.simhash_candidates(dup_docs, max_hamming=10).collect()}
+    assert pairs[(3, 100)] == 0   # exact dup -> identical simhash
+    assert pairs[(3, 101)] == 0   # normalization-equal dup
+    assert (103, 104) in pairs    # 1-word edit on a 60-word doc stays close
+    assert 0 < pairs[(103, 104)] <= 10
+
+
+def test_minhash_on_real_documents(docs):
+    pairs = D.minhash_lsh_candidates(docs, n_hashes=16, bands=8)
+    assert pairs.count() >= 0  # plumbing at sf scale
+
+
+# ------------------------------------------------------------- similarity
+
+def test_brute_force_topk_self_is_best(embs):
+    row = embs.orderBy("vec_id").first()
+    q = [float(x) for x in row["embedding"]]
+    top = S.brute_force_topk(embs, q, k=5).collect()
+    assert top[0]["vec_id"] == row["vec_id"]
+    assert abs(top[0]["cos_sim"] - 1.0) < 1e-5
+    sims = [r["cos_sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_recall_overlap(embs):
+    row = embs.orderBy("vec_id").first()
+    q = [float(x) for x in row["embedding"]]
+    exact = {r["vec_id"] for r in S.brute_force_topk(embs, q, k=10).collect()}
+    approx = {r["vec_id"] for r in S.lsh_topk(embs, q, k=10, n_planes=4).collect()}
+    assert row["vec_id"] in approx  # query's own bucket contains itself
+    assert len(exact & approx) >= 1
+
+
+def test_ivf_assign_covers_all(embs):
+    cells = S.ivf_assign(embs, n_cells=8)
+    n_cells = cells.select("ivf_cell").distinct().count()
+    assert 1 < n_cells <= 8
+    assert cells.filter(F.col("ivf_cell").isNull()).count() == 0
+
+
+# ------------------------------------------------------------- multimodal
+
+def test_multimodal_feature_extraction(spark):
+    media = synthetic_media(spark, n=30)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r["feature"]) == 16
+        assert all(0.0 <= v <= 1.0 for v in r["feature"])
+        assert r["n_bytes"] > 0
+    # deterministic: same payload -> same feature
+    again = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert again == {r["media_id"]: r["feature"] for r in rows}
+
+
+def test_multimodal_frame_sampling(spark):
+    media = synthetic_media(spark, n=9)
+    frames = sample_frames(media, every_ms=1000)
+    got = frames.groupBy("media_id").count().collect()
+    durations = {r["media_id"]: r["meta"]["duration_ms"] for r in media.collect()}
+    for r in got:
+        assert r["count"] == durations[r["media_id"]] // 1000
