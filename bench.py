@@ -1,0 +1,204 @@
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline maintenance pipeline +
+representative queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS];
+print ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+--scaling mode (BASELINE.md protocol): run the identical maintenance job in two
+fresh subprocesses at local[N] and local[4N] on the same input scale, report
+turns/sec at both + scaling efficiency (target >= 0.8), and write
+BENCH/BASELINE.md.
+
+The maintenance input is the deterministic Zipf-skewed transcripts generator
+(sources/transcripts.py, seeded, wall-clock-free) — a few hot conversations
+carry thousands of turns to make the skew paths earn their keep.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf_of(sf_dir: str) -> float:
+    tail = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _maintenance_bench(spark, sf: float, workdir: str) -> dict:
+    """Append (fragmented) -> compact -> Z-order cluster -> merge -> expire.
+    Returns phase timings + turns/sec for the compact+cluster core."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.partition import (
+        PartitionSpec, days,
+    )
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.table import Table
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.clustering import ClusteringJob
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.compaction import CompactionJob
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.expire import ExpireSnapshotsJob
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.merge import MergeIntoJob
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.sources.transcripts import (
+        SCHEMA_DDL, generate_transcripts,
+    )
+
+    n_convs = max(2000, int(sf * 2_000_000))
+    df = generate_transcripts(
+        spark, n_convs, hot_convs=5, hot_turns=4000, span_days=30
+    )
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    table = Table.create(
+        spark, os.path.join(workdir, "bench_transcripts"),
+        T.StructType.fromDDL(SCHEMA_DDL),
+        PartitionSpec.of(days("ts_day", "ts")),
+        properties={"write.target-file-size-bytes": str(32 * 1024 * 1024)},
+    )
+    table.append(df, n_files=8)
+    timings["ingest_append"] = time.time() - t0
+    n_turns = sum(f.record_count for f in table.live_data_files())
+
+    t0 = time.time()
+    CompactionJob(table, max_concurrency=8).run()
+    timings["compact"] = time.time() - t0
+
+    t0 = time.time()
+    ClusteringJob(table, curve="zorder", max_concurrency=8).run()
+    timings["cluster_zorder"] = time.time() - t0
+
+    t0 = time.time()
+    source = (
+        table.scan().filter(F.col("turn_idx") % 50 == 0)
+        .withColumn("text", F.concat(F.lit("corrected:"), F.col("text")))
+    )
+    MergeIntoJob(table).run(source)
+    timings["merge_upsert"] = time.time() - t0
+
+    t0 = time.time()
+    ExpireSnapshotsJob(table, keep_last=1).run()
+    timings["expire_gc"] = time.time() - t0
+
+    t0 = time.time()
+    conv = "conv-0000000007"
+    _ = table.scan([("conv_id", "=", conv)]).count()
+    timings["scan_point_lookup"] = time.time() - t0
+
+    t0 = time.time()
+    _ = table.scan([("ts", ">=", "2025-01-25 00:00:00")]).count()
+    timings["scan_ts_range"] = time.time() - t0
+
+    core = timings["compact"] + timings["cluster_zorder"]
+    return {
+        "timings": timings,
+        "turns": n_turns,
+        "throughput_turns_per_sec": round(n_turns / core, 1),
+    }
+
+
+def _query_bench(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    names = [
+        "agg_pricing_summary", "join_top_orders", "join_broadcast_dim",
+        "window_dedup", "stats_census", "dedup_exact", "dedup_minhash_lsh",
+        "text_stats", "sim_topk",
+    ]
+    qs = entrymod.queries()
+    out = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def run_once(sf_dir: str, cpus: int, *, maintenance_only: bool = False) -> dict:
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.session import get_spark
+
+    spark = get_spark(parallelism=cpus, shuffle_partitions=max(cpus, 8),
+                      app_name=f"bench-{cpus}")
+    sf = _sf_of(sf_dir)
+    workdir = tempfile.mkdtemp(prefix=f"bench-{cpus}-")
+    try:
+        maint = _maintenance_bench(spark, sf, workdir)
+        queries = dict(maint["timings"])
+        if not maintenance_only:
+            queries.update(_query_bench(spark, sf_dir))
+        total = round(sum(queries.values()), 3)
+        return {
+            "metric": "maintenance+query wall clock (compact+zorder core -> turns/sec)",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in queries.items()},
+            "sf": sf,
+            "cpus": cpus,
+            "turns": maint["turns"],
+            "throughput_turns_per_sec": maint["throughput_turns_per_sec"],
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+        spark.stop()
+
+
+def run_scaling(sf_dir: str, n_small: int, n_big: int) -> dict:
+    """Same input scale at local[N] vs local[4N] in fresh JVMs; efficiency =
+    throughput(4N) / (4 x throughput(N))."""
+    results = {}
+    for cpus in (n_small, n_big):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus),
+             "--sf-dir", sf_dir, "--maintenance-only", "--json-only"],
+            capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    thr_s = results[n_small]["throughput_turns_per_sec"]
+    thr_b = results[n_big]["throughput_turns_per_sec"]
+    eff = thr_b / ((n_big / n_small) * thr_s)
+    return {
+        "n_small": n_small, "n_big": n_big,
+        "throughput_small": thr_s, "throughput_big": thr_b,
+        "scaling_efficiency": round(eff, 3),
+        "runs": results,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--n-small", type=int, default=8)
+    ap.add_argument("--maintenance-only", action="store_true")
+    ap.add_argument("--json-only", action="store_true")
+    args = ap.parse_args()
+
+    if args.scaling:
+        res = run_scaling(args.sf_dir, args.n_small, args.n_small * 4)
+        print(json.dumps(res))
+        return
+
+    res = run_once(args.sf_dir, args.cpus, maintenance_only=args.maintenance_only)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

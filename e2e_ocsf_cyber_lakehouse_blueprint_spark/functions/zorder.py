@@ -132,5 +132,6 @@ def cluster_key_column(
     return udf(
         normalize_dim(F.xxhash64(F.col(conv_col)), HASH_LO, HASH_HI),
         normalize_dim(F.col(turn_col), *turn_range),
-        normalize_dim(F.unix_micros(F.col(ts_col)), *ts_us_range),
+        # cast handles TIMESTAMP_NTZ inputs (identity under the UTC session TZ)
+        normalize_dim(F.unix_micros(F.col(ts_col).cast("timestamp")), *ts_us_range),
     )

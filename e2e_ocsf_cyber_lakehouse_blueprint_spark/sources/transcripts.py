@@ -91,9 +91,9 @@ def generate_transcripts(
 
 TRANSCRIPTS_FROM_EVENTS_SQL = """
 SELECT
-  'conv-' || CAST(user_id % 211 AS VARCHAR)                          AS conv_id,
+  'conv-' || CAST(user_id % 211 AS STRING)                           AS conv_id,
   CAST(ROW_NUMBER() OVER (PARTITION BY user_id % 211
-                          ORDER BY ts, event_id) - 1 AS INT)         AS turn_idx,
+                          ORDER BY ts, event_id) - 1 AS INT)          AS turn_idx,
   CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
        WHEN 2 THEN 'system' ELSE 'tool' END                          AS role,
   event_type || ':' || COALESCE(props, '')                           AS text,
