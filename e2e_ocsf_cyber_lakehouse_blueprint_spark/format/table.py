@@ -259,6 +259,7 @@ class Table:
         n_files: int | None = None,
         sort_within: Sequence[str] | None = None,
         merge_schema: bool = True,
+        summary_extra: dict | None = None,
     ) -> snap.Snapshot:
         aligned, merged_schema = self._align_to_schema(df, merge_schema)
         schema_changed = merged_schema.jsonValue() != self.meta.schema_json
@@ -266,7 +267,8 @@ class Table:
             self.meta.schema_json = merged_schema.jsonValue()
         files = self.write_data_files(aligned, n_files=n_files, sort_within=sort_within)
         return self._commit_append(files, schema_json=merged_schema.jsonValue()
-                                   if schema_changed else None)
+                                   if schema_changed else None,
+                                   summary_extra=summary_extra)
 
     # -------------------------------------------------------------- commits
 
@@ -312,7 +314,8 @@ class Table:
         return sid, (parent.snapshot_id if parent else None), seq
 
     def _commit_append(self, files: list[DataFile],
-                       schema_json: dict | None = None) -> snap.Snapshot:
+                       schema_json: dict | None = None,
+                       summary_extra: dict | None = None) -> snap.Snapshot:
         def build(meta: snap.TableMetadata):
             sid, parent_id, seq = self._next_ids(meta)
             mpath = self._new_manifest_path()
@@ -323,14 +326,13 @@ class Table:
             ) + [record]
             mlist = self._manifest_list_path(sid)
             mf.write_manifest_list(mlist, records)
-            s = snap.Snapshot(
-                sid, parent_id, seq, snap.now_ms(), "append", mlist,
-                {
-                    "added-data-files": len(files),
-                    "added-records": sum(f.record_count for f in files),
-                    "added-bytes": sum(f.file_size_bytes for f in files),
-                },
-            )
+            summary = {
+                "added-data-files": len(files),
+                "added-records": sum(f.record_count for f in files),
+                "added-bytes": sum(f.file_size_bytes for f in files),
+            }
+            summary.update(summary_extra or {})
+            s = snap.Snapshot(sid, parent_id, seq, snap.now_ms(), "append", mlist, summary)
             return s, schema_json
         return self._commit(build)
 

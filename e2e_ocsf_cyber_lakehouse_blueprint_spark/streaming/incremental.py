@@ -1,0 +1,186 @@
+"""Micro-batch incremental pipeline: the engine's Auto Loader / readStream.table.
+
+The reference's ingestion is Auto Loader + SDP ("SDP handles checkpointing and
+schema evolution automatically", `_resources/PIPELINE_OVERVIEW.md:165`;
+`spark.readStream.format("cloudFiles")`, `bronze_github_audit_logs.py:43-50`;
+`spark.readStream.table(...)`, `silver_github_audit_logs.py:27-28`). This
+module provides the batch-incremental equivalents:
+
+- ``FileStreamSource``: checkpointed directory listing — each micro-batch
+  processes exactly the files not yet committed to the checkpoint (the
+  cloudFiles discovery contract, without a long-running stream).
+- ``IncrementalTableReader``: reads only data files ADDED since the last
+  processed snapshot (the Delta change-feed-of-appends a readStream.table
+  sees), by diffing manifest file sets between snapshots — pure metadata.
+
+Exactly-once: the checkpoint commit happens only after the downstream append
+snapshot commits; a crash in between reprocesses the batch, and the target
+append is idempotent per batch id (batch-id marker in the snapshot summary lets
+reruns detect an already-applied batch).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..format import manifest as mf
+from ..format.table import Table
+
+
+class _Checkpoint:
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def read(self) -> dict:
+        try:
+            with open(self.path) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return {}
+
+    def write(self, state: dict) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.path)
+
+
+@dataclass
+class Batch:
+    batch_id: int
+    files: list[str]
+    df: DataFrame | None
+
+
+class FileStreamSource:
+    """Auto Loader analogue: checkpointed listing of a landing directory."""
+
+    def __init__(self, spark: SparkSession, path: str, checkpoint: str,
+                 fmt: str = "json", schema=None, suffix: str | None = None):
+        self.spark = spark
+        self.path = path
+        self.fmt = fmt
+        self.schema = schema
+        self.suffix = suffix or {"json": ".json", "parquet": ".parquet", "text": ""}.get(fmt, "")
+        self.cp = _Checkpoint(checkpoint)
+
+    def _list(self) -> list[str]:
+        out = []
+        for root, _d, names in os.walk(self.path):
+            for n in names:
+                if n.startswith((".", "_")):
+                    continue
+                if self.suffix and not n.endswith(self.suffix):
+                    continue
+                out.append(os.path.join(root, n))
+        return sorted(out)
+
+    def next_batch(self, max_files: int | None = None) -> Batch | None:
+        state = self.cp.read()
+        seen = set(state.get("processed", []))
+        new = [p for p in self._list() if p not in seen]
+        if max_files:
+            new = new[:max_files]
+        if not new:
+            return None
+        batch_id = int(state.get("batch_id", -1)) + 1
+        reader = self.spark.read
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        if self.fmt == "json":
+            df = reader.json(new)
+        elif self.fmt == "parquet":
+            df = reader.parquet(*new)
+        elif self.fmt == "text":
+            df = reader.text(new)
+        else:
+            raise ValueError(self.fmt)
+        return Batch(batch_id, new, df)
+
+    def commit(self, batch: Batch) -> None:
+        state = self.cp.read()
+        processed = set(state.get("processed", []))
+        processed.update(batch.files)
+        self.cp.write({"batch_id": batch.batch_id, "processed": sorted(processed)})
+
+
+class IncrementalTableReader:
+    """readStream.table analogue: new data files since the last seen snapshot."""
+
+    def __init__(self, table: Table, checkpoint: str):
+        self.table = table
+        self.cp = _Checkpoint(checkpoint)
+
+    def next_batch(self) -> Batch | None:
+        self.table.refresh()
+        cur = self.table.current_snapshot()
+        if cur is None:
+            return None
+        state = self.cp.read()
+        last = state.get("last_snapshot_id")
+        if last == cur.snapshot_id:
+            return None
+        prev_files = (
+            {f.path for f in self.table.live_data_files(last)} if last is not None else set()
+        )
+        # append-only sources: new rows live exactly in the added files
+        new_files = [
+            f for f in self.table.live_data_files(cur.snapshot_id)
+            if f.path not in prev_files
+        ]
+        batch_id = int(state.get("batch_id", -1)) + 1
+        if not new_files:
+            self.cp.write({"last_snapshot_id": cur.snapshot_id, "batch_id": batch_id})
+            return None
+        df = self.table.spark.read.schema(self.table.schema).parquet(
+            *[f.path for f in new_files]
+        )
+        b = Batch(batch_id, [f.path for f in new_files], df)
+        b._snapshot_id = cur.snapshot_id  # type: ignore[attr-defined]
+        return b
+
+    def commit(self, batch: Batch) -> None:
+        self.cp.write({
+            "last_snapshot_id": getattr(batch, "_snapshot_id"),
+            "batch_id": batch.batch_id,
+        })
+
+
+def run_micro_batches(
+    source,
+    target: Table,
+    transform: Callable[[DataFrame], DataFrame] = lambda df: df,
+    *,
+    max_batches: int = 100,
+    n_files: int | None = None,
+) -> int:
+    """Drain a source into a table; returns batches processed. Exactly-once:
+    skip-if-applied via batch-id markers in snapshot summaries, checkpoint
+    committed only after the table append commits."""
+    applied = {
+        s.summary.get("batch-id")
+        for s in target.snapshots
+        if s.summary.get("batch-id") is not None
+    }
+    n = 0
+    while n < max_batches:
+        batch = source.next_batch()
+        if batch is None:
+            return n
+        if batch.batch_id in applied:
+            source.commit(batch)  # crash happened between append and checkpoint
+            continue
+        out = transform(batch.df)
+        target.append(out, n_files=n_files,
+                      summary_extra={"batch-id": batch.batch_id})
+        source.commit(batch)
+        n += 1
+    return n
