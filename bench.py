@@ -40,9 +40,16 @@ def _sf_of(sf_dir: str) -> float:
         return 0.1
 
 
-def _maintenance_bench(spark, sf: float, workdir: str) -> dict:
+def _maintenance_bench(spark, sf: float, workdir: str, *, cpus: int = DEFAULT_CPUS,
+                       turns_scale: int = 2_000_000) -> dict:
     """Append (fragmented) -> compact -> Z-order cluster -> merge -> expire.
-    Returns phase timings + turns/sec for the compact+cluster core."""
+    Returns phase timings + turns/sec for the compact+cluster core.
+
+    Partition sizing: at the 10^12-turn design target each days(ts) partition
+    holds ~10^9 turns, so per-partition Spark jobs are compute-bound. The bench
+    mirrors that regime at sandbox scale with FEW, LARGE partitions (span_days=8)
+    rather than many tiny ones — otherwise job-scheduling overhead, not the
+    engine, is what gets measured."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -58,10 +65,11 @@ def _maintenance_bench(spark, sf: float, workdir: str) -> dict:
         SCHEMA_DDL, generate_transcripts,
     )
 
-    n_convs = max(2000, int(sf * 2_000_000))
+    n_convs = max(2000, int(sf * turns_scale))
     df = generate_transcripts(
-        spark, n_convs, hot_convs=5, hot_turns=4000, span_days=30
+        spark, n_convs, hot_convs=5, hot_turns=4000, span_days=8
     )
+    concurrency = max(4, min(16, cpus))
     timings: dict[str, float] = {}
 
     t0 = time.time()
@@ -76,11 +84,11 @@ def _maintenance_bench(spark, sf: float, workdir: str) -> dict:
     n_turns = sum(f.record_count for f in table.live_data_files())
 
     t0 = time.time()
-    CompactionJob(table, max_concurrency=8).run()
+    CompactionJob(table, max_concurrency=concurrency).run()
     timings["compact"] = time.time() - t0
 
     t0 = time.time()
-    ClusteringJob(table, curve="zorder", max_concurrency=8).run()
+    ClusteringJob(table, curve="zorder", max_concurrency=concurrency).run()
     timings["cluster_zorder"] = time.time() - t0
 
     t0 = time.time()
@@ -138,7 +146,8 @@ def run_once(sf_dir: str, cpus: int, *, maintenance_only: bool = False) -> dict:
     sf = _sf_of(sf_dir)
     workdir = tempfile.mkdtemp(prefix=f"bench-{cpus}-")
     try:
-        maint = _maintenance_bench(spark, sf, workdir)
+        maint = _maintenance_bench(spark, sf, workdir, cpus=cpus,
+                                   turns_scale=int(os.environ.get("BENCH_TURNS_SCALE", "8000000")))
         queries = dict(maint["timings"])
         if not maintenance_only:
             queries.update(_query_bench(spark, sf_dir))

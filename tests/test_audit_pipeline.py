@@ -1,0 +1,122 @@
+"""Medallion audit-log pipeline conformance: bronze variant ingestion, silver
+typed extraction, gold OCSF construction, multi-writer fan-in (reference parity
+for EP1-EP3, SURVEY.md §3)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.partition import PartitionSpec
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.table import Table
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.pipelines.audit_logs import (
+    bronze_atlassian, bronze_github, bronze_slack, gold_flows,
+    silver_atlassian, silver_github, silver_slack, synthetic_raw_logs,
+)
+
+
+@pytest.fixture(scope="module")
+def raw_dirs(tmp_path_factory):
+    base = tmp_path_factory.mktemp("rawlogs")
+    dirs = {}
+    for kind in ("github", "slack", "atlassian"):
+        d = base / kind
+        d.mkdir()
+        (d / f"{kind}-audit-logs.json").write_text(
+            "\n".join(synthetic_raw_logs(kind, n=125)) + "\n"
+        )
+        dirs[kind] = str(d)
+    return dirs
+
+
+@pytest.fixture(scope="module")
+def bronzes(spark, raw_dirs):
+    read = lambda d: spark.read.text(f"{d}/*.json")
+    return {
+        "github": bronze_github(read(raw_dirs["github"])).cache(),
+        "slack": bronze_slack(read(raw_dirs["slack"])).cache(),
+        "atlassian": bronze_atlassian(read(raw_dirs["atlassian"])).cache(),
+    }
+
+
+def test_bronze_schema_and_times(bronzes):
+    for kind, b in bronzes.items():
+        assert [f.name for f in b.schema.fields] == [
+            "_event_time", "_event_date", "_file_path", "_source",
+            "_source_type", "_ingest_time", "_hostname", "data",
+        ]
+        assert b.count() == 125
+        assert b.filter(F.col("_event_time").isNull()).count() == 0
+        assert b.select("_source").first()[0] == kind
+        # epoch-ms / epoch-s / ISO all land in 2025 (base epoch 2025-01-01)
+        years = [r[0] for r in b.select(F.year("_event_time")).distinct().collect()]
+        assert years == [2025]
+
+
+def test_silver_extractions_typed(spark, bronzes):
+    sg = silver_github(bronzes["github"])
+    assert dict(sg.dtypes)["created_at_ms"] == "bigint"
+    assert sg.filter(F.col("action").isNull()).count() == 0
+    assert sg.filter(F.col("actor_ip").isNull()).count() == 0
+
+    ss = silver_slack(bronzes["slack"])
+    assert dict(ss.dtypes)["entity_is_shared"] == "boolean"
+    assert ss.filter(F.col("actor_user_id").isNull()).count() == 0
+
+    sa = silver_atlassian(bronzes["atlassian"])
+    assert dict(sa.dtypes)["risk_score"] == "int"
+    # array-index variant path ($.attributes.container[0])
+    assert sa.filter(F.col("container_first").contains("proj-")).count() == 125
+
+
+def test_silver_null_on_missing_path(bronzes):
+    sg = silver_github(bronzes["github"])
+    # 'user' is generated null for ~1/3 of events: try_variant_get -> NULL, no error
+    assert 0 < sg.filter(F.col("user").isNull()).count() < 125
+
+
+def test_gold_ocsf_construction(spark, bronzes):
+    sg = silver_github(bronzes["github"])
+    ss = silver_slack(bronzes["slack"])
+    sa = silver_atlassian(bronzes["atlassian"])
+    flows = gold_flows(sg, ss, sa)
+    assert len(flows) == 6
+    g = flows[0]
+    row = g.first()
+    assert row["category_uid"] == 3
+    assert row["class_uid"] == 3004
+    assert row["metadata"]["product"]["name"] == "github"
+    assert row["metadata"]["log_version"] == "ocsf-1.5.0"
+    assert row["actor"]["user"]["type_id"] == 1
+    assert row["observables"][0]["type_id"] == 4
+    assert row["unmapped"]["raw_data"].startswith("{")
+    assert row["severity"] in ("High", "Low", "Informational")  # lateral alias
+    # routing regexes partition actions correctly
+    assert g.filter(~F.col("message").rlike("(repo|org)\\.")).count() == 0
+
+
+def test_gold_multi_writer_fan_in(spark, bronzes, tmp_path):
+    """6 flows -> ONE table via sequential append snapshots + schema merge
+    (the 15-flows->6-sinks pattern, gold_ocsf_iam_event_classes_delta_sinks.py:184-305)."""
+    sg = silver_github(bronzes["github"])
+    ss = silver_slack(bronzes["slack"])
+    sa = silver_atlassian(bronzes["atlassian"])
+    flows = gold_flows(sg, ss, sa)
+    first = flows[0]
+    t = Table.create(spark, str(tmp_path / "gold_iam"), first.schema,
+                     PartitionSpec.unpartitioned())
+    total = 0
+    for fdf in flows:
+        t.append(fdf)          # schema evolution if a flow adds columns
+        total += fdf.count()
+    assert len(t.snapshots) == 6
+    got = t.scan()
+    assert got.count() == total
+    # one unified table, query across sources without joins (PIPELINE_OVERVIEW.md:300-311)
+    per_source = {r["_source"]: r["n"] for r in
+                  got.groupBy("_source").agg(F.count("*").alias("n")).collect()}
+    assert set(per_source) == {"github", "slack", "atlassian"}
+    nested = got.groupBy("class_name", F.col("actor.user.name").alias("actor_name")).count()
+    assert nested.count() > 0  # nested-field group keys work
