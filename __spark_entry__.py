@@ -67,7 +67,10 @@ def _make_transcript_table(spark: SparkSession, sf_dir: str, *, n_files: int = 8
         spark, os.path.join(loc, "transcripts"),
         T.StructType.fromDDL(TRANSCRIPT_DDL_NTZ),
         PartitionSpec.of(days("ts_day", "ts"), bucket("conv_bucket", "conv_id", 4)),
-        properties={"write.target-file-size-bytes": str(8 * 1024 * 1024)},
+        properties={
+            "write.target-file-size-bytes": str(8 * 1024 * 1024),
+            "stats.columns": "conv_id,turn_idx,role,tool,ts",
+        },
     )
     for _ in range(appends):
         t.append(df, n_files=n_files)

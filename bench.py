@@ -77,7 +77,12 @@ def _maintenance_bench(spark, sf: float, workdir: str, *, cpus: int = DEFAULT_CP
         spark, os.path.join(workdir, "bench_transcripts"),
         T.StructType.fromDDL(SCHEMA_DDL),
         PartitionSpec.of(days("ts_day", "ts")),
-        properties={"write.target-file-size-bytes": str(32 * 1024 * 1024)},
+        properties={
+            "write.target-file-size-bytes": str(32 * 1024 * 1024),
+            # bounds on the narrow key columns only: never decompress `text`
+            # for stats nobody prunes on
+            "stats.columns": "conv_id,turn_idx,role,tool,ts",
+        },
     )
     table.append(df, n_files=8)
     timings["ingest_append"] = time.time() - t0

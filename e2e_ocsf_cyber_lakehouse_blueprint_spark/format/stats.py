@@ -56,12 +56,14 @@ def harvest_file_stats(
     schema: T.StructType,
     partition_col_names: list[str],
     hash_stat_columns: list[str] | None = None,
+    stat_columns: list[str] | None = None,
 ) -> list[DataFile]:
     """Compute DataFile entries (stats + partition tuple) for every parquet file
     under ``staging_dir`` (a directory Spark just wrote, possibly partitionBy'd).
     """
     df = spark.read.parquet(staging_dir)
-    return harvest_df_stats(df, schema, partition_col_names, hash_stat_columns)
+    return harvest_df_stats(df, schema, partition_col_names, hash_stat_columns,
+                            stat_columns)
 
 
 def harvest_df_stats(
@@ -69,8 +71,19 @@ def harvest_df_stats(
     schema: T.StructType,
     partition_col_names: list[str],
     hash_stat_columns: list[str] | None = None,
+    stat_columns: list[str] | None = None,
 ) -> list[DataFile]:
+    """``stat_columns`` restricts which columns get min/max/null bounds.
+
+    At scale this is the difference between a metadata-priced harvest and a
+    second full read of the table: bounding a wide payload column (e.g. 2KB
+    ``text``) decompresses the dominant column for bounds nobody prunes on.
+    Column pruning pushes the restriction into the parquet scan (ReadSchema),
+    so the harvest reads only the narrow key columns."""
     stat_fields = [f for f in schema.fields if isinstance(f.dataType, _BOUNDABLE)]
+    if stat_columns is not None:
+        allowed = set(stat_columns)
+        stat_fields = [f for f in stat_fields if f.name in allowed]
     hash_cols = [
         c for c in (hash_stat_columns or [])
         if c in {f.name for f in schema.fields

@@ -117,6 +117,15 @@ class Table:
         raw = self.meta.properties.get("stats.hash-columns", "")
         return [c.strip() for c in raw.split(",") if c.strip()]
 
+    def stat_columns(self) -> list[str] | None:
+        """Columns to collect min/max bounds for; None = all boundable columns.
+        Set 'stats.columns' to the prunable key columns on wide-payload tables
+        so the harvest never decompresses the payload column."""
+        raw = self.meta.properties.get("stats.columns", "").strip()
+        if not raw:
+            return None
+        return [c.strip() for c in raw.split(",") if c.strip()]
+
     # ---------------------------------------------------------------- files
 
     def live_data_files(self, snapshot_id: int | None = None) -> list[DataFile]:
@@ -250,6 +259,7 @@ class Table:
         return harvest_file_stats(
             self.spark, staging, self.schema,
             [f.name for f in spec.fields], self.hash_stat_columns(),
+            self.stat_columns(),
         )
 
     def append(

@@ -149,7 +149,8 @@ class CompactionJob:
         )
         df.write.mode("error").parquet(out_dir)
         files = harvest_file_stats(spark, out_dir, self.table.schema, [],
-                                   self.table.hash_stat_columns())
+                                   self.table.hash_stat_columns(),
+                                   self.table.stat_columns())
         # rewrites stay inside one partition: stamp its values onto the outputs
         for f in files:
             f.partition = dict(plan.partition)
