@@ -41,7 +41,7 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def _maintenance_bench(spark, sf: float, workdir: str, *, cpus: int = DEFAULT_CPUS,
-                       turns_scale: int = 2_000_000) -> dict:
+                       turns_scale: int = 2_000_000, core_only: bool = False) -> dict:
     """Append (fragmented) -> compact -> Z-order cluster -> merge -> expire.
     Returns phase timings + turns/sec for the compact+cluster core.
 
@@ -96,26 +96,31 @@ def _maintenance_bench(spark, sf: float, workdir: str, *, cpus: int = DEFAULT_CP
     ClusteringJob(table, curve="zorder", max_concurrency=concurrency).run()
     timings["cluster_zorder"] = time.time() - t0
 
-    t0 = time.time()
-    source = (
-        table.scan().filter(F.col("turn_idx") % 50 == 0)
-        .withColumn("text", F.concat(F.lit("corrected:"), F.col("text")))
-    )
-    MergeIntoJob(table).run(source)
-    timings["merge_upsert"] = time.time() - t0
+    if not core_only:
+        # scoped merge: corrections to 3 conversations — manifest scoping
+        # should rewrite a small neighborhood, not the table
+        t0 = time.time()
+        convs = ["conv-0000000007", "conv-0000000008", "conv-0000000019"]
+        source = (
+            table.scan([("conv_id", "in", convs)])
+            .withColumn("text", F.concat(F.lit("corrected:"), F.col("text")))
+        )
+        res = MergeIntoJob(table).run(source)
+        timings["merge_scoped"] = time.time() - t0
+        timings["merge_files_scoped_frac"] = round(
+            res.files_scoped / max(1, res.files_total), 3)
 
-    t0 = time.time()
-    ExpireSnapshotsJob(table, keep_last=1).run()
-    timings["expire_gc"] = time.time() - t0
+        t0 = time.time()
+        ExpireSnapshotsJob(table, keep_last=1).run()
+        timings["expire_gc"] = time.time() - t0
 
-    t0 = time.time()
-    conv = "conv-0000000007"
-    _ = table.scan([("conv_id", "=", conv)]).count()
-    timings["scan_point_lookup"] = time.time() - t0
+        t0 = time.time()
+        _ = table.scan([("conv_id", "=", "conv-0000000007")]).count()
+        timings["scan_point_lookup"] = time.time() - t0
 
-    t0 = time.time()
-    _ = table.scan([("ts", ">=", "2025-01-25 00:00:00")]).count()
-    timings["scan_ts_range"] = time.time() - t0
+        t0 = time.time()
+        _ = table.scan([("ts", ">=", "2025-01-07 00:00:00")]).count()
+        timings["scan_ts_range"] = time.time() - t0
 
     core = timings["compact"] + timings["cluster_zorder"]
     return {
@@ -143,7 +148,8 @@ def _query_bench(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
-def run_once(sf_dir: str, cpus: int, *, maintenance_only: bool = False) -> dict:
+def run_once(sf_dir: str, cpus: int, *, maintenance_only: bool = False,
+             core_only: bool = False) -> dict:
     from e2e_ocsf_cyber_lakehouse_blueprint_spark.session import get_spark
 
     spark = get_spark(parallelism=cpus, shuffle_partitions=max(cpus, 8),
@@ -151,8 +157,9 @@ def run_once(sf_dir: str, cpus: int, *, maintenance_only: bool = False) -> dict:
     sf = _sf_of(sf_dir)
     workdir = tempfile.mkdtemp(prefix=f"bench-{cpus}-")
     try:
-        maint = _maintenance_bench(spark, sf, workdir, cpus=cpus,
-                                   turns_scale=int(os.environ.get("BENCH_TURNS_SCALE", "8000000")))
+        maint = _maintenance_bench(
+            spark, sf, workdir, cpus=cpus, core_only=core_only,
+            turns_scale=int(os.environ.get("BENCH_TURNS_SCALE", "8000000")))
         queries = dict(maint["timings"])
         if not maintenance_only:
             queries.update(_query_bench(spark, sf_dir))
@@ -179,7 +186,7 @@ def run_scaling(sf_dir: str, n_small: int, n_big: int) -> dict:
     for cpus in (n_small, n_big):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus),
-             "--sf-dir", sf_dir, "--maintenance-only", "--json-only"],
+             "--sf-dir", sf_dir, "--maintenance-only", "--core-only", "--json-only"],
             capture_output=True, text=True, timeout=3600,
         )
         line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
@@ -202,6 +209,7 @@ def main():
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--n-small", type=int, default=8)
     ap.add_argument("--maintenance-only", action="store_true")
+    ap.add_argument("--core-only", action="store_true")
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
@@ -210,7 +218,8 @@ def main():
         print(json.dumps(res))
         return
 
-    res = run_once(args.sf_dir, args.cpus, maintenance_only=args.maintenance_only)
+    res = run_once(args.sf_dir, args.cpus, maintenance_only=args.maintenance_only,
+                   core_only=args.core_only)
     print(json.dumps(res))
 
 

@@ -479,6 +479,55 @@ class Table:
             raise CommitConflict("expire: gave up after 20 retries")
         return [s.snapshot_id for s in expired], sorted(dead_refs)
 
+    # ----------------------------------------------------------------- DDL
+
+    def set_cluster_keys(self, keys: Sequence[str]) -> None:
+        """ALTER TABLE ... CLUSTER BY analogue (`post_setup_ocsf_tables.py:44`):
+        records the clustering intent in metadata; the clustering job applies it."""
+        for k in keys:
+            if k not in {f.name for f in self.schema.fields}:
+                raise ValueError(f"unknown cluster column {k!r}")
+        for _ in range(20):
+            self.refresh()
+            meta = self.meta
+            new_meta = snap.TableMetadata(
+                table_uuid=meta.table_uuid, location=meta.location,
+                schema_json=meta.schema_json, partition_spec=meta.partition_spec,
+                properties=meta.properties, snapshots=meta.snapshots,
+                current_snapshot_id=meta.current_snapshot_id,
+                version=meta.version + 1, cluster_keys=list(keys),
+            )
+            try:
+                snap.commit_metadata(new_meta)
+                self.meta = new_meta
+                return
+            except FileExistsError:
+                continue
+        raise CommitConflict("set_cluster_keys: gave up after 20 retries")
+
+    def set_property(self, key: str, value: str) -> None:
+        """ALTER TABLE SET TBLPROPERTIES analogue (table_properties,
+        `utilities/utils.py:85-96`)."""
+        for _ in range(20):
+            self.refresh()
+            meta = self.meta
+            props = dict(meta.properties)
+            props[key] = value
+            new_meta = snap.TableMetadata(
+                table_uuid=meta.table_uuid, location=meta.location,
+                schema_json=meta.schema_json, partition_spec=meta.partition_spec,
+                properties=props, snapshots=meta.snapshots,
+                current_snapshot_id=meta.current_snapshot_id,
+                version=meta.version + 1, cluster_keys=meta.cluster_keys,
+            )
+            try:
+                snap.commit_metadata(new_meta)
+                self.meta = new_meta
+                return
+            except FileExistsError:
+                continue
+        raise CommitConflict("set_property: gave up after 20 retries")
+
     # ------------------------------------------------------------- utility
 
     def all_data_files_on_disk(self) -> list[str]:

@@ -132,3 +132,18 @@ def test_concurrent_append_optimistic_retry(spark, tmp_table_dir, small_df):
     t1.refresh()
     assert len(t1.snapshots) == 2
     assert t1.scan().count() == 2 * small_df.count()
+
+
+def test_ddl_cluster_keys_and_properties(spark, tmp_table_dir, small_df):
+    t = Table.create(spark, tmp_table_dir, transcripts_schema(), default_spec())
+    t.append(small_df)
+    t.set_cluster_keys(["conv_id", "ts"])  # ALTER TABLE ... CLUSTER BY analogue
+    t2 = Table.load(spark, tmp_table_dir)
+    assert t2.meta.cluster_keys == ["conv_id", "ts"]
+    t2.set_property("commit.retention-snapshots", "5")
+    assert Table.load(spark, tmp_table_dir).meta.properties[
+        "commit.retention-snapshots"] == "5"
+    with pytest.raises(ValueError):
+        t.set_cluster_keys(["nope"])
+    # snapshots survive DDL-only metadata versions
+    assert t2.refresh().scan().count() == small_df.count()
