@@ -182,10 +182,25 @@ class MergeIntoJob:
             merged, n_files=n_files, sort_within=self.sort_keys, job_tag="merge"
         )
 
-        n_tgt = tgt.count()
-        n_keep = keep.count()
-        n_ins = ins.count() if self.when_not_matched == "insert" else 0
-        n_matched = n_tgt - n_keep
+        # merge stats in ONE narrow pass: key-only full outer (parquet column
+        # pruning keeps the target read to the key columns; no full-width
+        # re-joins just for counts)
+        kstats = (
+            tgt.select(*self.key_cols).withColumn("_t", F.lit(1))
+            .join(source.select(*self.key_cols).withColumn("_s", F.lit(1)),
+                  self.key_cols, "full_outer")
+            .agg(
+                F.sum(F.when(F.col("_t").isNotNull() & F.col("_s").isNotNull(), 1)
+                      .otherwise(0)).alias("matched"),
+                F.sum(F.when(F.col("_t").isNotNull() & F.col("_s").isNull(), 1)
+                      .otherwise(0)).alias("kept"),
+                F.sum(F.when(F.col("_t").isNull() & F.col("_s").isNotNull(), 1)
+                      .otherwise(0)).alias("inserted"),
+            ).first()
+        )
+        n_matched = kstats["matched"] or 0
+        n_keep = kstats["kept"] or 0
+        n_ins = (kstats["inserted"] or 0) if self.when_not_matched == "insert" else 0
         snap = table.commit_rewrite(
             [f.path for f in affected], outs, operation="overwrite",
             summary_extra={"job": "merge", "matched": n_matched, "inserted": n_ins},
