@@ -104,6 +104,30 @@ def _curve_udf(curve: str):
     return _UDF_CACHE[curve]
 
 
+def zorder_key_expr(a: Column, b: Column, c: Column,
+                    bits: int = BITS_PER_DIM) -> Column:
+    """Morton bit-interleave as a PURE Catalyst expression (63 shift/and/or
+    terms, branch-free -> whole-stage codegen). Measurably beats the Arrow
+    kernel for Z-order because repartitionByRange evaluates the key in its
+    sampling pass, the shuffle, and the output sort — with an expression the
+    re-evaluations are register math; with a pandas UDF each one is a Python
+    round-trip (and persisting the keyed frame to avoid that trades Python
+    cost for executor-heap pressure, which measured worse on wide text rows).
+    Hilbert keeps the Arrow kernel: its Gray-code state machine is not
+    expressible as a fixed expression tree."""
+    out = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    for i in range(bits):
+        out = out.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(one), 3 * i + 2)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(one), 3 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(c, i).bitwiseAND(one), 3 * i)
+        )
+    return out
+
+
 def normalize_dim(col: Column, lo: float, hi: float) -> Column:
     """Min-max normalize a numeric column to [0, 2^21-1] — pure Catalyst arithmetic."""
     if hi <= lo:
@@ -127,11 +151,16 @@ def cluster_key_column(
     conv_id is hashed JVM-side (F.xxhash64, uniform over int64 -> fixed range);
     turn_idx / epoch-us ranges should come from manifest stats (see
     operators/clustering.py) so every dimension uses its full 21 bits.
+
+    zorder -> pure Catalyst expression; hilbert -> Arrow-batch pandas UDF
+    (see zorder_key_expr docstring for the why).
     """
-    udf = _curve_udf(curve)
-    return udf(
+    dims = (
         normalize_dim(F.xxhash64(F.col(conv_col)), HASH_LO, HASH_HI),
         normalize_dim(F.col(turn_col), *turn_range),
         # cast handles TIMESTAMP_NTZ inputs (identity under the UTC session TZ)
         normalize_dim(F.unix_micros(F.col(ts_col).cast("timestamp")), *ts_us_range),
     )
+    if curve == "zorder":
+        return zorder_key_expr(*dims)
+    return _curve_udf(curve)(*dims)

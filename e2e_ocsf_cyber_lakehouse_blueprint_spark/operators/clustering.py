@@ -142,27 +142,22 @@ class ClusteringJob:
             conv_col=self.conv_col, turn_col=self.turn_col, ts_col=self.ts_col,
             turn_range=turn_range, ts_us_range=ts_range,
         )
-        # Persist the keyed frame: repartitionByRange's sampling pass, the
-        # shuffle write, and the final sort would otherwise each re-evaluate
-        # the Arrow-batch key kernel (3x Python worker cost, measured).
-        # DISK_ONLY-backed spill keeps the per-partition footprint bounded;
-        # scope is one partition x max_concurrency, released before commit.
-        from pyspark import StorageLevel
-
-        keyed = df.withColumn(_KEY_COL, key).persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            out = (
-                keyed
-                .repartitionByRange(plan.n_output_files, _KEY_COL)
-                .sortWithinPartitions(_KEY_COL)
-                .drop(_KEY_COL)
-            )
-            out_dir = os.path.join(
-                self.table.location, "data", f"{job_tag}-{uuid.uuid4().hex[:12]}"
-            )
-            out.write.mode("error").parquet(out_dir)
-        finally:
-            keyed.unpersist()
+        # The key is evaluated by the range-partitioner sampling pass, the
+        # shuffle, and the output sort. For zorder the key is a pure Catalyst
+        # expression (re-evaluation is free register math inside codegen);
+        # for hilbert it is an Arrow kernel and the recompute is the price of
+        # bounded memory — persisting the keyed frame was measured WORSE
+        # (executor-heap pressure on wide text rows beats Python round-trips).
+        out = (
+            df.withColumn(_KEY_COL, key)
+            .repartitionByRange(plan.n_output_files, _KEY_COL)
+            .sortWithinPartitions(_KEY_COL)
+            .drop(_KEY_COL)
+        )
+        out_dir = os.path.join(
+            self.table.location, "data", f"{job_tag}-{uuid.uuid4().hex[:12]}"
+        )
+        out.write.mode("error").parquet(out_dir)
         files = harvest_file_stats(spark, out_dir, self.table.schema, [],
                                    self.table.hash_stat_columns(),
                                    self.table.stat_columns())

@@ -138,3 +138,23 @@ def test_dimension_ranges_from_manifests(spark, scattered_table):
     want_t_hi = src.agg(F.max("turn_idx")).first()[0]
     assert t_lo == 0.0 and t_hi == float(want_t_hi)
     assert ts_hi > ts_lo > 1e15  # epoch-us magnitude sanity
+
+
+def test_zorder_expr_matches_numpy_kernel(spark):
+    """The Catalyst-expression Morton key must be bit-identical to the numpy kernel."""
+    from pyspark.sql import functions as F
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.functions.zorder import (
+        zorder_key_expr, interleave3, BITS_PER_DIM,
+    )
+    import numpy as np
+    import random
+
+    rnd = random.Random(9)
+    rows = [(rnd.randrange(1 << BITS_PER_DIM), rnd.randrange(1 << BITS_PER_DIM),
+             rnd.randrange(1 << BITS_PER_DIM)) for _ in range(500)]
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    got = [r[0] for r in df.select(
+        zorder_key_expr(F.col("a"), F.col("b"), F.col("c"))).collect()]
+    arr = np.array(rows, dtype=np.uint64)
+    want = interleave3(arr[:, 0], arr[:, 1], arr[:, 2]).astype(np.int64).tolist()
+    assert got == want
