@@ -35,7 +35,7 @@ from ..format.stats import harvest_file_stats
 from ..format.table import Table
 from ..functions.zorder import cluster_key_column
 from .compaction import DEFAULT_TARGET_FILE_SIZE
-from .ledger import Ledger, partition_key, spill_metrics
+from .ledger import Ledger, partition_key, spill_metrics, split_size_for_rewrites
 
 _KEY_COL = "_zkey"
 
@@ -200,8 +200,9 @@ class ClusteringJob:
             )
             return plan, outs, False
 
-        with ThreadPoolExecutor(max_workers=self.max_concurrency) as pool:
-            results = list(pool.map(work, plans))
+        with split_size_for_rewrites(self.table.spark, self.target_file_size):
+            with ThreadPoolExecutor(max_workers=self.max_concurrency) as pool:
+                results = list(pool.map(work, plans))
 
         deleted, added = [], []
         for plan, outs, was_resumed in results:

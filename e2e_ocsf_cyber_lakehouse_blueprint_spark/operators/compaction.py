@@ -31,7 +31,7 @@ from dataclasses import dataclass, field
 from ..format.manifest import DataFile
 from ..format.stats import harvest_file_stats
 from ..format.table import Table
-from .ledger import Ledger, partition_key, spill_metrics
+from .ledger import Ledger, partition_key, spill_metrics, split_size_for_rewrites
 
 DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024
 
@@ -200,8 +200,9 @@ class CompactionJob:
             )
             return plan, outs, False
 
-        with ThreadPoolExecutor(max_workers=self.max_concurrency) as pool:
-            results = list(pool.map(work, plans))
+        with split_size_for_rewrites(self.table.spark, self.target_file_size):
+            with ThreadPoolExecutor(max_workers=self.max_concurrency) as pool:
+                results = list(pool.map(work, plans))
 
         deleted, added = [], []
         for plan, outs, was_resumed in results:

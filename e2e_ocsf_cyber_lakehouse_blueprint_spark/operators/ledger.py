@@ -122,6 +122,33 @@ class Ledger:
         return [DataFile(**d) for d in rec["output_files"]]
 
 
+class split_size_for_rewrites:
+    """Align the parquet split size with the job's target file size while a
+    maintenance job runs. The default 128MB split packs several ~32MB small
+    files into one scan task, capping map-side parallelism at
+    total_bytes/128MB — measured as the difference between flat and ~linear
+    core scaling for the clustering rewrite. Runtime conf, restored on exit."""
+
+    KEY = "spark.sql.files.maxPartitionBytes"
+
+    def __init__(self, spark, target_file_size: int):
+        self.spark = spark
+        self.target = int(target_file_size)
+
+    def __enter__(self):
+        try:
+            self.old = self.spark.conf.get(self.KEY)
+        except Exception:
+            self.old = None
+        self.spark.conf.set(self.KEY, str(self.target))
+        return self
+
+    def __exit__(self, *exc):
+        if self.old is not None:
+            self.spark.conf.set(self.KEY, self.old)
+        return False
+
+
 def spill_metrics(spark) -> int:
     """Best-effort shuffle/sort spill bytes via the Spark UI REST API.
 
