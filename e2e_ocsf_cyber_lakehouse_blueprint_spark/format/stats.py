@@ -14,8 +14,6 @@ Only one metadata-sized row per file is collected to the driver.
 from __future__ import annotations
 
 import datetime
-from typing import Iterable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T

@@ -21,12 +21,11 @@ reuse every finished partition.
 
 from __future__ import annotations
 
-import math
 import os
 import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from ..format.manifest import DataFile
 from ..format.stats import harvest_file_stats
