@@ -324,6 +324,19 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (length band + stopword presence - punct noise) plus
+    BPE-ish sub-word token estimate — all Catalyst expressions."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.bpe_ish_token_count("text").alias("n_tokens_bpe"),
+        F.round(TX.punct_ratio("text"), 6).alias("punct_r"),
+        F.round(TX.stopword_ratio("text"), 6).alias("stop_r"),
+        TX.quality_score("text").alias("quality"),
+    )
+
+
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _read(spark, sf_dir, "embeddings")
     q = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
@@ -351,6 +364,13 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _read(spark, sf_dir, "embeddings")
     q = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
     return SS.lsh_topk(embs, q, k=10, n_planes=4)
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: centroid routing (pandas-UDF matmul) + n_probe cell scan."""
+    embs = _read(spark, sf_dir, "embeddings")
+    q = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return SS.ivf_topk(embs, q, k=10, n_cells=16, n_probe=6)
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -386,11 +406,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
         "sim_topk": q_sim_topk,
         "sim_pairs": q_sim_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -544,6 +566,34 @@ def oracle_sql() -> dict[str, str]:
                         WHEN v_es = greatest(v_en, v_es, v_fr, v_de) THEN 'es'
                         ELSE 'fr' END AS lang_pred
             FROM votes
+        """,
+        "text_quality": """
+            WITH base AS (
+              SELECT doc_id, text, len(text) AS n,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                                 w -> len(w) > 0) AS ws,
+                     (len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                       / greatest(len(text), 1) AS punct_r_raw
+              FROM documents
+            ), ratios AS (
+              SELECT doc_id, text, n, punct_r_raw,
+                     COALESCE(CAST(list_sum(list_transform(
+                       ws, w -> CAST(ceil(len(w) / 4.0) AS INT))) AS INT), 0) AS n_tokens_bpe,
+                     len(list_filter(ws, w -> list_contains(
+                       ['the','and','of','to','in','is','that','it','was','for'], w)))
+                       / greatest(len(ws), 1) AS stop_r_raw
+              FROM base
+            )
+            SELECT doc_id, n_tokens_bpe,
+                   round(punct_r_raw, 6) AS punct_r,
+                   round(stop_r_raw, 6) AS stop_r,
+                   CASE WHEN text IS NULL THEN NULL ELSE round(
+                     (CASE WHEN n < 20 THEN 0.1::DOUBLE WHEN n < 100 THEN 0.5::DOUBLE
+                           WHEN n < 2000 THEN 1.0::DOUBLE ELSE 0.7::DOUBLE END) * 0.5::DOUBLE
+                     + least(stop_r_raw * 2.0::DOUBLE, 1.0::DOUBLE) * 0.3::DOUBLE
+                     + (1.0::DOUBLE - least(punct_r_raw * 4.0::DOUBLE, 1.0::DOUBLE)) * 0.2::DOUBLE,
+                   4) END AS quality
+            FROM ratios
         """,
         "sim_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

@@ -14,6 +14,8 @@ Only one metadata-sized row per file is collected to the driver.
 from __future__ import annotations
 
 import datetime
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -48,18 +50,39 @@ def hash_bound_key(col: str) -> str:
     return f"xxh64({col})"
 
 
+# materialized `_metadata` fields (the pseudo-column is per-relation and does
+# not survive a Union, so multi-dir harvests project it per branch first)
+_META_PATH = "_meta_file_path"
+_META_SIZE = "_meta_file_size"
+
+
 def harvest_file_stats(
     spark: SparkSession,
-    staging_dir: str,
+    staging_dir: str | list[str],
     schema: T.StructType,
     partition_col_names: list[str],
     hash_stat_columns: list[str] | None = None,
     stat_columns: list[str] | None = None,
 ) -> list[DataFile]:
     """Compute DataFile entries (stats + partition tuple) for every parquet file
-    under ``staging_dir`` (a directory Spark just wrote, possibly partitionBy'd).
+    under ``staging_dir`` (one directory Spark just wrote, possibly
+    partitionBy'd — or a list of such directories, harvested in ONE Spark job;
+    maintenance jobs batch all their partitions' staging dirs this way).
     """
-    df = spark.read.parquet(staging_dir)
+    dirs = [staging_dir] if isinstance(staging_dir, str) else list(staging_dir)
+    # one read per staging root (each discovers its own _p_* partition dirs;
+    # a single multi-root read trips CONFLICTING_DIRECTORY_STRUCTURES), then
+    # union into ONE aggregation job. `_metadata` is per-relation and cannot
+    # cross a Union — materialize the two fields per branch first.
+    parts = [
+        spark.read.parquet(d).select(
+            "*",
+            F.col("_metadata.file_path").alias(_META_PATH),
+            F.col("_metadata.file_size").alias(_META_SIZE),
+        )
+        for d in dirs
+    ]
+    df = functools.reduce(lambda a, b: a.unionByName(b), parts)
     return harvest_df_stats(df, schema, partition_col_names, hash_stat_columns,
                             stat_columns)
 
@@ -89,7 +112,8 @@ def harvest_df_stats(
     ]
     aggs = [
         F.count(F.lit(1)).alias("_rc"),
-        F.max(F.col("_metadata.file_size")).alias("_fsize"),
+        F.max(F.col(_META_SIZE if _META_SIZE in df.columns
+                    else "_metadata.file_size")).alias("_fsize"),
     ]
     for f in stat_fields:
         aggs.append(F.min(f.name).alias(f"_lo_{f.name}"))
@@ -103,7 +127,8 @@ def harvest_df_stats(
 
     # partition values live in `_p_<name>` directory columns (partition.py);
     # alias back to the logical partition-field names for manifest entries
-    group_cols = [F.col("_metadata.file_path").alias("_fp")] + [
+    group_cols = [F.col(_META_PATH if _META_PATH in df.columns
+                        else "_metadata.file_path").alias("_fp")] + [
         F.col(PARTITION_COL_PREFIX + c).cast("string").alias(c)
         for c in partition_col_names
     ]

@@ -137,6 +137,12 @@ def lsh_topk(
 
 # ------------------------------------------------------------------ IVF
 
+def _ivf_centroids(n_cells: int, dim: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    C = rng.normal(size=(n_cells, dim))
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
 def ivf_assign(
     df: DataFrame,
     *,
@@ -149,9 +155,7 @@ def ivf_assign(
     centroids (unit-normalized gaussians) — the partitioning half of IVF."""
     sample = df.select(vec_col).first()
     d = dim or len(sample[0])
-    rng = np.random.RandomState(seed)
-    C = rng.normal(size=(n_cells, d))
-    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    C = _ivf_centroids(n_cells, d, seed)
 
     def _assign(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
@@ -162,3 +166,29 @@ def ivf_assign(
 
     udf = pandas_udf(_assign, "int")
     return df.withColumn("ivf_cell", udf(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 13,
+) -> DataFrame:
+    """IVF ANN search: route vectors to centroid cells (ivf_assign), probe the
+    query's n_probe nearest cells, exact cosine re-rank within.
+
+    At scale the table is written partitioned by ivf_cell, so the probe filter
+    becomes partition pruning (scan n_probe/n_cells of the data); here the
+    filter runs over the assignment column directly."""
+    assigned = ivf_assign(df, vec_col=vec_col, n_cells=n_cells, seed=seed)
+    C = _ivf_centroids(n_cells, len(query_vec), seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(C @ q), kind="stable")[:n_probe]
+    cand = assigned.filter(F.col("ivf_cell").isin([int(c) for c in probe]))
+    return brute_force_topk(cand, query_vec, id_col=id_col, vec_col=vec_col, k=k)

@@ -22,19 +22,13 @@ from __future__ import annotations
 
 import datetime
 import math
-import os
 import time
-import uuid
-from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
-from pyspark.sql import functions as F
-
 from ..format.manifest import DataFile, decode_bound
-from ..format.stats import harvest_file_stats
 from ..format.table import Table
 from ..functions.zorder import cluster_key_column
-from .compaction import DEFAULT_TARGET_FILE_SIZE
+from .compaction import DEFAULT_TARGET_FILE_SIZE, run_grouped_rewrites
 from .ledger import Ledger, partition_key, spill_metrics, split_size_for_rewrites
 
 _KEY_COL = "_zkey"
@@ -131,39 +125,26 @@ class ClusteringJob:
             )
         return plans
 
-    def _rewrite(self, plan: PartitionClusterPlan, job_tag: str,
-                 turn_range, ts_range) -> list[DataFile]:
-        spark = self.table.spark
-        df = spark.read.schema(self.table.schema).parquet(
-            *[f.path for f in plan.input_files]
-        )
+    def _prepare_factory(self, turn_range, ts_range):
+        """prepare_fn for the grouped runner: inject the curve key, sort on it,
+        drop it before write (physical layout artifact, never table data).
+
+        The key is evaluated by the range-partitioner sampling pass, the
+        shuffle, and the output sort. For zorder the key is a pure Catalyst
+        expression (re-evaluation is free register math inside codegen);
+        for hilbert it is an Arrow kernel and the recompute is the price of
+        bounded memory — persisting the keyed frame was measured WORSE
+        (executor-heap pressure on wide text rows beats Python round-trips)."""
         key = cluster_key_column(
             self.curve,
             conv_col=self.conv_col, turn_col=self.turn_col, ts_col=self.ts_col,
             turn_range=turn_range, ts_us_range=ts_range,
         )
-        # The key is evaluated by the range-partitioner sampling pass, the
-        # shuffle, and the output sort. For zorder the key is a pure Catalyst
-        # expression (re-evaluation is free register math inside codegen);
-        # for hilbert it is an Arrow kernel and the recompute is the price of
-        # bounded memory — persisting the keyed frame was measured WORSE
-        # (executor-heap pressure on wide text rows beats Python round-trips).
-        out = (
-            df.withColumn(_KEY_COL, key)
-            .repartitionByRange(plan.n_output_files, _KEY_COL)
-            .sortWithinPartitions(_KEY_COL)
-            .drop(_KEY_COL)
-        )
-        out_dir = os.path.join(
-            self.table.location, "data", f"{job_tag}-{uuid.uuid4().hex[:12]}"
-        )
-        out.write.mode("error").parquet(out_dir)
-        files = harvest_file_stats(spark, out_dir, self.table.schema, [],
-                                   self.table.hash_stat_columns(),
-                                   self.table.stat_columns())
-        for f in files:
-            f.partition = dict(plan.partition)
-        return files
+
+        def prepare(df):
+            return df.withColumn(_KEY_COL, key), [_KEY_COL], [_KEY_COL]
+
+        return prepare
 
     def run(self, *, resume: bool = True) -> ClusteringResult:
         t0 = time.time()
@@ -179,31 +160,15 @@ class ClusteringJob:
         turn_range, ts_range = dimension_ranges(all_files)
         job_id = f"cluster-{self.curve}-{snapshot.snapshot_id}"
         ledger = Ledger(self.table.location, job_id, "cluster")
-        done = ledger.completed_partitions() if resume else {}
-        skipped = 0
-
-        def work(plan: PartitionClusterPlan):
-            nonlocal skipped
-            rec = done.get(plan.key)
-            if rec is not None and sorted(rec["input_files"]) == sorted(
-                f.path for f in plan.input_files
-            ):
-                return plan, Ledger.output_data_files(rec), True
-            started = int(time.time() * 1000)
-            outs = self._rewrite(plan, job_id, turn_range, ts_range)
-            ledger.record_partition(
-                plan.partition, [f.path for f in plan.input_files], outs,
-                rows=sum(f.record_count for f in outs),
-                bytes_written=sum(f.file_size_bytes for f in outs),
-                spill_bytes=spill_metrics(self.table.spark),
-                started_ms=started,
-            )
-            return plan, outs, False
-
         with split_size_for_rewrites(self.table.spark, self.target_file_size):
-            with ThreadPoolExecutor(max_workers=self.max_concurrency) as pool:
-                results = list(pool.map(work, plans))
+            results = run_grouped_rewrites(
+                self.table, plans, ledger,
+                self._prepare_factory(turn_range, ts_range),
+                resume=resume, max_concurrency=self.max_concurrency,
+                job_tag=job_id,
+            )
 
+        skipped = 0
         deleted, added = [], []
         for plan, outs, was_resumed in results:
             if was_resumed:

@@ -25,6 +25,7 @@ from typing import Any, Iterable
 from ..format.manifest import DataFile
 
 STATE_COMMITTED = "committed"
+STATE_WRITTEN = "written"
 STATE_JOB_DONE = "job-committed"
 
 
@@ -72,6 +73,33 @@ class Ledger:
         }
         self._append(rec)
 
+    def record_partition_written(
+        self,
+        partition: dict[str, str | None],
+        input_files: list[str],
+        staging_dir: str,
+        *,
+        started_ms: int | None = None,
+    ) -> None:
+        """Data files are on disk but stats are not harvested yet.
+
+        The write is the expensive, resumable unit; stats for all partitions
+        are harvested in ONE batched Spark job afterwards (per-partition
+        harvest jobs were measured as the dominant cost of a maintenance
+        phase: ~10s of job overhead per partition vs <1s of actual agg work).
+        A rerun that finds this record skips the rewrite and only re-harvests."""
+        self._append({
+            "job_id": self.job_id,
+            "job_type": self.job_type,
+            "state": STATE_WRITTEN,
+            "partition": partition,
+            "partition_key": partition_key(partition),
+            "input_files": sorted(input_files),
+            "staging_dir": staging_dir,
+            "started_ms": started_ms,
+            "finished_ms": int(time.time() * 1000),
+        })
+
     def record_job_done(self, summary: dict[str, Any] | None = None) -> None:
         self._append({
             "job_id": self.job_id,
@@ -111,6 +139,14 @@ class Ledger:
         out: dict[str, dict] = {}
         for rec in self.records():
             if rec.get("state") == STATE_COMMITTED:
+                out[rec["partition_key"]] = rec
+        return out
+
+    def written_partitions(self) -> dict[str, dict]:
+        """partition_key -> newest written-but-not-harvested record."""
+        out: dict[str, dict] = {}
+        for rec in self.records():
+            if rec.get("state") == STATE_WRITTEN:
                 out[rec["partition_key"]] = rec
         return out
 

@@ -27,6 +27,14 @@ def get_spark(
     master comes from spark-submit and this argument is ignored.
     """
     cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Shuffle/spill local dirs: the sandbox's single virtio disk (~270 MB/s,
+    # shared with page-cache writeback) serializes shuffle I/O and would make
+    # core-count scaling unmeasurable; a real cluster's local-disk bandwidth
+    # scales with node count. tmpfs is the sandbox proxy for that. On a real
+    # deployment spark-submit/cluster conf overrides this.
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS_OVERRIDE")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -42,6 +50,8 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -124,19 +124,21 @@ def test_compaction_resume_skips_completed_partitions(spark, fragmented_table, m
         small_file_ratio=job.small_file_ratio, min_input_files=job.min_input_files,
     )
     assert len(plans) >= 2
-    # simulate a crash: run rewrite for the first partition only, record it
+    # simulate a crash after partition 0's rewrite hit disk but before the
+    # batched stats harvest ran (the `written` ledger state)
     snap_id = t.current_snapshot().snapshot_id
     ledger = Ledger(t.location, f"compact-{snap_id}", "compact")
-    outs = job._rewrite_partition(plans[0], f"compact-{snap_id}")
-    ledger.record_partition(
-        plans[0].partition, [f.path for f in plans[0].input_files], outs,
-        rows=sum(f.record_count for f in outs),
-        bytes_written=sum(f.file_size_bytes for f in outs),
+    out_dir = job._rewrite_partition(plans[0], f"compact-{snap_id}")
+    ledger.record_partition_written(
+        plans[0].partition, [f.path for f in plans[0].input_files], out_dir,
     )
     before = sorted_rows(t.scan())
     res = CompactionJob(t, max_concurrency=1).run(resume=True)
-    assert res.skipped_resume == 1  # partition 0 reused, not recomputed
+    assert res.skipped_resume == 1  # partition 0's rewrite reused, not redone
     assert sorted_rows(t.scan()) == before
+    # and a second resume reuses fully-committed records (zero I/O path)
+    recs = Ledger(t.location, f"compact-{snap_id}", "compact").completed_partitions()
+    assert len(recs) == len(plans)
 
 
 def test_compaction_idempotent_noop_after_run(spark, fragmented_table):

@@ -159,6 +159,23 @@ def test_ivf_assign_covers_all(embs):
     assert cells.filter(F.col("ivf_cell").isNull()).count() == 0
 
 
+def test_ivf_topk_contains_self_and_overlaps_exact(embs):
+    row = embs.orderBy("vec_id").first()
+    q = [float(x) for x in row["embedding"]]
+    exact = {r["vec_id"] for r in S.brute_force_topk(embs, q, k=10).collect()}
+    approx = S.ivf_topk(embs, q, k=10, n_cells=8, n_probe=3).collect()
+    ids = {r["vec_id"] for r in approx}
+    # the query vector's own cell is always the top probe -> self is found
+    assert row["vec_id"] in ids
+    assert len(exact & ids) >= 1
+    sims = [r["cos_sim"] for r in approx]
+    assert sims == sorted(sims, reverse=True)
+
+    # probing every cell degenerates to the exact answer
+    full = {r["vec_id"] for r in S.ivf_topk(embs, q, k=10, n_cells=8, n_probe=8).collect()}
+    assert full == exact
+
+
 # ------------------------------------------------------------- multimodal
 
 def test_multimodal_feature_extraction(spark):
