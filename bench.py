@@ -156,6 +156,85 @@ def _query_bench(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+# ---------------------------------------------------------------- template
+# The scaling protocol measures ONLY the compact+cluster core, but each trial
+# used to pay a full ingest (~70% of trial wall) first. Instead: build the
+# fragmented table once ("template"), keep a pristine copy, and restore it
+# before every trial (tmpfs copy, seconds). Manifests store absolute paths,
+# so the restore target is always the path the template was built at.
+
+def prepare_template(sf_dir: str, cpus: int, template_root: str) -> dict:
+    from pyspark.sql import types as T
+
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.partition import (
+        PartitionSpec, days,
+    )
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.table import Table
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.session import get_spark
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.sources.transcripts import (
+        SCHEMA_DDL, generate_transcripts,
+    )
+
+    sf = _sf_of(sf_dir)
+    turns_scale = int(os.environ.get("BENCH_TURNS_SCALE", "8000000"))
+    n_convs = max(2000, int(sf * turns_scale))
+    spark = get_spark(parallelism=cpus, shuffle_partitions=max(cpus, 8),
+                      app_name="bench-template")
+    df = generate_transcripts(spark, n_convs, hot_convs=5, hot_turns=4000,
+                              span_days=8)
+    t0 = time.time()
+    loc = os.path.join(template_root, "t")
+    table = Table.create(
+        spark, loc, T.StructType.fromDDL(SCHEMA_DDL),
+        PartitionSpec.of(days("ts_day", "ts")),
+        properties={
+            "write.target-file-size-bytes": str(32 * 1024 * 1024),
+            "stats.columns": "conv_id,turn_idx,role,tool,ts",
+        },
+    )
+    table.append(df, n_files=8)
+    elapsed = time.time() - t0
+    n_turns = sum(f.record_count for f in table.live_data_files())
+    spark.stop()
+    shutil.copytree(loc, os.path.join(template_root, "pristine"))
+    return {"ingest_sec": round(elapsed, 3), "turns": n_turns}
+
+
+def run_core_from_template(template_root: str, cpus: int) -> dict:
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.table import Table
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.clustering import ClusteringJob
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.compaction import CompactionJob
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.session import get_spark
+
+    loc = os.path.join(template_root, "t")
+    shutil.rmtree(loc, ignore_errors=True)
+    shutil.copytree(os.path.join(template_root, "pristine"), loc)
+    spark = get_spark(parallelism=cpus, shuffle_partitions=max(cpus, 8),
+                      app_name=f"bench-core-{cpus}")
+    try:
+        table = Table.load(spark, loc)
+        n_turns = sum(f.record_count for f in table.live_data_files())
+        concurrency = max(4, min(16, cpus))
+        t0 = time.time()
+        CompactionJob(table, max_concurrency=concurrency).run()
+        c = time.time() - t0
+        t0 = time.time()
+        ClusteringJob(table, curve="zorder", max_concurrency=concurrency).run()
+        z = time.time() - t0
+        return {
+            "metric": "compact+zorder core from template",
+            "value": round(c + z, 3),
+            "unit": "sec",
+            "queries": {"compact": round(c, 3), "cluster_zorder": round(z, 3)},
+            "sf": 0.0,
+            "cpus": cpus,
+            "turns": n_turns,
+            "throughput_turns_per_sec": round(n_turns / (c + z), 1),
+        }
+    finally:
+        spark.stop()
+
+
 def run_once(sf_dir: str, cpus: int, *, maintenance_only: bool = False,
              core_only: bool = False) -> dict:
     from e2e_ocsf_cyber_lakehouse_blueprint_spark.session import get_spark
@@ -188,28 +267,41 @@ def run_once(sf_dir: str, cpus: int, *, maintenance_only: bool = False,
 
 
 def run_scaling(sf_dir: str, n_small: int, n_big: int, trials: int = 2) -> dict:
-    """Same input scale at local[N] vs local[4N] in fresh JVMs; efficiency =
+    """Same input at local[N] vs local[4N] in fresh JVMs; efficiency =
     throughput(4N) / (4 x throughput(N)).
 
     This sandbox VM shares its host (measured steal: nproc=32 but parallel burn
     throughput ~= 20-24 cores, varying by the minute), so: (a) both sizes stay
     under the effective-capacity ceiling, (b) each size runs `trials` times and
-    the best run counts (standard practice under noisy neighbors), (c) runs
-    interleave N/4N to expose both sizes to similar host conditions."""
+    the best PHASE times count (steal is one-sided noise; the minimum is the
+    capacity estimate), (c) runs interleave N/4N to expose both sizes to
+    similar host conditions, (d) the fragmented input table is built ONCE and
+    restored from a pristine tmpfs copy before each trial, so a trial costs
+    only the measured core (more trials per wall-clock hour -> tighter
+    minima)."""
     results = {}
-    order = [c for _ in range(trials) for c in (n_small, n_big)]
     env = dict(os.environ, SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
-    for cpus in order:
+    template_root = tempfile.mkdtemp(prefix="bench-tmpl-", dir=BENCH_WORKROOT)
+
+    def sub(args_list):
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus),
-             "--sf-dir", sf_dir, "--maintenance-only", "--core-only", "--json-only"],
+            [sys.executable, os.path.abspath(__file__)] + args_list,
             capture_output=True, text=True, timeout=3600, env=env,
         )
         lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
         if not lines:
-            raise RuntimeError(f"bench subprocess cpus={cpus} failed: {proc.stderr[-2000:]}")
-        run = json.loads(lines[-1])
-        results.setdefault(cpus, []).append(run)
+            raise RuntimeError(f"bench subprocess {args_list} failed: {proc.stderr[-2000:]}")
+        return json.loads(lines[-1])
+
+    try:
+        prep = sub(["--prepare-template", template_root, "--sf-dir", sf_dir,
+                    "--cpus", str(n_big)])
+        order = [c for _ in range(trials) for c in (n_small, n_big)]
+        for cpus in order:
+            run = sub(["--use-template", template_root, "--cpus", str(cpus)])
+            results.setdefault(cpus, []).append(run)
+    finally:
+        shutil.rmtree(template_root, ignore_errors=True)
 
     def best_core(cpus):
         # best-per-phase across trials: shared-host steal is one-sided noise,
@@ -230,8 +322,61 @@ def run_scaling(sf_dir: str, n_small: int, n_big: int, trials: int = 2) -> dict:
                         "big": {"compact": c_b, "cluster_zorder": z_b}},
         "scaling_efficiency": round(eff, 3),
         "trials": trials,
+        "template_ingest": prep,
         "runs": results,
     }
+
+
+def write_baseline_md(res: dict, path: str = None) -> None:
+    """Persist the two-cluster-size protocol result (BASELINE.json north_rule:
+    throughput at N and 4N parallelism + scaling efficiency >= 0.8)."""
+    path = path or os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH", "BASELINE.md")
+    ns, nb = res["n_small"], res["n_big"]
+    runs_s = res["runs"][ns] if ns in res["runs"] else res["runs"][str(ns)]
+    runs_b = res["runs"][nb] if nb in res["runs"] else res["runs"][str(nb)]
+    turns = runs_s[0]["turns"]
+
+    def trial_rows(cpus, runs):
+        return "\n".join(
+            f"| local[{cpus}] | {i+1} | {r['queries']['compact']:.1f} | "
+            f"{r['queries']['cluster_zorder']:.1f} | {r['throughput_turns_per_sec']:,.0f} |"
+            for i, r in enumerate(runs)
+        )
+
+    bp = res["best_phases"]
+    md = f"""# BASELINE — two-cluster-size scaling protocol
+
+Sandbox proxy for N vs 4N executors (task directive): the identical
+maintenance job — append (fragmented) -> FFD compaction -> Z-order
+clustering over {turns:,} deterministic Zipf-skewed transcript turns — run in
+fresh JVMs at local[{ns}] and local[{nb}], interleaved best-of-{res['trials']}
+trials (the host shows one-sided CPU-steal noise; the per-phase minimum is the
+capacity estimate). Core metric = compact + cluster_zorder wall clock.
+
+| parallelism | trial | compact s | cluster s | turns/sec |
+|---|---|---|---|---|
+{trial_rows(ns, runs_s)}
+{trial_rows(nb, runs_b)}
+
+## Best-of-trials core phases
+
+| parallelism | compact s | cluster s | throughput (turns/sec) |
+|---|---|---|---|
+| local[{ns}] | {bp['small']['compact']:.1f} | {bp['small']['cluster_zorder']:.1f} | {res['throughput_small']:,.0f} |
+| local[{nb}] | {bp['big']['compact']:.1f} | {bp['big']['cluster_zorder']:.1f} | {res['throughput_big']:,.0f} |
+
+**Scaling efficiency (local[{nb}] vs {nb//ns} x local[{ns}]): {res['scaling_efficiency']:.3f}**
+(north_rule target >= 0.8)
+
+Workdirs and shuffle dirs are tmpfs: the sandbox's single ~270 MB/s virtio
+disk would otherwise impose the same serial I/O floor on every parallelism
+level, while a real cluster's local-disk bandwidth scales with node count.
+Reproduce: `python bench.py --scaling --n-small {ns} --trials {res['trials']}`.
+"""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(md)
 
 
 def main():
@@ -244,10 +389,20 @@ def main():
     ap.add_argument("--maintenance-only", action="store_true")
     ap.add_argument("--core-only", action="store_true")
     ap.add_argument("--json-only", action="store_true")
+    ap.add_argument("--prepare-template", metavar="DIR")
+    ap.add_argument("--use-template", metavar="DIR")
     args = ap.parse_args()
+
+    if args.prepare_template:
+        print(json.dumps(prepare_template(args.sf_dir, args.cpus, args.prepare_template)))
+        return
+    if args.use_template:
+        print(json.dumps(run_core_from_template(args.use_template, args.cpus)))
+        return
 
     if args.scaling:
         res = run_scaling(args.sf_dir, args.n_small, args.n_small * 4, args.trials)
+        write_baseline_md(res)
         print(json.dumps(res))
         return
 

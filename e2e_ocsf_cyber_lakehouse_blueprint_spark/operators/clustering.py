@@ -28,7 +28,11 @@ from dataclasses import dataclass
 from ..format.manifest import DataFile, decode_bound
 from ..format.table import Table
 from ..functions.zorder import cluster_key_column
-from .compaction import DEFAULT_TARGET_FILE_SIZE, run_grouped_rewrites
+from .compaction import (
+    DEFAULT_TARGET_FILE_SIZE,
+    run_grouped_rewrites,
+    write_group_global_range,
+)
 from .ledger import Ledger, partition_key, spill_metrics, split_size_for_rewrites
 
 _KEY_COL = "_zkey"
@@ -125,9 +129,10 @@ class ClusteringJob:
             )
         return plans
 
-    def _prepare_factory(self, turn_range, ts_range):
-        """prepare_fn for the grouped runner: inject the curve key, sort on it,
-        drop it before write (physical layout artifact, never table data).
+    def _group_writer_factory(self, turn_range, ts_range):
+        """Group writer: single global range exchange on the curve key per
+        group (the key column is dropped before write — a physical layout
+        artifact, never table data).
 
         The key is evaluated by the range-partitioner sampling pass, the
         shuffle, and the output sort. For zorder the key is a pure Catalyst
@@ -141,10 +146,10 @@ class ClusteringJob:
             turn_range=turn_range, ts_us_range=ts_range,
         )
 
-        def prepare(df):
-            return df.withColumn(_KEY_COL, key), [_KEY_COL], [_KEY_COL]
+        def writer(group, job_tag):
+            return write_group_global_range(self.table, group, _KEY_COL, key, job_tag)
 
-        return prepare
+        return writer
 
     def run(self, *, resume: bool = True) -> ClusteringResult:
         t0 = time.time()
@@ -163,7 +168,7 @@ class ClusteringJob:
         with split_size_for_rewrites(self.table.spark, self.target_file_size):
             results = run_grouped_rewrites(
                 self.table, plans, ledger,
-                self._prepare_factory(turn_range, ts_range),
+                self._group_writer_factory(turn_range, ts_range),
                 resume=resume, max_concurrency=self.max_concurrency,
                 job_tag=job_id,
             )

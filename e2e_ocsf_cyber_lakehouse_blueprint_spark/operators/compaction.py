@@ -84,42 +84,82 @@ def group_plans(plans: list, group_bins: int) -> list[RewriteGroup]:
     return groups
 
 
-def write_group_staging(table: Table, group: RewriteGroup, prepare_fn, job_tag: str) -> str:
-    """One Spark job for a whole group of partitions, with bins that stay
-    partition-aligned.
+def _staging_dir(table: Table, job_tag: str) -> str:
+    return os.path.join(table.location, "data", f"{job_tag}-{uuid.uuid4().hex[:12]}")
 
-    Each member partition becomes a child plan: scan its files ->
-    ``repartitionByRange(n_bins, sort_cols)`` -> sort within. The children are
-    UNIONed (Union is narrow: it concatenates the children's partitions), so
-    the single job has sum(n_bins) output tasks — cluster-wide parallelism —
-    while every output task holds exactly one bin of one table partition:
-    file counts match the plan (idempotent re-runs are no-ops) and a range
-    bucket never straddles a partition boundary. Range sampling for every
-    child runs inside the same job DAG, not as per-partition driver round
-    trips."""
+
+def _partitioned_write(table: Table, df, out_dir: str) -> None:
+    writer = df.write.mode("error")
+    if table.spec.fields:
+        writer = writer.partitionBy(*table.spec.column_names)
+    writer.parquet(out_dir)
+
+
+def write_group_binpack(table: Table, group: RewriteGroup,
+                        sort_keys: tuple[str, ...], job_tag: str) -> str:
+    """Zero-shuffle bin-pack rewrite (Iceberg binpack style) for a group of
+    partitions in ONE single-stage Spark job.
+
+    Each member partition becomes a child relation over its small files; the
+    caller pins ``spark.sql.files.maxPartitionBytes`` to the target file size
+    (``split_size_for_rewrites``), so Spark's own file-split packing turns
+    each child into ~target-size scan tasks — the physical realization of the
+    FFD plan. Children are UNIONed (Union is narrow: partitions concatenate),
+    giving one task per bin, cluster-wide parallelism, NO shuffle and NO
+    range sampling. Tasks are partition-pure, so ``partitionBy`` writes each
+    task to exactly one partition directory -> one ~target-size file.
+
+    Note: an explicit per-bin ``coalesce(1)``/``repartition(1)`` formulation
+    does NOT work — Catalyst treats repartition as a hint and collapses a
+    Union of single-partition children into ONE partition, serializing the
+    whole group (measured: 47 bins -> 1 task)."""
     spec = table.spec
-    subs = []
-    drop_cols: list[str] = []
-    for plan in group.plans:
+
+    def child(plan):
         df = table.spark.read.schema(table.schema).parquet(
             *[f.path for f in plan.input_files]
         )
-        df, sort_cols, drop_cols = prepare_fn(df)
-        n = max(1, plan.n_output_files)
-        df = df.repartitionByRange(n, *sort_cols) if n > 1 else df.coalesce(1)
-        subs.append(df.sortWithinPartitions(*sort_cols))
+        return df.sortWithinPartitions(*sort_keys)
+
+    # DataFrame construction costs a driver round trip per child (file-index
+    # listing); build the children concurrently
+    with ThreadPoolExecutor(max_workers=min(16, max(1, len(group.plans)))) as pool:
+        subs = list(pool.map(child, group.plans))
     out = functools.reduce(lambda a, b: a.unionByName(b), subs)
-    # narrow projections after the sort: intra-partition order is preserved
+    # narrow projection after the sort: intra-partition order is preserved
     out = spec.with_partition_columns(out)
-    if drop_cols:
-        out = out.drop(*drop_cols)
-    out_dir = os.path.join(
-        table.location, "data", f"{job_tag}-{uuid.uuid4().hex[:12]}"
+    out_dir = _staging_dir(table, job_tag)
+    _partitioned_write(table, out, out_dir)
+    return out_dir
+
+
+def write_group_global_range(table: Table, group: RewriteGroup, key_col_name: str,
+                             key_expr, job_tag: str) -> str:
+    """Clustering rewrite for a group of partitions in ONE Spark job with ONE
+    range exchange: scan all group files as a single relation, compute the
+    layout key, ``repartitionByRange(total_bins, partition_cols + key)``,
+    sort within, ``partitionBy`` write.
+
+    A single global range exchange costs ONE sampling pass (vs. one hidden
+    sampling job per partition, which was the measured serial floor of the
+    phase). Range boundaries can straddle a partition edge; ``partitionBy``
+    still routes every row to its correct partition directory — the only
+    effect is an occasional extra sub-target-size file, which the next
+    compaction pass folds in."""
+    spec = table.spec
+    paths = [f.path for p in group.plans for f in p.input_files]
+    df = table.spark.read.schema(table.schema).parquet(*paths)
+    df = df.withColumn(key_col_name, key_expr)
+    df = spec.with_partition_columns(df)
+    keys = spec.column_names + [key_col_name]
+    n = max(1, group.n_output_files)
+    out = (
+        df.repartitionByRange(n, *keys)
+        .sortWithinPartitions(*keys)
+        .drop(key_col_name)
     )
-    writer = out.write.mode("error")
-    if spec.fields:
-        writer = writer.partitionBy(*spec.column_names)
-    writer.parquet(out_dir)
+    out_dir = _staging_dir(table, job_tag)
+    _partitioned_write(table, out, out_dir)
     return out_dir
 
 
@@ -127,7 +167,7 @@ def run_grouped_rewrites(
     table: Table,
     plans: list,
     ledger: Ledger,
-    prepare_fn,
+    group_writer,
     *,
     resume: bool,
     max_concurrency: int,
@@ -137,16 +177,11 @@ def run_grouped_rewrites(
     """Grouped copy-on-write rewrites + ONE batched stats harvest.
 
     Each plan has ``.key`` / ``.partition`` / ``.input_files`` /
-    ``.n_output_files``. ``prepare_fn(df) -> (df, sort_cols, drop_cols)``
-    injects the layout key (compaction: the natural sort columns; clustering:
-    the space-filling-curve key, dropped before write).
-
-    Execution: plans are packed into groups (``group_plans``); each group is
-    one Spark job — read every member partition's files, derive partition
-    columns, ``repartitionByRange(group_bins, partition_cols + sort_cols)``,
-    sort within, ``partitionBy`` write into one staging dir. Stats for all
-    staging dirs are then harvested in a single job (per-partition harvest
-    jobs were measured as the dominant phase cost).
+    ``.n_output_files``. ``group_writer(group, job_tag) -> staging_dir``
+    executes one group as one Spark job (compaction: zero-shuffle binpack;
+    clustering: single global range exchange). Stats for all staging dirs are
+    then harvested in a single job (per-partition harvest jobs were measured
+    as the dominant phase cost).
 
     Ledger/resume ladder per PARTITION (granularity unchanged):
     ``committed`` -> reuse stats, zero I/O; ``written`` with intact staging
@@ -182,7 +217,7 @@ def run_grouped_rewrites(
 
     def rewrite_group(group: RewriteGroup) -> tuple[RewriteGroup, str, int]:
         started = int(time.time() * 1000)
-        out_dir = write_group_staging(table, group, prepare_fn, job_tag)
+        out_dir = group_writer(group, job_tag)
         for plan in group.plans:
             ledger.record_partition_written(
                 plan.partition, [f.path for f in plan.input_files], out_dir,
@@ -227,6 +262,7 @@ class PartitionCompactionPlan:
     partition: dict[str, str | None]
     input_files: list[DataFile]
     n_output_files: int
+    bins: list[list[str]] | None = None  # FFD file-path bins (one output file each)
 
     @property
     def key(self) -> str:
@@ -270,7 +306,7 @@ def plan_compaction(
         bins = ffd_pack([(f.path, f.file_size_bytes) for f in small], target_file_size)
         if len(bins) >= len(small):
             continue  # nothing to gain: every file already ~target-sized
-        plans.append(PartitionCompactionPlan(parts[k], small, len(bins)))
+        plans.append(PartitionCompactionPlan(parts[k], small, len(bins), bins))
     return plans
 
 
@@ -302,17 +338,13 @@ class CompactionJob:
         self.min_input_files = min_input_files
         self.max_concurrency = max_concurrency
 
-    def _prepare(self, df):
-        """prepare_fn for the grouped runner: natural sort keys, nothing added."""
-        return df, list(self.sort_keys), []
+    def _group_writer(self, group: RewriteGroup, job_tag: str) -> str:
+        return write_group_binpack(self.table, group, self.sort_keys, job_tag)
 
     def _rewrite_partition(self, plan: PartitionCompactionPlan, job_tag: str) -> str:
         """Single-partition staging write (same layout as the grouped path);
         used by tests simulating a crash between write and harvest."""
-        return write_group_staging(
-            self.table, RewriteGroup([plan], plan.n_output_files),
-            self._prepare, job_tag,
-        )
+        return self._group_writer(RewriteGroup([plan], plan.n_output_files), job_tag)
 
     def run(self, *, resume: bool = True, dry_run: bool = False) -> CompactionResult:
         t0 = time.time()
@@ -337,7 +369,7 @@ class CompactionJob:
         ledger = Ledger(self.table.location, job_id, "compact")
         with split_size_for_rewrites(self.table.spark, self.target_file_size):
             results = run_grouped_rewrites(
-                self.table, plans, ledger, self._prepare,
+                self.table, plans, ledger, self._group_writer,
                 resume=resume, max_concurrency=self.max_concurrency,
                 job_tag=job_id,
             )

@@ -166,22 +166,35 @@ class split_size_for_rewrites:
     core scaling for the clustering rewrite. Runtime conf, restored on exit."""
 
     KEY = "spark.sql.files.maxPartitionBytes"
+    OPEN_COST = "spark.sql.files.openCostInBytes"
+    MIN_PARTS = "spark.sql.files.minPartitionNum"
 
     def __init__(self, spark, target_file_size: int):
         self.spark = spark
         self.target = int(target_file_size)
 
     def __enter__(self):
-        try:
-            self.old = self.spark.conf.get(self.KEY)
-        except Exception:
-            self.old = None
+        self.old = {}
+        for k in (self.KEY, self.OPEN_COST, self.MIN_PARTS):
+            try:
+                self.old[k] = self.spark.conf.get(k, None)
+            except Exception:
+                self.old[k] = None
         self.spark.conf.set(self.KEY, str(self.target))
+        # size-faithful split packing: the default 4MB per-file open cost
+        # would make Spark under-fill bins of genuinely small files...
+        self.spark.conf.set(self.OPEN_COST, str(256 * 1024))
+        # ...and the default split size is min(maxPartitionBytes,
+        # totalBytes/defaultParallelism) — per-core right-sizing that would
+        # shatter a binpack scan into per-file tasks. minPartitionNum=1 makes
+        # maxPartitionBytes the actual split size, so scan tasks ARE the bins.
+        self.spark.conf.set(self.MIN_PARTS, "1")
         return self
 
     def __exit__(self, *exc):
-        if self.old is not None:
-            self.spark.conf.set(self.KEY, self.old)
+        for k, v in self.old.items():
+            if v is not None:
+                self.spark.conf.set(k, v)
         return False
 
 
