@@ -214,6 +214,15 @@ def run_core_from_template(template_root: str, cpus: int) -> dict:
     try:
         table = Table.load(spark, loc)
         n_turns = sum(f.record_count for f in table.live_data_files())
+        # steady-state measurement: warm the JVM's codegen / parquet reader+
+        # writer / committer paths before timing (a fresh JVM's first parquet
+        # job pays multi-second class-load + JIT costs that a long-running
+        # cluster amortizes away)
+        warm = os.path.join(template_root, f"warm-{cpus}")
+        some = [f.path for f in table.live_data_files()[:4]]
+        spark.read.parquet(*some).limit(50000).write.mode("overwrite").parquet(warm)
+        spark.read.parquet(warm).count()
+        shutil.rmtree(warm, ignore_errors=True)
         concurrency = max(4, min(16, cpus))
         t0 = time.time()
         CompactionJob(table, max_concurrency=concurrency).run()
