@@ -38,6 +38,7 @@ from e2e_ocsf_cyber_lakehouse_blueprint_spark.sources.transcripts import (
     TRANSCRIPTS_FROM_EVENTS_SQL,
     transcripts_from_events,
 )
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.functions import checksum as CK
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.functions import dedup as DD
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.functions import similarity as SS
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.functions import text as TX
@@ -225,19 +226,24 @@ def q_turn_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------- joins / aggregates
 
 def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-shaped aggregation; DECIMAL sums for exact cross-engine equality."""
+    """TPC-H Q1-shaped aggregation.
+
+    Sums accumulate in DECIMAL (exact, engine-independent); the FINAL cast to
+    DOUBLE is the cross-engine canonical form — both engines convert the same
+    exact decimal to its nearest double, so the driver's value hash matches
+    (DECIMAL(38,x) canonicalization differs between Spark and DuckDB)."""
     li = _read(spark, sf_dir, "lineitem")
     d = lambda c: F.col(c).cast("decimal(18,2)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(d("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(d("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.sum(
                 (d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount")))
                 .cast("decimal(18,4)")
-            ).cast("decimal(38,4)").alias("sum_disc_price"),
+            ).cast("double").alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -255,7 +261,7 @@ def q_join_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.sum((d("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - d("l_discount")))
-                  .cast("decimal(18,4)")).cast("decimal(38,4)").alias("revenue")
+                  .cast("decimal(18,4)")).cast("double").alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -270,7 +276,7 @@ def q_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("n_items"),
-             F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").alias("qty"))
+             F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"))
     )
 
 
@@ -348,11 +354,17 @@ def q_sim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.pairwise_cosine_knn(embs, threshold=0.3)
 
 
-# --------------------------------------------- non-SQL-expressible (rows-only)
+def q_sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for pairwise similarity: LSH-bucket equi-join candidates
+    (never a cross product) + exact cosine verify."""
+    embs = _read(spark, sf_dir, "embeddings")
+    return SS.lsh_pairs(embs, dim=64, threshold=0.3, n_planes=4)
+
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
-    return DD.minhash_lsh_candidates(docs, n_hashes=32, bands=8)
+    return DD.minhash_lsh_candidates(docs, n_hashes=32, bands=8,
+                                     verify_threshold=0.5)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,21 +373,252 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k over a PERSISTED LSH index: the bucket is a partition column,
+    so the query is partition pruning + exact re-rank (signatures are never
+    recomputed at query time)."""
     embs = _read(spark, sf_dir, "embeddings")
     q = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return SS.lsh_topk(embs, q, k=10, n_planes=4)
+    idx = os.path.join(tempfile.mkdtemp(prefix="lshidx-"), "idx")
+    SS.lsh_write_index(embs, idx, dim=64, n_planes=4)
+    qsig = SS.query_lsh_signature(q, n_planes=4)
+    return SS.topk_over_index(spark, idx, "lsh_bucket", [qsig], q, k=10)
 
 
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: centroid routing (pandas-UDF matmul) + n_probe cell scan."""
+    """IVF ANN over a PERSISTED cell-partitioned index: probe = partition
+    pruning of n_probe/n_cells of the files, then exact cosine re-rank."""
     embs = _read(spark, sf_dir, "embeddings")
     q = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return SS.ivf_topk(embs, q, k=10, n_cells=16, n_probe=6)
+    idx = os.path.join(tempfile.mkdtemp(prefix="ivfidx-"), "idx")
+    SS.ivf_write_index(embs, idx, n_cells=16, dim=64)
+    probe = SS.ivf_probe_cells(q, n_cells=16, n_probe=6)
+    return SS.topk_over_index(spark, idx, "ivf_cell", probe, q, k=10)
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthetic_media(spark, n=96)
     return extract_features(media).drop("feature")  # array<float> kept engine-side
+
+
+def q_scan_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed scan-equivalence checksum (SURVEY.md §2.4): per-conversation
+    md5 digest of turn payloads under stable (conv_id, turn_idx) order."""
+    return CK.conv_checksum(transcripts_from_events(spark, sf_dir))
+
+
+# --------------------------------------------------- generated oracles
+# DuckDB re-computations of the md5-based dedup/ANN kernels. Deterministic
+# parameters (minhash permutation coefficients, LSH hyperplanes, IVF
+# centroids) are seeded numpy draws shared as CONSTANTS with the Spark side;
+# every per-row computation is re-expressed independently in SQL.
+
+_WS_SQL = ("list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), "
+           "w -> len(w) > 0)")
+
+
+def _simhash_oracle(max_hamming: int) -> str:
+    votes = ",\n                 ".join(
+        f"SUM(CASE WHEN (({'hi' if b >= 32 else 'lo'} >> {b % 32}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    sig_terms = " + ".join(
+        [f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(63)]
+        + ["CASE WHEN v63 > 0 THEN -9223372036854775808 ELSE 0 END"]
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id, {_WS_SQL} AS ws FROM documents
+        ), words AS (
+          SELECT doc_id, unnest(ws) AS w FROM base WHERE len(ws) > 0
+        ), h AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(w), 1, 8))::BIGINT AS hi,
+                 ('0x' || substr(md5(w), 9, 8))::BIGINT AS lo
+          FROM words
+        ), v AS (
+          SELECT doc_id, {votes}
+          FROM h GROUP BY doc_id
+        ), sig AS (
+          SELECT doc_id, {sig_terms} AS sh FROM v
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
+def _minhash_oracle(n_hashes: int, bands: int, shingle_k: int, seed: int,
+                    verify_threshold: float) -> str:
+    coef, p = DD._minhash_perm_exprs(n_hashes, seed)
+    mins = ",\n                 ".join(
+        f"MIN(({a} * h + {b}) % {p}) AS s{i}" for i, (a, b) in enumerate(coef)
+    )
+    r = n_hashes // bands
+    band_selects = "\n          UNION ALL\n          ".join(
+        f"SELECT doc_id, {j} AS band, concat_ws(',', "
+        + ", ".join(f"s{j * r + i}" for i in range(r))
+        + ") AS bk FROM sig"
+        for j in range(bands)
+    )
+    inter = "len(list_intersect(sa.shingles, sb.shingles))"
+    jac = (f"round({inter} / (len(sa.shingles) + len(sb.shingles) - {inter}), 6)")
+    return f"""
+        WITH base AS (
+          SELECT doc_id, {_WS_SQL} AS ws FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(ws) - {shingle_k - 1}),
+                   i -> array_to_string(ws[i:i+{shingle_k - 1}], ' '))) AS shingles
+          FROM base WHERE len(ws) >= {shingle_k}
+        ), ex AS (
+          SELECT doc_id, unnest(shingles) AS s FROM sh
+        ), h AS (
+          SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % {p} AS h FROM ex
+        ), sig AS (
+          SELECT doc_id, {mins}
+          FROM h GROUP BY doc_id
+        ), bands AS (
+          {band_selects}
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, {jac} AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+        WHERE {jac} >= {verify_threshold}
+    """
+
+
+def _lit_list_sql(vals) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in vals) + "]::DOUBLE[]"
+
+
+_COS_SQL = ("round(list_dot_product(v, qv) / "
+            "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6)")
+
+
+def _lsh_topk_oracle(k: int, n_planes: int, seed: int, dim: int) -> str:
+    H = SS._hyperplanes(dim, n_planes, seed)
+    planes = ",\n                 ".join(
+        f"{_lit_list_sql(H[:, j])} AS p{j}" for j in range(n_planes)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN list_dot_product(v, p{j}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+    return f"""
+        WITH planes AS (
+          SELECT {planes}
+        ), vecs AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), sigs AS (
+          SELECT vec_id, v, {sig} AS sig FROM vecs, planes
+        ), q AS (
+          SELECT v AS qv, sig AS qsig FROM sigs WHERE vec_id = 0
+        )
+        SELECT vec_id, {_COS_SQL} AS cos_sim
+        FROM sigs, q WHERE sig = qsig
+        ORDER BY cos_sim DESC, vec_id LIMIT {k}
+    """
+
+
+def _lsh_pairs_oracle(threshold: float, n_planes: int, seed: int, dim: int) -> str:
+    H = SS._hyperplanes(dim, n_planes, seed)
+    planes = ",\n                 ".join(
+        f"{_lit_list_sql(H[:, j])} AS p{j}" for j in range(n_planes)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN list_dot_product(v, p{j}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+    cos = ("round(list_dot_product(a.v, b.v) / "
+           "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)")
+    return f"""
+        WITH planes AS (
+          SELECT {planes}
+        ), vecs AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), sigs AS (
+          SELECT vec_id, v, {sig} AS sig FROM vecs, planes
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_sim
+        FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+        WHERE {cos} >= {threshold}
+    """
+
+
+def _ivf_topk_oracle(k: int, n_cells: int, n_probe: int, seed: int, dim: int) -> str:
+    C = SS._ivf_centroids(n_cells, dim, seed)
+    cents = ",\n                 ".join(
+        f"{_lit_list_sql(C[c])} AS c{c}" for c in range(n_cells)
+    )
+    dps = "[" + ", ".join(f"list_dot_product(v, c{c})" for c in range(n_cells)) + "]"
+    qdps = "[" + ", ".join(f"list_dot_product(qv, c{c})" for c in range(n_cells)) + "]"
+    return f"""
+        WITH cents AS (
+          SELECT {cents}
+        ), vecs AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), cells AS (
+          SELECT vec_id, v,
+                 list_position({dps}, list_max({dps})) - 1 AS cell
+          FROM vecs, cents
+        ), q AS (
+          SELECT v AS qv FROM vecs WHERE vec_id = 0
+        ), qd AS (
+          SELECT unnest(generate_series(0, {n_cells - 1})) AS c,
+                 unnest({qdps}) AS dp
+          FROM q, cents
+        ), probe AS (
+          SELECT c FROM qd ORDER BY dp DESC, c LIMIT {n_probe}
+        )
+        SELECT vec_id, {_COS_SQL} AS cos_sim
+        FROM cells, q WHERE cell IN (SELECT c FROM probe)
+        ORDER BY cos_sim DESC, vec_id LIMIT {k}
+    """
+
+
+def _multimodal_oracle(n: int, seed: int) -> str:
+    """Independent recomputation of the deterministic synthetic-media feature
+    table with Python hashlib (DuckDB 1.0 has no BLOB sha256), emitted as a
+    literal VALUES table — pins media_id/kind/payload_sha/n_bytes exactly."""
+    import hashlib
+
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
+        rows.append(
+            f"({i}, '{kinds[i % 3]}', "
+            f"'{hashlib.sha256(payload).hexdigest()}', {len(payload)})"
+        )
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, kind, payload_sha, "
+        "CAST(n_bytes AS INT) AS n_bytes FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(media_id, kind, payload_sha, n_bytes)"
+    )
+
+
+_CHECKSUM_ORACLE = f"""
+WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL}), s AS (
+  SELECT conv_id, turn_idx,
+         concat_ws(chr(30),
+           COALESCE(CAST(turn_idx AS VARCHAR), '<NULL>'),
+           COALESCE(role, '<NULL>'), COALESCE(text, '<NULL>'),
+           COALESCE(tool, '<NULL>')) AS s
+  FROM t
+)
+SELECT conv_id, COUNT(*) AS n_turns,
+       md5(string_agg(s, chr(31) ORDER BY turn_idx)) AS conv_md5
+FROM s GROUP BY conv_id
+"""
 
 
 # ------------------------------------------------------------------- API
@@ -409,11 +652,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "sim_topk": q_sim_topk,
         "sim_pairs": q_sim_pairs,
+        "sim_pairs_lsh": q_sim_pairs_lsh,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
         "multimodal_features": q_multimodal_features,
+        "scan_checksum": q_scan_checksum,
     }
 
 
@@ -469,11 +714,11 @@ def oracle_sql() -> dict[str, str]:
         "turn_numbering": _MAINT_ORACLE,
         "agg_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
                    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                        AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+                        AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
                    COUNT(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
@@ -482,7 +727,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, o_orderdate,
                    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
                         (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-                        AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+                        AS DECIMAL(18,4))) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -493,7 +738,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "join_broadcast_dim": """
             SELECT p_brand, COUNT(*) AS n_items,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
         """,
@@ -615,4 +860,11 @@ def oracle_sql() -> dict[str, str]:
                         (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
                          sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.3
         """,
+        "sim_pairs_lsh": _lsh_pairs_oracle(0.3, 4, 11, 64),
+        "dedup_minhash_lsh": _minhash_oracle(32, 8, 3, 7, 0.5),
+        "dedup_simhash": _simhash_oracle(10),
+        "sim_lsh_topk": _lsh_topk_oracle(10, 4, 11, 64),
+        "sim_ivf_topk": _ivf_topk_oracle(10, 16, 6, 13, 64),
+        "multimodal_features": _multimodal_oracle(96, 5),
+        "scan_checksum": _CHECKSUM_ORACLE,
     }

@@ -38,6 +38,8 @@ DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # what the two-cluster-size scaling protocol needs to measure.
 BENCH_WORKROOT = os.environ.get(
     "BENCH_WORKDIR", "/dev/shm" if os.path.isdir("/dev/shm") else None)
+# bench opts in to tmpfs shuffle dirs (session.get_spark gates the default)
+os.environ.setdefault("SPARK_GRAFT_TMPFS", "1")
 
 
 def _sf_of(sf_dir: str) -> float:

@@ -74,11 +74,17 @@ def minhash_signature(text_col: str, n_hashes: int = 32, shingle_k: int = 3,
     constant (a,b)-coefficient array. One aggregate instead of n_hashes
     aggregates matters: Catalyst inlines the shingle+hash subtree into every
     consumer, so n separate aggregates recompute shingling n times (~30x
-    slower, measured at n=32)."""
+    slower, measured at n=32).
+
+    Base shingle hash: first 15 hex chars of md5 (60 bits < p*2^31 overflow
+    bound), so a DuckDB oracle recomputes identical signatures; a*h stays
+    under 2^62 (no ANSI overflow in either engine)."""
     coef, p = _minhash_perm_exprs(n_hashes, seed)
     base = F.transform(
         shingles(text_col, shingle_k),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(p)),
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"), F.lit(p)
+        ),
     )
     ab = F.array(*[
         F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in coef
@@ -103,19 +109,32 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_k: int = 3,
     seed: int = 7,
+    max_bucket: int = 10_000,
+    verify_threshold: float | None = None,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) via banded minhash buckets.
+    """Near-dup pairs (id_a < id_b) via banded minhash buckets.
 
-    Scale: the only join is a self-join on (band_idx, band_hash) buckets —
-    candidates are generated per bucket, never all-pairs. Bucket skew (a
-    degenerate shingle shared by everything) is bounded by dropping buckets
-    larger than 10_000 ids (logged via the returned `_bucket_n` if needed).
+    Scale guards (each one a measured hot-key failure otherwise):
+    - zero-shingle docs (fewer than ``shingle_k`` tokens) are dropped BEFORE
+      signing — they all share the degenerate init signature and would land
+      in one all-pairs bucket;
+    - buckets larger than ``max_bucket`` ids are dropped (a boilerplate
+      shingle shared by everything otherwise makes one reducer do an O(b^2)
+      self-join); the cap is a window count on the same (band, bh) keys the
+      self-join shuffles on, so it costs no extra exchange;
+    - with ``verify_threshold`` set, candidates are verified with EXACT
+      shingle-set jaccard (array_intersect on the two shingle sets) and the
+      output carries (id_a, id_b, jaccard >= threshold).
     """
     rows_per_band = n_hashes // bands
-    sig = (
-        df.select(F.col(id_col).alias("_id"),
-                  minhash_signature(text_col, n_hashes, shingle_k, seed).alias("_sig"))
-        .filter(F.size(F.filter(F.col("_sig"), lambda x: x < ((1 << 61) - 1))) > 0)
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    with_sh = (
+        base.withColumn("_sh", F.array_distinct(shingles("_t", shingle_k)))
+        .filter(F.size("_sh") > 0)
+    )
+    sig = with_sh.select(
+        "_id", "_sh",
+        minhash_signature("_t", n_hashes, shingle_k, seed).alias("_sig"),
     )
     banded = sig.select(
         "_id",
@@ -137,6 +156,10 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    wb = Window.partitionBy("band", "bh")
+    banded = banded.withColumn("_n", F.count("*").over(wb)).filter(
+        F.col("_n") <= max_bucket
+    ).drop("_n")
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -146,7 +169,20 @@ def minhash_lsh_candidates(
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
     )
-    return pairs
+    if verify_threshold is None:
+        return pairs
+    sets_a = with_sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    sets_b = with_sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    return (
+        pairs.join(sets_a, "id_a").join(sets_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(inter / (F.size("_sha") + F.size("_shb") - inter), 6),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -192,57 +228,97 @@ def ngram_jaccard_pairs(
 
 # --------------------------------------------------------------- simhash
 
-def _simhash_batch(texts: pd.Series) -> pd.Series:
-    """Vectorized-ish simhash: per doc, hash words (stable md5-derived) and
-    sign-sum bit columns. Python loops only over the Arrow batch, numpy inside."""
-    import hashlib
 
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        words = [w for w in "".join(
-            ch if (ch.isalnum() or ch == "'") else " " for ch in t.lower()
-        ).split() if w]
-        if not words:
-            continue
-        hs = np.frombuffer(
-            b"".join(hashlib.md5(w.encode()).digest()[:8] for w in words),
-            dtype=np.uint64,
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
-        v = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for b in np.nonzero(v > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sig.astype(np.int64))
-    return pd.Series(out)
+def _nth_bit(h, i):
+    """Bit i (0=LSB) of the (hi, lo) split word hash; i is a COLUMN, so the
+    shift is done arithmetically: half < 2^32 and the divisor is a power of
+    two, making the double division exact and floor the true right-shift."""
+    half = F.when(i >= 32, h["hi"]).otherwise(h["lo"])
+    shifted = F.floor(half / F.pow(F.lit(2.0), F.pmod(i, F.lit(32)).cast("double")))
+    return F.pmod(shifted, F.lit(2)).cast("long")
 
 
-_SIMHASH_UDF = None
+def _bit_value(b):
+    """2^b as a signed int64 for a column b in [0, 63] (bit 63 = sign bit)."""
+    return F.when(b == 63, F.lit(-(1 << 63)).cast("long")).otherwise(
+        F.pow(F.lit(2.0), b.cast("double")).cast("long"))
 
 
-def simhash_col():
-    global _SIMHASH_UDF
-    if _SIMHASH_UDF is None:
-        _SIMHASH_UDF = pandas_udf(_simhash_batch, "long")
-    return _SIMHASH_UDF
+def simhash(text_col) -> F.Column:
+    """64-bit simhash as a PURE Catalyst expression (no Python per row).
+
+    Per word occurrence: a 64-bit hash from the first 16 hex chars of md5(w)
+    (big-endian), split into (hi, lo) 32-bit halves so every bit op stays in
+    long range. Per bit b: the sign of sum(+/-1 per word) decides the
+    signature bit. md5-based so a DuckDB oracle recomputes identical values.
+
+    Shape note: ONE aggregate pass over the word hashes with a 64-counter
+    array accumulator — a per-bit aggregate formulation would inline (and
+    recompute) the md5 subtree 64x, the same Catalyst-inlining trap measured
+    on the minhash signature (30x, see minhash_signature)."""
+    toks = word_tokens(text_col)
+    md5s = F.transform(toks, F.md5)
+    hs = F.transform(md5s, lambda m: F.struct(
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("lo"),
+    ))
+    counts = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.transform(acc, lambda a, i: a + (_nth_bit(h, i) * 2 - 1)),
+    )
+    return F.aggregate(
+        F.zip_with(counts, F.sequence(F.lit(0), F.lit(63)),
+                   lambda c, b: F.struct(c.alias("c"), b.alias("b"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.when(x["c"] > 0, _bit_value(x["b"])).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def simhash_chunk_layout(max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) chunks covering 64 bits, ``max_hamming + 1`` of them.
+
+    Pigeonhole: a pair with hamming <= d differs in at most d chunks, so with
+    d+1 chunks at least one chunk matches exactly -> banding on chunk equality
+    is COMPLETE for hamming <= d (the round-1 fixed 4x16 layout silently
+    dropped pairs with hamming 4..10 that differed in all four chunks)."""
+    nc = min(64, max_hamming + 1)
+    base, rem = divmod(64, nc)
+    layout, off = [], 0
+    for i in range(nc):
+        w = base + (1 if i < rem else 0)
+        layout.append((off, w))
+        off += w
+    return layout
 
 
 def simhash_candidates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup candidates: split the 64-bit simhash into 4 x 16-bit chunks;
-    any pair agreeing on >=1 chunk is a candidate (guaranteed complete for
-    hamming <= 3); verify with exact popcount on the pair."""
-    sh = df.select(F.col(id_col).alias("_id"), simhash_col()(F.col(text_col)).alias("_sh"))
+    """Near-dup pairs (id_a < id_b, hamming <= max_hamming), complete.
+
+    Candidate generation bands the signature into ``max_hamming + 1`` chunks
+    (see ``simhash_chunk_layout``); any chunk-equal pair is a candidate and is
+    then verified with an exact xor-popcount. Zero-word docs are excluded up
+    front — they all share signature 0 and would otherwise form one degenerate
+    all-pairs bucket (the same hot-bucket guard as minhash LSH)."""
+    sh = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+        .filter(F.size(word_tokens("_t")) > 0)
+        .select("_id", simhash("_t").alias("_sh"))
+    )
+    layout = simhash_chunk_layout(max_hamming)
     chunks = sh.select(
         "_id", "_sh",
         F.explode(F.array(*[
-            F.struct(F.lit(i).alias("ci"),
-                     F.shiftrightunsigned("_sh", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("cv"))
-            for i in range(4)
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftrightunsigned("_sh", off)
+                 .bitwiseAND(F.lit((1 << w) - 1)).alias("cv"),
+            )
+            for i, (off, w) in enumerate(layout)
         ])).alias("c"),
     ).select("_id", "_sh", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
     pairs = (

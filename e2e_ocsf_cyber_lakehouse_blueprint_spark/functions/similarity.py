@@ -3,21 +3,30 @@
 - Brute-force cosine top-k: the correctness baseline. Dot products are pure
   Catalyst (`F.zip_with` + `F.aggregate` in double precision — deterministic
   left-to-right accumulation both here and in the DuckDB oracle).
-- LSH-bucketed ANN: random-hyperplane signatures (a vectorized pandas UDF doing
-  one matmul per Arrow batch) -> candidates share a signature bucket -> exact
-  re-rank within buckets. The scale path: the self-join is per bucket, never
-  all-pairs, and the hyperplanes are broadcast once per executor.
+- LSH-bucketed ANN: random-hyperplane sign signatures. The hyperplanes are
+  deterministic seeded gaussians embedded as LITERAL arrays, and the signature
+  is a Catalyst expression (4-16 dot products per row, whole-stage codegen) —
+  sequential double accumulation, so a DuckDB oracle reproduces the exact
+  bucket of every vector. No Python executes per row.
 - IVF-style variant: k deterministic centroid seeds, route each vector to its
-  nearest centroid (one matmul), probe n_probe cells at query time.
+  nearest centroid (argmax of k literal-centroid dots), probe n_probe cells at
+  query time.
+- Scale path: ``*_write_index`` persists the bucket/cell as a PARTITION column
+  (parquet `partitionBy`), so an ANN query is partition pruning + an exact
+  re-rank over the pruned files — signatures are never recomputed at query
+  time, and the scan reads n_probe/n_cells of the data.
+
+The round-1 Arrow-batch pandas-UDF kernels (one matmul per batch) were
+replaced by these expression forms: for d<=few-hundred dims the JVM codegen
+path is faster than Arrow transfer, and the expression form is what makes the
+driver's cross-engine value-hash gate (CORRECTNESS) provable.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 
 
 def dot(a, b) -> F.Column:
@@ -33,6 +42,20 @@ def cosine(a, b) -> F.Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _lit_vec(vals) -> F.Column:
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def seq_dot(vals: list[float], other: list[float]) -> float:
+    """Driver-side dot with the SAME left-to-right double accumulation as the
+    Catalyst `dot` above and DuckDB's list_dot_product — keeps query-side
+    signatures bit-identical across all three evaluators."""
+    acc = 0.0
+    for x, y in zip(vals, other):
+        acc += float(x) * float(y)
+    return acc
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -43,7 +66,7 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k by cosine to a literal query vector — one scan, one top-k sort
     (Spark's TakeOrderedAndProject: no full shuffle for small k)."""
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = _lit_vec(query_vec)
     return (
         df.select(
             F.col(id_col),
@@ -63,8 +86,8 @@ def pairwise_cosine_knn(
 ) -> DataFrame:
     """All pairs with cosine >= threshold (exact; for modest N or as verifier).
 
-    Normalizes once, joins on nothing (cartesian bounded by caller) — use the
-    LSH path for large N.
+    O(N^2) by construction — the exact-verification baseline. The scale path
+    is ``lsh_pairs`` below: same output columns, bucket-join candidates only.
     """
     n = df.select(
         F.col(id_col).alias("_id"),
@@ -92,22 +115,25 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 11) -> np.ndarray:
     return rng.normal(size=(dim, n_planes)).astype(np.float64)
 
 
-def _sign_sig_batch_factory(dim: int, n_planes: int, seed: int):
+def lsh_signature(vec_col, dim: int, n_planes: int = 8, seed: int = 11) -> F.Column:
+    """Hyperplane sign signature as a Catalyst expression: bit j set iff
+    dot(v, H_j) > 0 — n_planes sequential-dot columns, no UDF."""
     H = _hyperplanes(dim, n_planes, seed)
-
-    def _fn(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype=np.int64)
-        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        bits = (M @ H) > 0  # one matmul per Arrow batch
-        weights = (1 << np.arange(n_planes, dtype=np.int64))
-        return pd.Series((bits @ weights).astype(np.int64))
-
-    return _fn
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    sig = F.lit(0).cast("long")
+    for j in range(n_planes):
+        sig = sig + F.when(dot(v, _lit_vec(H[:, j])) > 0,
+                           F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
 
 
-def lsh_bucket_column(dim: int, n_planes: int = 16, seed: int = 11):
-    return pandas_udf(_sign_sig_batch_factory(dim, n_planes, seed), "long")
+def query_lsh_signature(query_vec: list[float], n_planes: int = 8, seed: int = 11) -> int:
+    H = _hyperplanes(len(query_vec), n_planes, seed)
+    sig = 0
+    for j in range(n_planes):
+        if seq_dot(query_vec, H[:, j]) > 0:
+            sig |= 1 << j
+    return sig
 
 
 def lsh_topk(
@@ -123,16 +149,50 @@ def lsh_topk(
     """ANN top-k: filter to the query's hyperplane bucket, exact re-rank inside.
 
     Recall < 1.0 by construction; tests compare against brute force for
-    overlap. At scale the bucket column is precomputed+persisted (cluster by
-    bucket) so queries touch one bucket's files only.
-    """
+    overlap. At scale use ``lsh_write_index`` + ``topk_over_index`` so the
+    bucket filter is partition pruning instead of a computed filter."""
     dim = len(query_vec)
-    H = _hyperplanes(dim, n_planes, seed)
-    qsig = int(((np.asarray(query_vec, dtype=np.float64) @ H) > 0)
-               @ (1 << np.arange(n_planes, dtype=np.int64)))
-    bucket = lsh_bucket_column(dim, n_planes, seed)
-    candidates = df.withColumn("_b", bucket(F.col(vec_col))).filter(F.col("_b") == qsig)
+    qsig = query_lsh_signature(query_vec, n_planes, seed)
+    candidates = df.filter(
+        lsh_signature(vec_col, dim, n_planes, seed) == F.lit(qsig)
+    )
     return brute_force_topk(candidates, query_vec, id_col=id_col, vec_col=vec_col, k=k)
+
+
+def lsh_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    seed: int = 11,
+) -> DataFrame:
+    """Near-pair search at scale: candidates share an LSH bucket (equi-join on
+    the signature, never a cross product), then exact cosine >= threshold.
+
+    Same output shape as ``pairwise_cosine_knn`` (its exact O(N^2) verifier);
+    recall misses only pairs split by every hyperplane — use fewer planes or
+    multiple tables for higher recall."""
+    sig = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
+        lsh_signature(vec_col, dim, n_planes, seed).alias("_sig"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, (F.col("a._sig") == F.col("b._sig"))
+               & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(
+                dot(F.col("a._v"), F.col("b._v")) / (F.col("a._n") * F.col("b._n")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
 
 
 # ------------------------------------------------------------------ IVF
@@ -143,6 +203,18 @@ def _ivf_centroids(n_cells: int, dim: int, seed: int) -> np.ndarray:
     return C / np.linalg.norm(C, axis=1, keepdims=True)
 
 
+def ivf_cell_column(vec_col, dim: int, n_cells: int = 16, seed: int = 13) -> F.Column:
+    """Nearest-centroid cell id as a Catalyst expression.
+
+    argmax of n_cells literal-centroid dots; the vector's own norm is a
+    positive constant per row, so normalization cannot change the argmax and
+    is skipped. First-max tie-break = numpy argmax = DuckDB list_position."""
+    C = _ivf_centroids(n_cells, dim, seed)
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    dps = F.array(*[dot(v, _lit_vec(C[c])) for c in range(n_cells)])
+    return (F.array_position(dps, F.array_max(dps)) - 1).cast("int")
+
+
 def ivf_assign(
     df: DataFrame,
     *,
@@ -151,21 +223,18 @@ def ivf_assign(
     dim: int | None = None,
     seed: int = 13,
 ) -> DataFrame:
-    """Assign each vector to its nearest of n_cells deterministic random
-    centroids (unit-normalized gaussians) — the partitioning half of IVF."""
-    sample = df.select(vec_col).first()
-    d = dim or len(sample[0])
-    C = _ivf_centroids(n_cells, d, seed)
+    """Add the ``ivf_cell`` assignment column (the partitioning half of IVF)."""
+    d = dim or len(df.select(vec_col).first()[0])
+    return df.withColumn("ivf_cell", ivf_cell_column(vec_col, d, n_cells, seed))
 
-    def _assign(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype=np.int32)
-        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        return pd.Series(np.argmax(Mn @ C.T, axis=1).astype(np.int32))
 
-    udf = pandas_udf(_assign, "int")
-    return df.withColumn("ivf_cell", udf(F.col(vec_col)))
+def ivf_probe_cells(query_vec: list[float], n_cells: int = 16, n_probe: int = 4,
+                    seed: int = 13) -> list[int]:
+    """The query's n_probe nearest cells (driver-side: n_cells tiny)."""
+    C = _ivf_centroids(n_cells, len(query_vec), seed)
+    dps = [seq_dot(query_vec, C[c]) for c in range(n_cells)]
+    order = sorted(range(n_cells), key=lambda c: (-dps[c], c))
+    return order[:n_probe]
 
 
 def ivf_topk(
@@ -179,16 +248,50 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 13,
 ) -> DataFrame:
-    """IVF ANN search: route vectors to centroid cells (ivf_assign), probe the
-    query's n_probe nearest cells, exact cosine re-rank within.
+    """IVF ANN search: route vectors to centroid cells, probe the query's
+    n_probe nearest cells, exact cosine re-rank within.
 
-    At scale the table is written partitioned by ivf_cell, so the probe filter
-    becomes partition pruning (scan n_probe/n_cells of the data); here the
-    filter runs over the assignment column directly."""
-    assigned = ivf_assign(df, vec_col=vec_col, n_cells=n_cells, seed=seed)
-    C = _ivf_centroids(n_cells, len(query_vec), seed)
-    q = np.asarray(query_vec, dtype=np.float64)
-    q = q / max(np.linalg.norm(q), 1e-12)
-    probe = np.argsort(-(C @ q), kind="stable")[:n_probe]
-    cand = assigned.filter(F.col("ivf_cell").isin([int(c) for c in probe]))
+    Validates the query dimension against the data dimension up front (a
+    mismatch would silently probe wrong cells otherwise). At scale use
+    ``ivf_write_index`` + ``topk_over_index`` (partition pruning)."""
+    d = len(df.select(vec_col).first()[0])
+    if len(query_vec) != d:
+        raise ValueError(f"query dim {len(query_vec)} != data dim {d}")
+    assigned = df.withColumn("ivf_cell", ivf_cell_column(vec_col, d, n_cells, seed))
+    probe = ivf_probe_cells(query_vec, n_cells, n_probe, seed)
+    cand = assigned.filter(F.col("ivf_cell").isin(probe))
     return brute_force_topk(cand, query_vec, id_col=id_col, vec_col=vec_col, k=k)
+
+
+# ------------------------------------------------- persisted ANN indexes
+
+def ivf_write_index(
+    df: DataFrame, path: str, *, vec_col: str = "embedding",
+    n_cells: int = 16, dim: int | None = None, seed: int = 13,
+) -> None:
+    """Materialize the IVF index: parquet PARTITIONED by ivf_cell. A probe
+    filter on ivf_cell is then partition pruning — the scan reads
+    n_probe/n_cells of the files and never recomputes assignments."""
+    assigned = ivf_assign(df, vec_col=vec_col, n_cells=n_cells, dim=dim, seed=seed)
+    assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+
+
+def lsh_write_index(
+    df: DataFrame, path: str, *, vec_col: str = "embedding",
+    dim: int, n_planes: int = 8, seed: int = 11,
+) -> None:
+    """Materialize the LSH index: parquet PARTITIONED by the sign bucket."""
+    sig = df.withColumn("lsh_bucket", lsh_signature(vec_col, dim, n_planes, seed))
+    sig.write.mode("overwrite").partitionBy("lsh_bucket").parquet(path)
+
+
+def topk_over_index(
+    spark: SparkSession, path: str, cell_col: str, cells: list[int],
+    query_vec: list[float], *, id_col: str = "vec_id",
+    vec_col: str = "embedding", k: int = 10,
+) -> DataFrame:
+    """Partition-pruned ANN query over a persisted index: the cell filter is
+    resolved against partition directories (no row-level work outside the
+    probed cells), then exact re-rank."""
+    df = spark.read.parquet(path).filter(F.col(cell_col).isin(cells))
+    return brute_force_topk(df, query_vec, id_col=id_col, vec_col=vec_col, k=k)

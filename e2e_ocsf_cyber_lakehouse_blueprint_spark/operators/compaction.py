@@ -7,13 +7,14 @@ Plan (driver-side Python, metadata only):
   pack into target-size bins -> group partitions into cluster-width jobs.
 
 Execute (Spark, per group of partitions, concurrent):
-  read the group's input files -> derive partition columns ->
-  repartitionByRange(group_bins, partition_cols + sort_keys) ->
-  sortWithinPartitions -> partitionBy write -> ONE batched stats harvest for
-  every group. Range partitioning on (partition, conv_id, turn_idx) keeps
-  conversations contiguous in output files (the scan-order invariant) and
-  balances bins by rows even when input files are skewed; grouping keeps the
-  shuffle at least cluster-wide even when individual partitions are small.
+  zero-shuffle binpack — each member partition's small files become one child
+  relation whose scan tasks ARE ~target-size bins (split packing pinned to the
+  target file size); children union into ONE single-stage job; sort-within-
+  partitions + partitionBy write; ONE batched stats harvest for every group.
+  The binpack path preserves each input file's (conv_id, turn_idx) sort order
+  per output file but does NOT re-co-locate a conversation whose rows span
+  files in different bins — global contiguity is the CLUSTERING job's
+  responsibility (single range exchange), which is why the bench pairs them.
 
 Commit (driver): ONE copy-on-write snapshot replacing all rewritten files —
 readers pinned to the old snapshot are untouched (snapshot isolation), and a
@@ -242,8 +243,12 @@ def run_grouped_rewrites(
             by_part.setdefault(partition_key(f.partition), []).append(f)
         spill = spill_metrics(spark)
         resumed_keys = {p.key for p, _, _ in resumed_staged}
-        for plan, _d, started in staged:
-            outs = by_part.get(plan.key, [])
+        for plan, d, started in staged:
+            # scope to THIS plan's staging dir: a resumed group dir can hold a
+            # member partition that was meanwhile rewritten into a fresh dir —
+            # without the dir filter both copies would be committed
+            outs = [f for f in by_part.get(plan.key, [])
+                    if f.path.startswith(d + os.sep)]
             if not outs:
                 raise RuntimeError(
                     f"rewrite produced no files for partition {plan.key}")
@@ -261,8 +266,7 @@ def run_grouped_rewrites(
 class PartitionCompactionPlan:
     partition: dict[str, str | None]
     input_files: list[DataFile]
-    n_output_files: int
-    bins: list[list[str]] | None = None  # FFD file-path bins (one output file each)
+    n_output_files: int  # FFD bin count; realized physically by split packing
 
     @property
     def key(self) -> str:
@@ -306,7 +310,7 @@ def plan_compaction(
         bins = ffd_pack([(f.path, f.file_size_bytes) for f in small], target_file_size)
         if len(bins) >= len(small):
             continue  # nothing to gain: every file already ~target-sized
-        plans.append(PartitionCompactionPlan(parts[k], small, len(bins), bins))
+        plans.append(PartitionCompactionPlan(parts[k], small, len(bins)))
     return plans
 
 

@@ -6,12 +6,19 @@ The retention half of the Delta ACID layer the reference gets for free
 1. ``Table.expire_snapshots`` (metadata): drop all but the newest K snapshots,
    reference-count data files across RETAINED snapshots, report files whose
    refcount fell to zero.
-2. Orphan GC (this job): files on disk minus files referenced by any retained
-   snapshot — computed as a distributed ``left_anti`` join (SURVEY.md §2.3),
-   so a 10^9-file listing never needs driver memory. Files referenced by the
-   ledgers of in-flight (not yet job-committed) maintenance jobs are protected:
-   a crashed compaction's staged outputs must survive until its resume commits
-   them. A modification-time grace period guards racing writers.
+2. Orphan GC (this job), distributed END TO END:
+   - the disk listing is a DataFrame from Spark's ``binaryFile`` source —
+     Spark's file index switches to a distributed listing job past
+     ``spark.sql.sources.parallelPartitionDiscovery.threshold`` paths, so a
+     10^9-file listing never materializes on the driver (an object-store
+     inventory table plugs in the same way via ``listing_df``);
+   - orphans = listing ``left_anti`` referenced ∪ in-flight (SURVEY.md §2.3);
+   - deletes run executor-side via ``mapPartitions`` (counts reduced back).
+   Files referenced by the ledgers of in-flight (not yet job-committed)
+   maintenance jobs are protected: a crashed compaction's staged outputs must
+   survive until its resume commits them. A modification-time grace period
+   (evaluated against the listing's own ``modificationTime`` column) guards
+   racing writers.
 
 Safety invariant (tested): GC never deletes a file referenced by ANY retained
 snapshot, and a reader pinned to a retained snapshot scans identically after GC.
@@ -19,10 +26,12 @@ snapshot, and a reader pinned to a retained snapshot scans identically after GC.
 
 from __future__ import annotations
 
-import json
 import os
 import time
 from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..format import manifest as mf
 from ..format.table import Table
@@ -70,6 +79,26 @@ def referenced_files(table: Table) -> set[str]:
     return refs
 
 
+def disk_listing(table: Table) -> DataFrame:
+    """(path, length, mtime_sec) for every parquet file under the table's data
+    dir, via the ``binaryFile`` source with only metadata columns selected (the
+    ``content`` column is pruned away, so no file bytes are read). Spark's
+    InMemoryFileIndex parallelizes the listing across executors for large
+    directory trees; on object stores, swap in an inventory table here."""
+    data_dir = os.path.join(table.location, "data")
+    df = (
+        table.spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(data_dir)
+    )
+    return df.select(
+        F.regexp_replace("path", "^file:(//)?", "").alias("path"),
+        F.col("length"),
+        (F.unix_timestamp("modificationTime")).alias("mtime_sec"),
+    )
+
+
 class ExpireSnapshotsJob:
     def __init__(
         self,
@@ -78,11 +107,13 @@ class ExpireSnapshotsJob:
         keep_last: int = 3,
         delete_orphans: bool = True,
         grace_period_sec: float = 0.0,
+        listing_df: DataFrame | None = None,
     ):
         self.table = table
         self.keep_last = keep_last
         self.delete_orphans = delete_orphans
         self.grace_period_sec = grace_period_sec
+        self.listing_df = listing_df  # injectable (object-store inventory)
 
     def run(self) -> ExpireResult:
         expired_ids, _dead = self.table.expire_snapshots(self.keep_last)
@@ -90,34 +121,38 @@ class ExpireSnapshotsJob:
             return ExpireResult(expired_ids, 0, 0, 0, 0)
 
         spark = self.table.spark
-        on_disk = self.table.all_data_files_on_disk()
+        listing = self.listing_df if self.listing_df is not None else disk_listing(self.table)
         refs = referenced_files(self.table)
         protected = _inflight_ledger_outputs(self.table)
 
-        # distributed anti join: disk listing \ referenced (scales past driver RAM;
-        # in this deployment listings are local, on a cluster both sides come from
-        # object-store inventory / manifest scans as DataFrames)
-        disk_df = spark.createDataFrame([(p,) for p in on_disk], "path string")
+        # keep side of the anti-join: metadata-sized (manifest refs + in-flight
+        # ledger outputs) -> broadcast; the unbounded side (the listing) stays
+        # distributed end to end
         refs_df = spark.createDataFrame(
             [(p,) for p in sorted(refs | protected)] or [("",)], "path string"
         )
-        orphans = [
-            r["path"]
-            for r in disk_df.join(refs_df, "path", "left_anti").collect()
-        ]
+        orphans = listing.join(F.broadcast(refs_df), "path", "left_anti")
+        if self.grace_period_sec:
+            cutoff = time.time() - self.grace_period_sec
+            orphans = orphans.filter(F.col("mtime_sec") < F.lit(cutoff))
 
-        now = time.time()
-        deleted = 0
-        reclaimed = 0
-        n_protected = len([p for p in on_disk if p in protected])
-        for p in orphans:
-            try:
-                if self.grace_period_sec and now - os.path.getmtime(p) < self.grace_period_sec:
+        n_candidates = 0
+        n_protected = len(protected)
+
+        # executor-side deletes; (deleted, bytes) reduced back to the driver
+        def _delete(rows):
+            deleted, freed = 0, 0
+            for r in rows:
+                try:
+                    os.remove(r.path)
+                    deleted += 1
+                    freed += r.length
+                except FileNotFoundError:
                     continue
-                sz = os.path.getsize(p)
-                os.remove(p)
-                deleted += 1
-                reclaimed += sz
-            except FileNotFoundError:
-                continue
-        return ExpireResult(expired_ids, len(orphans), deleted, n_protected, reclaimed)
+            yield (deleted, freed)
+
+        stats = orphans.select("path", "length").rdd.mapPartitions(_delete).collect()
+        deleted = sum(d for d, _ in stats)
+        reclaimed = sum(b for _, b in stats)
+        n_candidates = deleted  # exact listing-side candidates == delete attempts
+        return ExpireResult(expired_ids, n_candidates, deleted, n_protected, reclaimed)

@@ -195,6 +195,12 @@ class split_size_for_rewrites:
         for k, v in self.old.items():
             if v is not None:
                 self.spark.conf.set(k, v)
+            else:
+                # unset-by-default confs (openCostInBytes, minPartitionNum)
+                # must be unset again, or the rewrite sizing leaks into every
+                # subsequent query in the session (minPartitionNum=1 would
+                # silently cap scan parallelism)
+                self.spark.conf.unset(k)
         return False
 
 

@@ -182,25 +182,27 @@ class MergeIntoJob:
             merged, n_files=n_files, sort_within=self.sort_keys, job_tag="merge"
         )
 
-        # merge stats in ONE narrow pass: key-only full outer (parquet column
-        # pruning keeps the target read to the key columns; no full-width
-        # re-joins just for counts)
-        kstats = (
-            tgt.select(*self.key_cols).withColumn("_t", F.lit(1))
-            .join(source.select(*self.key_cols).withColumn("_s", F.lit(1)),
-                  self.key_cols, "full_outer")
-            .agg(
-                F.sum(F.when(F.col("_t").isNotNull() & F.col("_s").isNotNull(), 1)
-                      .otherwise(0)).alias("matched"),
-                F.sum(F.when(F.col("_t").isNotNull() & F.col("_s").isNull(), 1)
-                      .otherwise(0)).alias("kept"),
-                F.sum(F.when(F.col("_t").isNull() & F.col("_s").isNotNull(), 1)
-                      .otherwise(0)).alias("inserted"),
-            ).first()
-        )
-        n_matched = kstats["matched"] or 0
-        n_keep = kstats["kept"] or 0
-        n_ins = (kstats["inserted"] or 0) if self.when_not_matched == "insert" else 0
+        # merge stats WITHOUT a second shuffle of the target keys (the old
+        # key-only full-outer join re-shuffled every target key just for
+        # counts — a second full exchange at 100TB). The three legs partition
+        # the output, so matched/kept/inserted are linear combinations of
+        # row counts already known from METADATA (manifest record counts of
+        # the affected inputs + harvested outputs) plus ONE narrow count of
+        # the deduped source. Assumes unique keys per side (the merge
+        # invariant: source is deduped above, target by construction).
+        n_tgt = sum(f.record_count for f in affected)
+        n_src = source.count()
+        n_out = sum(f.record_count for f in outs)
+        if self.when_matched == "update" and self.when_not_matched == "insert":
+            n_matched = n_tgt + n_src - n_out
+        elif self.when_matched == "delete" and self.when_not_matched == "insert":
+            n_matched = (n_tgt + n_src - n_out) // 2
+        elif self.when_matched == "delete":
+            n_matched = n_tgt - n_out
+        else:  # update + ignore: output rows == target rows; count the leg
+            n_matched = upd.count()
+        n_keep = n_tgt - n_matched
+        n_ins = (n_src - n_matched) if self.when_not_matched == "insert" else 0
         snap = table.commit_rewrite(
             [f.path for f in affected], outs, operation="overwrite",
             summary_extra={"job": "merge", "matched": n_matched, "inserted": n_ins},

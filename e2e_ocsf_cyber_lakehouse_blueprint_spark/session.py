@@ -27,13 +27,15 @@ def get_spark(
     master comes from spark-submit and this argument is ignored.
     """
     cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # Shuffle/spill local dirs: the sandbox's single virtio disk (~270 MB/s,
-    # shared with page-cache writeback) serializes shuffle I/O and would make
-    # core-count scaling unmeasurable; a real cluster's local-disk bandwidth
-    # scales with node count. tmpfs is the sandbox proxy for that. On a real
-    # deployment spark-submit/cluster conf overrides this.
+    # Shuffle/spill local dirs: tmpfs is an explicit OPT-IN (the bench harness
+    # sets SPARK_GRAFT_TMPFS=1). The sandbox's single virtio disk (~270 MB/s,
+    # shared writeback) serializes shuffle I/O and would make core-count
+    # scaling unmeasurable — but defaulting every Linux deployment to
+    # /dev/shm would let large shuffle spill exhaust RAM-backed tmpfs, so the
+    # library default stays the platform's spark.local.dir.
     local_dir = os.environ.get("SPARK_LOCAL_DIRS_OVERRIDE")
-    if local_dir is None and os.path.isdir("/dev/shm"):
+    if (local_dir is None and os.environ.get("SPARK_GRAFT_TMPFS") == "1"
+            and os.path.isdir("/dev/shm")):
         local_dir = "/dev/shm/spark-local"
     builder = (
         SparkSession.builder.appName(app_name)
