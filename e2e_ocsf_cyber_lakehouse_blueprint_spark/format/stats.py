@@ -168,3 +168,18 @@ def harvest_df_stats(
         )
     out.sort(key=lambda d: d.path)
     return out
+
+
+def distinct_census(df: DataFrame, cols: list[str], *, approximate: bool = True,
+                    rsd: float = 0.05) -> DataFrame:
+    """Distinct-key census (SURVEY.md §2.4) for sizing clustering grids and
+    bucket counts. ``approximate=True`` uses HyperLogLog++
+    (``approx_count_distinct``): one pass, constant memory per column — at
+    10^12 turns an exact countDistinct would shuffle every key, the approx
+    form never shuffles more than sketch buffers."""
+    agg = (
+        (F.approx_count_distinct(c, rsd) if approximate else F.countDistinct(c))
+        .alias(f"n_{c}")
+        for c in cols
+    )
+    return df.agg(F.count(F.lit(1)).alias("n_rows"), *agg)

@@ -54,8 +54,11 @@ def table_fingerprint(df: DataFrame, **kwargs) -> DataFrame:
     Equal fingerprints (at these widths) == scan-equivalent tables; cheap
     enough to run after every maintenance commit at any scale."""
     per_conv = conv_checksum(df, **kwargs)
+    # DECIMAL(38,0) accumulator: 10^12 convs x 2^60 prefix ~ 1.2e30 < 1e38
+    # (a long would overflow at ~16 convs)
+    digest = F.conv(F.substring("conv_md5", 1, 15), 16, 10).cast("decimal(20,0)")
     return per_conv.agg(
         F.count(F.lit(1)).alias("n_convs"),
         F.sum("n_turns").alias("n_turns"),
-        F.sum(F.conv(F.substring("conv_md5", 1, 15), 16, 10).cast("long")).alias("digest_sum"),
+        F.sum(digest).cast("decimal(38,0)").alias("digest_sum"),
     )

@@ -184,20 +184,117 @@ def silver_atlassian(bronze: DataFrame) -> DataFrame:
 # -------------------------------------------------------------------- gold
 
 OCSF_IAM_CATEGORY_UID = 3
-CLASS_UIDS = {"authentication": 3002, "entity_management": 3004,
+OCSF_VERSION = "1.7.0"
+# the reference's full 6-class surface (utilities/utils.py:70-77)
+CLASS_UIDS = {"account_change": 3001, "authentication": 3002,
+              "authorize_session": 3003, "entity_management": 3004,
               "user_access": 3005, "group_management": 3006}
+
+
+def _user_struct(uid: str, name: str) -> str:
+    """7-field OCSF user struct with typed-NULL string fields
+    (gold_github_audit_logs.py:88)."""
+    return (f"named_struct('uid', {uid}, 'name', {name}, 'type', 'User',"
+            f" 'type_id', 1, 'email_addr', CAST(NULL AS STRING),"
+            f" 'domain', CAST(NULL AS STRING), 'uid_alt', CAST(NULL AS STRING))")
+
+
+def class_extras(class_name: str, *, source: str, action_col: str,
+                 actor_id_col: str, actor_name_col: str,
+                 org_col: str = "CAST(NULL AS STRING)",
+                 target_col: str | None = None,
+                 permission_col: str | None = None,
+                 auth_type_col: str | None = None) -> list[str]:
+    """Class-specific OCSF columns, mirroring the reference transforms:
+
+    - ``user``        account_change/authorize_session/user_access/group_mgmt
+                      (gold_github_audit_logs.py:88,218,273,337)
+    - ``group``       group_management (OCSF 3006 required entity)
+    - ``resource``    entity/group management with a
+                      ``CAST(NULL AS MAP<STRING,STRING>)`` data field
+                      (gold_github_audit_logs.py:274)
+    - ``privileges``  CASE-built ARRAY<STRING> (gold_github_audit_logs.py:217,275)
+    - ``auth_protocol[_id]`` + ``dst_endpoint``
+                      authentication (gold_github_audit_logs.py:146-155)
+    """
+    target = target_col or actor_name_col
+    user = f"{_user_struct(target, target)} AS user"
+    priv_cond = permission_col or "CAST(NULL AS STRING)"
+    if class_name == "account_change":
+        return [user]
+    if class_name == "authentication":
+        auth_src = auth_type_col or action_col
+        return [
+            f"CASE WHEN {auth_src} LIKE '%saml%' OR {auth_src} LIKE '%sso%' THEN 'SAML'"
+            f"     WHEN {auth_src} LIKE '%oauth%' THEN 'OAuth'"
+            f"     ELSE 'Password' END AS auth_protocol",
+            # lateral alias: the id ladder reads auth_protocol
+            "CASE auth_protocol WHEN 'SAML' THEN 6 WHEN 'OAuth' THEN 2 ELSE 1 END"
+            " AS auth_protocol_id",
+            f"named_struct('hostname', '{source}.example.com', 'name', '{source}')"
+            " AS dst_endpoint",
+        ]
+    if class_name == "authorize_session":
+        return [
+            user,
+            f"CASE WHEN {priv_cond} IS NOT NULL THEN array({priv_cond})"
+            f" ELSE CAST(NULL AS ARRAY<STRING>) END AS privileges",
+        ]
+    if class_name == "entity_management":
+        return [
+            f"named_struct('uid', {org_col}, 'name', {org_col}, 'type', 'Entity',"
+            f" 'owner', named_struct('name', {actor_name_col}),"
+            f" 'data', CAST(NULL AS MAP<STRING, STRING>)) AS resource",
+        ]
+    if class_name == "user_access":
+        return [
+            user,
+            f"CASE WHEN {priv_cond} IS NOT NULL THEN array({priv_cond})"
+            f" ELSE CAST(NULL AS ARRAY<STRING>) END AS privileges",
+        ]
+    if class_name == "group_management":
+        return [
+            user,
+            f"named_struct('uid', {org_col}, 'name', {org_col},"
+            f" 'type', 'Group') AS group",
+            f"named_struct('uid', {org_col}, 'name', {org_col}, 'type', 'Organization',"
+            f" 'owner', named_struct('name', {org_col}),"
+            f" 'data', CAST(NULL AS MAP<STRING, STRING>)) AS resource",
+            f"CASE WHEN {priv_cond} IS NOT NULL THEN array({priv_cond})"
+            f" ELSE array('member') END AS privileges",
+        ]
+    raise ValueError(class_name)
+
+
+def geo_src_endpoint(ip_col: str, geo_col: str | None, agent_col: str | None) -> str:
+    """src_endpoint with ARRAY<DOUBLE> coordinates built by split(geo, ',')
+    (gold_atlassian_audit_logs.py:161-171) or a typed-NULL fallback."""
+    if geo_col:
+        coords = (f"CASE WHEN {geo_col} IS NOT NULL THEN"
+                  f" array(CAST(split({geo_col}, ',')[0] AS DOUBLE),"
+                  f" CAST(split({geo_col}, ',')[1] AS DOUBLE))"
+                  f" ELSE CAST(NULL AS ARRAY<DOUBLE>) END")
+    else:
+        coords = "CAST(NULL AS ARRAY<DOUBLE>)"
+    agent = agent_col or "CAST(NULL AS STRING)"
+    return (f"named_struct('ip', {ip_col},"
+            f" 'location', named_struct('coordinates', {coords}),"
+            f" 'agent', {agent})")
 
 
 def gold_iam_transform(silver: DataFrame, *, source: str, action_col: str,
                        route_regex: str, class_name: str,
                        actor_name_col: str, actor_id_col: str,
                        ip_col: str | None = None,
-                       severity_case: str | None = None) -> DataFrame:
+                       severity_case: str | None = None,
+                       extras: list[str] | None = None,
+                       src_endpoint: str | None = None) -> DataFrame:
     """One OCSF IAM class flow: RLIKE route -> ~20-col OCSF construction.
 
     Exercises the reference's full expression census (SURVEY.md §2.8):
     CASE ladders with lateral aliases, named_struct (nested), array of structs,
-    map, typed NULL casts, to_json(variant), CONCAT.
+    map, typed NULL casts (STRUCT/ARRAY/MAP), split->ARRAY<DOUBLE>,
+    to_json(variant), CONCAT.
     """
     class_uid = CLASS_UIDS[class_name]
     sev = severity_case or f"""
@@ -206,82 +303,117 @@ def gold_iam_transform(silver: DataFrame, *, source: str, action_col: str,
              ELSE 1 END
     """
     ip_expr = ip_col or "CAST(NULL AS STRING)"
+    endpoint = src_endpoint or geo_src_endpoint(ip_expr, None, None)
     return silver.where(f"{action_col} RLIKE '{route_regex}'").selectExpr(
         "_event_date",
         "_event_time",
         "_source",
         "_source_type",
         f"named_struct('product', named_struct('name', '{source}', 'vendor_name', '{source}'),"
-        f" 'version', '1.5.0', 'log_version', CONCAT('ocsf-', '1.5.0')) AS metadata",
+        f" 'version', '{OCSF_VERSION}', 'log_version', CONCAT('ocsf-', '{OCSF_VERSION}')) AS metadata",
         f"{OCSF_IAM_CATEGORY_UID} AS category_uid",
         "'Identity & Access Management' AS category_name",
         f"{class_uid} AS class_uid",
         f"'{class_name}' AS class_name",
         f"{sev} AS severity_id",
         # lateral column alias: severity reads severity_id (gold_github :55-60)
-        "CASE severity_id WHEN 4 THEN 'High' WHEN 2 THEN 'Low' ELSE 'Informational' END AS severity",
+        "CASE severity_id WHEN 5 THEN 'Critical' WHEN 4 THEN 'High' WHEN 2 THEN 'Low'"
+        " ELSE 'Informational' END AS severity",
         f"CASE WHEN {action_col} LIKE '%create%' THEN 1"
         f"     WHEN {action_col} LIKE '%delete%' THEN 4 ELSE 99 END AS activity_id",
         "CASE activity_id WHEN 1 THEN 'Create' WHEN 4 THEN 'Delete' ELSE 'Other' END AS activity_name",
-        "1 AS status_id",
-        "'Success' AS status",
+        f"CASE WHEN {action_col} LIKE '%failed%' THEN 2 ELSE 1 END AS status_id",
+        "CASE status_id WHEN 2 THEN 'Failure' ELSE 'Success' END AS status",
         "CAST(_event_time AS TIMESTAMP) AS time",
         f"named_struct('user', named_struct("
         f"  'uid', {actor_id_col}, 'name', {actor_name_col},"
         f"  'type', 'User', 'type_id', 1)) AS actor",
         f"array(named_struct('name', 'actor.user.name', 'type', 'User Name',"
         f" 'type_id', 4, 'value', {actor_name_col})) AS observables",
-        "CAST(NULL AS ARRAY<STRING>) AS privileges",
-        f"named_struct('ip', {ip_expr},"
-        f" 'location', named_struct('coordinates', CAST(NULL AS ARRAY<DOUBLE>))) AS src_endpoint",
+        f"{endpoint} AS src_endpoint",
         f"map('source', '{source}', 'action', {action_col}) AS unmapped_kv",
         "named_struct('raw_data', to_json(data)) AS unmapped",
         f"CONCAT('{source}: ', {action_col}, ' by ', COALESCE({actor_name_col}, 'unknown')) AS message",
+        *(extras or []),
     )
 
 
-def gold_flows(sg: DataFrame, ss: DataFrame, sa: DataFrame) -> list[DataFrame]:
-    """Reference pattern: many flows -> one table (append fan-in, README.md:30-41)."""
-    return [
-        gold_iam_transform(
-            sg, source="github", action_col="action",
-            route_regex="^(repo|org)\\.", class_name="entity_management",
-            actor_name_col="actor", actor_id_col="actor",
-            ip_col="actor_ip",
+# the 15-flow matrix (3 sources x 5 classes each), mirroring
+# gold_ocsf_iam_event_classes_delta_sinks.py:184-305: github/slack carry no
+# entity_management flow, atlassian no user_access flow
+_FLOW_MATRIX = {
+    "github": {
+        "account_change": "^org\\.update_member",
+        "authentication": "^user_login|oauth",
+        "authorize_session": "^org\\.",
+        "group_management": "^team\\.",
+        "user_access": "^(repo|org)\\.",
+    },
+    "slack": {
+        "account_change": "^user_created",
+        "authentication": "^user_log(in|out)",
+        "authorize_session": "^user_",
+        "group_management": "^channel_",
+        "user_access": "_(created|deleted)$",
+    },
+    "atlassian": {
+        "account_change": "^user_password",
+        "authentication": "^user_",
+        "authorize_session": "^user_login",
+        "group_management": "^jira_project",
+        "entity_management": "^jira_",
+    },
+}
+
+_SOURCE_COLS = {
+    "github": dict(actor_name_col="actor", actor_id_col="actor",
+                   ip_col="actor_ip", org_col="org", target_col="user",
+                   permission_col="permission", geo_col=None, agent_col=None,
+                   auth_type_col=None, severity_case=None),
+    "slack": dict(actor_name_col="actor_user_name", actor_id_col="actor_user_id",
+                  ip_col="ctx_ip", org_col="entity_name", target_col=None,
+                  permission_col="entity_privacy", geo_col=None,
+                  agent_col="ctx_ua", auth_type_col=None, severity_case=None),
+    "atlassian": dict(actor_name_col="actor_name", actor_id_col="actor_id",
+                      ip_col="location_ip", org_col="container_first",
+                      target_col=None, permission_col=None,
+                      geo_col="location_geo", agent_col="user_agent",
+                      auth_type_col="auth_type",
+                      severity_case="CASE WHEN risk_score >= 70 OR risk_level = 'high' THEN 5 "
+                                    "WHEN action LIKE '%delete%' THEN 4 ELSE 1 END"),
+}
+
+
+def gold_flow(silver: DataFrame, source: str, class_name: str) -> DataFrame:
+    cols = _SOURCE_COLS[source]
+    return gold_iam_transform(
+        silver, source=source, action_col="action",
+        route_regex=_FLOW_MATRIX[source][class_name], class_name=class_name,
+        actor_name_col=cols["actor_name_col"], actor_id_col=cols["actor_id_col"],
+        ip_col=cols["ip_col"], severity_case=cols["severity_case"],
+        src_endpoint=geo_src_endpoint(cols["ip_col"], cols["geo_col"],
+                                      cols["agent_col"]),
+        extras=class_extras(
+            class_name, source=source, action_col="action",
+            actor_id_col=cols["actor_id_col"], actor_name_col=cols["actor_name_col"],
+            org_col=cols["org_col"], target_col=cols["target_col"],
+            permission_col=cols["permission_col"],
+            auth_type_col=cols["auth_type_col"],
         ),
-        gold_iam_transform(
-            sg, source="github", action_col="action",
-            route_regex="^team\\.", class_name="group_management",
-            actor_name_col="actor", actor_id_col="actor",
-            ip_col="actor_ip",
-        ),
-        gold_iam_transform(
-            ss, source="slack", action_col="action",
-            route_regex="^user_", class_name="user_access",
-            actor_name_col="actor_user_name", actor_id_col="actor_user_id",
-            ip_col="ctx_ip",
-        ),
-        gold_iam_transform(
-            ss, source="slack", action_col="action",
-            route_regex="_(created|deleted)$", class_name="entity_management",
-            actor_name_col="actor_user_name", actor_id_col="actor_user_id",
-            ip_col="ctx_ip",
-        ),
-        gold_iam_transform(
-            sa, source="atlassian", action_col="action",
-            route_regex="^jira_", class_name="entity_management",
-            actor_name_col="actor_name", actor_id_col="actor_id",
-            ip_col="location_ip",
-            severity_case="CASE WHEN risk_score >= 70 OR risk_level = 'high' THEN 5 "
-                          "WHEN action LIKE '%delete%' THEN 4 ELSE 1 END",
-        ),
-        gold_iam_transform(
-            sa, source="atlassian", action_col="action",
-            route_regex="^user_", class_name="authentication",
-            actor_name_col="actor_name", actor_id_col="actor_id",
-            ip_col="location_ip",
-        ),
-    ]
+    )
+
+
+def gold_flows(sg: DataFrame, ss: DataFrame, sa: DataFrame) -> dict[str, list[DataFrame]]:
+    """The reference's full fan-in: 15 flows -> 6 class sinks
+    (gold_ocsf_iam_event_classes_delta_sinks.py:117-179,184-305). Returns
+    class_name -> list of flow DataFrames; writers append each flow to its
+    class table (multi-writer optimistic commits + unionByName evolution)."""
+    silvers = {"github": sg, "slack": ss, "atlassian": sa}
+    out: dict[str, list[DataFrame]] = {c: [] for c in CLASS_UIDS}
+    for source, classes in _FLOW_MATRIX.items():
+        for class_name in classes:
+            out[class_name].append(gold_flow(silvers[source], source, class_name))
+    return {c: flows for c, flows in out.items() if flows}
 
 
 # -------------------------------------------------- synthetic raw fixtures

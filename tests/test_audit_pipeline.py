@@ -81,37 +81,75 @@ def test_gold_ocsf_construction(spark, bronzes):
     sg = silver_github(bronzes["github"])
     ss = silver_slack(bronzes["slack"])
     sa = silver_atlassian(bronzes["atlassian"])
-    flows = gold_flows(sg, ss, sa)
-    assert len(flows) == 6
-    g = flows[0]
+    by_class = gold_flows(sg, ss, sa)
+    # the reference's full surface: 15 flows across 6 class sinks
+    # (gold_ocsf_iam_event_classes_delta_sinks.py:117-179,184-305)
+    assert sum(len(v) for v in by_class.values()) == 15
+    assert set(by_class) == {
+        "account_change", "authentication", "authorize_session",
+        "entity_management", "user_access", "group_management",
+    }
+    g = by_class["user_access"][0]  # github user_access
     row = g.first()
     assert row["category_uid"] == 3
-    assert row["class_uid"] == 3004
+    assert row["class_uid"] == 3005
     assert row["metadata"]["product"]["name"] == "github"
-    assert row["metadata"]["log_version"] == "ocsf-1.5.0"
+    assert row["metadata"]["log_version"] == "ocsf-1.7.0"
     assert row["actor"]["user"]["type_id"] == 1
     assert row["observables"][0]["type_id"] == 4
     assert row["unmapped"]["raw_data"].startswith("{")
-    assert row["severity"] in ("High", "Low", "Informational")  # lateral alias
+    assert row["severity"] in ("Critical", "High", "Low", "Informational")
+    assert row["user"]["type_id"] == 1  # class-specific user struct
     # routing regexes partition actions correctly
     assert g.filter(~F.col("message").rlike("(repo|org)\\.")).count() == 0
 
 
-def test_gold_multi_writer_fan_in(spark, bronzes, tmp_path):
-    """6 flows -> ONE table via sequential append snapshots + schema merge
-    (the 15-flows->6-sinks pattern, gold_ocsf_iam_event_classes_delta_sinks.py:184-305)."""
+def test_gold_class_specific_columns(spark, bronzes):
     sg = silver_github(bronzes["github"])
     ss = silver_slack(bronzes["slack"])
     sa = silver_atlassian(bronzes["atlassian"])
-    flows = gold_flows(sg, ss, sa)
+    by_class = gold_flows(sg, ss, sa)
+
+    # authentication: auth_protocol ladder (lateral alias) + dst_endpoint
+    auth = by_class["authentication"][2].first()  # atlassian (auth_type col)
+    assert auth["auth_protocol"] in ("SAML", "OAuth", "Password")
+    assert auth["auth_protocol_id"] in (1, 2, 6)
+    assert auth["dst_endpoint"]["name"] == "atlassian"
+
+    # group_management: group + resource (MAP<STRING,STRING> typed NULL) +
+    # privileges with array('member') fallback
+    gm = by_class["group_management"][0]
+    row = gm.first()
+    assert row["group"]["type"] == "Group"
+    assert row["resource"]["data"] is None
+    assert dict(gm.dtypes)["resource"].endswith("data:map<string,string>>")
+    assert row["privileges"] is not None
+
+    # atlassian coordinates: split(geo, ',') -> ARRAY<DOUBLE>
+    # (gold_atlassian_audit_logs.py:167)
+    em = by_class["entity_management"][0]  # atlassian-only flow
+    assert dict(em.dtypes)["src_endpoint"].find("coordinates:array<double>") > 0
+    r = em.filter(F.col("src_endpoint.location.coordinates").isNotNull()).first()
+    lat, lon = r["src_endpoint"]["location"]["coordinates"]
+    assert 36.0 < lat < 39.0 and -123.0 < lon < -121.0
+
+
+def test_gold_multi_writer_fan_in(spark, bronzes, tmp_path):
+    """15 flows -> ONE table via sequential append snapshots + schema merge
+    (gold_ocsf_iam_event_classes_delta_sinks.py:184-305; mergeSchema :122)."""
+    sg = silver_github(bronzes["github"])
+    ss = silver_slack(bronzes["slack"])
+    sa = silver_atlassian(bronzes["atlassian"])
+    by_class = gold_flows(sg, ss, sa)
+    flows = [f for c in sorted(by_class) for f in by_class[c]]
     first = flows[0]
     t = Table.create(spark, str(tmp_path / "gold_iam"), first.schema,
                      PartitionSpec.unpartitioned())
     total = 0
     for fdf in flows:
-        t.append(fdf)          # schema evolution if a flow adds columns
+        t.append(fdf)          # schema evolution: class-specific columns merge
         total += fdf.count()
-    assert len(t.snapshots) == 6
+    assert len(t.snapshots) == 15
     got = t.scan()
     assert got.count() == total
     # one unified table, query across sources without joins (PIPELINE_OVERVIEW.md:300-311)

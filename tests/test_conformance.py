@@ -90,3 +90,42 @@ def test_op_sequence_conformance(spark, tmp_path, seed):
     for f in t.live_data_files():
         import os
         assert os.path.exists(f.path)
+
+
+def test_distributed_checksum_equivalence(spark, tmp_path):
+    """Scan-equivalence via the DISTRIBUTED checksum operator (no driver-side
+    collect of data rows): per-conv digests are invariant under compaction +
+    clustering, and any single-row mutation changes its conversation digest."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.functions.checksum import (
+        conv_checksum, table_fingerprint,
+    )
+
+    base = generate_transcripts(spark, n_convs=40, hot_convs=1, hot_turns=60,
+                                span_days=4, seed=7)
+    t = Table.create(
+        spark, str(tmp_path / "ck"), T.StructType.fromDDL(SCHEMA_DDL),
+        PartitionSpec.of(days("ts_day", "ts")),
+        properties={"write.target-file-size-bytes": str(256 * 1024)},
+    )
+    t.append(base, n_files=4)
+    before = conv_checksum(t.scan()).collect()
+    fp_before = table_fingerprint(t.scan()).first()
+
+    CompactionJob(t, max_concurrency=4).run()
+    ClusteringJob(t, curve="zorder", max_concurrency=4).run()
+
+    after = {r["conv_id"]: (r["n_turns"], r["conv_md5"])
+             for r in conv_checksum(t.scan()).collect()}
+    assert {r["conv_id"]: (r["n_turns"], r["conv_md5"]) for r in before} == after
+    fp_after = table_fingerprint(t.scan()).first()
+    assert tuple(fp_before) == tuple(fp_after)
+
+    # sensitivity: one mutated row flips exactly that conversation's digest
+    mutated = t.scan().withColumn(
+        "text",
+        F.when((F.col("conv_id") == before[0]["conv_id"]) & (F.col("turn_idx") == 0),
+               F.lit("tampered")).otherwise(F.col("text")),
+    )
+    diff = {r["conv_id"] for r in conv_checksum(mutated).collect()
+            if after[r["conv_id"]][1] != r["conv_md5"]}
+    assert diff == {before[0]["conv_id"]}

@@ -102,3 +102,29 @@ def test_referenced_files_covers_all_snapshots(spark, table_with_history):
     live = {f.path for f in t.live_data_files()}
     assert live <= refs
     assert len(refs) > len(live)  # history references replaced files too
+
+
+def test_gc_listing_is_distributed_and_injectable(spark, table_with_history, monkeypatch):
+    """The orphan anti-join runs over a listing DATAFRAME (object-store
+    inventory analogue) — never a driver-side walk. Injecting the listing and
+    poisoning the built-in lister proves no driver materialization path."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators import expire as ex
+
+    t, _ = table_with_history
+    orphan = os.path.join(t.location, "data", "injected-orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"PAR1 fake")
+    live = {f.path for f in t.live_data_files()}
+    listing = spark.createDataFrame(
+        [(p, 10, 0.0) for p in sorted(live | {orphan})],
+        "path string, length long, mtime_sec double",
+    )
+    monkeypatch.setattr(ex, "disk_listing", lambda *_: (_ for _ in ()).throw(
+        AssertionError("driver-side lister must not be called")))
+    res = ex.ExpireSnapshotsJob(
+        t, keep_last=len(t.snapshots), listing_df=listing
+    ).run()
+    assert not os.path.exists(orphan)
+    assert res.deleted_files == 1
+    for p in live:
+        assert os.path.exists(p)

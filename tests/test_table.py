@@ -147,3 +147,16 @@ def test_ddl_cluster_keys_and_properties(spark, tmp_table_dir, small_df):
         t.set_cluster_keys(["nope"])
     # snapshots survive DDL-only metadata versions
     assert t2.refresh().scan().count() == small_df.count()
+
+
+def test_distinct_census_approx_within_rsd(spark):
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.stats import distinct_census
+
+    df = spark.range(20_000).selectExpr(
+        "CAST(id % 1000 AS STRING) AS conv_id", "CAST(id % 37 AS INT) AS turn_idx")
+    exact = distinct_census(df, ["conv_id", "turn_idx"], approximate=False).first()
+    approx = distinct_census(df, ["conv_id", "turn_idx"], rsd=0.02).first()
+    assert exact["n_conv_id"] == 1000 and exact["n_turn_idx"] == 37
+    assert abs(approx["n_conv_id"] - 1000) <= 1000 * 0.10
+    assert abs(approx["n_turn_idx"] - 37) <= 5
+    assert approx["n_rows"] == 20_000

@@ -199,3 +199,86 @@ def test_multimodal_frame_sampling(spark):
     durations = {r["media_id"]: r["meta"]["duration_ms"] for r in media.collect()}
     for r in got:
         assert r["count"] == durations[r["media_id"]] // 1000
+
+
+# ------------------------------------------- round-2 guards + completeness
+
+def test_simhash_banding_complete_vs_bruteforce(docs):
+    """Candidates == ALL pairs with hamming <= d (the banding never drops a
+    pair): brute-force popcount over collected signatures is the oracle."""
+    d = 10
+    sub = docs.limit(200)
+    sigs = {
+        r["doc_id"]: r["sh"]
+        for r in sub.select(
+            "doc_id", D.simhash("text").alias("sh"),
+            F.size(X.word_tokens("text")).alias("nw"),
+        ).filter(F.col("nw") > 0).collect()
+    }
+    want = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= d:
+                want.add((a, b))
+    got = {(r["id_a"], r["id_b"])
+           for r in D.simhash_candidates(sub, max_hamming=d).collect()}
+    assert got == want
+    assert any(True for _ in want)  # fixture actually exercises the path
+
+
+def test_simhash_chunk_layout_pigeonhole():
+    for d in (0, 3, 10, 31, 63, 100):
+        layout = D.simhash_chunk_layout(d)
+        assert len(layout) == min(64, d + 1)
+        assert sum(w for _, w in layout) == 64
+        offs = [o for o, _ in layout]
+        assert offs == sorted(offs) and offs[0] == 0
+
+
+def test_minhash_skew_guards(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "two words"),      # < shingle_k tokens -> excluded
+         (4, ""), (5, None)],   # degenerate docs -> excluded
+        "doc_id long, text string",
+    )
+    pairs = D.minhash_lsh_candidates(df, n_hashes=16, bands=4,
+                                     verify_threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in pairs] == [(1, 2, 1.0)]
+    # bucket cap: with max_bucket=1 every shared bucket is dropped
+    assert D.minhash_lsh_candidates(df, n_hashes=16, bands=4,
+                                    max_bucket=1).count() == 0
+
+
+def test_lsh_pairs_subset_of_exact(embs):
+    exact = {(r["id_a"], r["id_b"]): r["cos_sim"]
+             for r in S.pairwise_cosine_knn(embs, threshold=0.3).collect()}
+    approx = {(r["id_a"], r["id_b"]): r["cos_sim"]
+              for r in S.lsh_pairs(embs, dim=64, threshold=0.3, n_planes=4).collect()}
+    assert set(approx) <= set(exact)
+    assert all(exact[k] == v for k, v in approx.items())
+    assert len(approx) > 0
+
+
+def test_ann_persisted_index_prunes_partitions(spark, embs, tmp_path):
+    q = [float(x) for x in embs.orderBy("vec_id").first()["embedding"]]
+    idx = str(tmp_path / "ivf")
+    S.ivf_write_index(embs, idx, n_cells=8)
+    probe = S.ivf_probe_cells(q, n_cells=8, n_probe=3)
+    pruned = spark.read.parquet(idx).filter(F.col("ivf_cell").isin(probe))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "ivf_cell" in plan and "PartitionFilters" in plan
+    # identical results to the recompute path
+    via_index = [r["vec_id"] for r in
+                 S.topk_over_index(spark, idx, "ivf_cell", probe, q, k=10).collect()]
+    direct = [r["vec_id"] for r in
+              S.ivf_topk(embs, q, k=10, n_cells=8, n_probe=3).collect()]
+    assert via_index == direct
+
+
+def test_ivf_dim_mismatch_fails_fast(embs):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="dim"):
+        S.ivf_topk(embs, [1.0, 2.0], k=5)
