@@ -223,8 +223,14 @@ def run_core_from_template(template_root: str, cpus: int) -> dict:
         warm = os.path.join(template_root, f"warm-{cpus}")
         some = [f.path for f in table.live_data_files()[:4]]
         spark.read.parquet(*some).limit(50000).write.mode("overwrite").parquet(warm)
-        spark.read.parquet(warm).count()
+        # also warm the range-exchange sampler + shuffle + sort codegen paths
+        # the clustering phase runs (first-shuffle JIT was a measured ~2-4s
+        # one-off that polluted per-phase minima)
+        (spark.read.parquet(warm).repartitionByRange(4, "conv_id", "turn_idx")
+         .sortWithinPartitions("conv_id").write.mode("overwrite")
+         .parquet(warm + "2"))
         shutil.rmtree(warm, ignore_errors=True)
+        shutil.rmtree(warm + "2", ignore_errors=True)
         concurrency = max(4, min(16, cpus))
         t0 = time.time()
         CompactionJob(table, max_concurrency=concurrency).run()

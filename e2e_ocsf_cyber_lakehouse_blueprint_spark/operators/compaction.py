@@ -213,7 +213,11 @@ def run_grouped_rewrites(
             continue
         todo.append(plan)
 
-    group_bins = group_bins or max(8, spark.sparkContext.defaultParallelism)
+    # CONSTANT default: the plan/job structure must be a function of the DATA,
+    # never of cluster size — round 1 tied this to defaultParallelism, which
+    # made local[4] and local[16] run structurally different jobs and poisoned
+    # the two-cluster-size scaling comparison (VERDICT.md round 1)
+    group_bins = group_bins or 64
     groups = group_plans(todo, group_bins)
 
     def rewrite_group(group: RewriteGroup) -> tuple[RewriteGroup, str, int]:
