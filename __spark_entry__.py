@@ -343,6 +343,13 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling fingerprint: min md5 over word 5-gram shingles
+    (document fingerprinting for near-dup detection at shingle granularity)."""
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.rolling_fingerprint("text", k=5).alias("fp_roll"))
+
+
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _read(spark, sf_dir, "embeddings")
     q = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
@@ -650,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
+        "text_rolling_fp": q_text_rolling_fp,
         "sim_topk": q_sim_topk,
         "sim_pairs": q_sim_pairs,
         "sim_pairs_lsh": q_sim_pairs_lsh,
@@ -859,6 +867,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
                         (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
                          sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.3
+        """,
+        "text_rolling_fp": """
+            WITH base AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                                 w -> len(w) > 0) AS ws
+              FROM documents
+            ), sh AS (
+              SELECT doc_id, text,
+                     CASE WHEN len(ws) >= 5 THEN
+                       list_transform(generate_series(1, len(ws) - 4),
+                                      i -> array_to_string(ws[i:i+4], ' '))
+                     ELSE [] END AS shingles
+              FROM base
+            )
+            SELECT doc_id,
+                   CASE WHEN len(shingles) > 0
+                        THEN list_min(list_transform(shingles, s -> md5(s)))
+                        ELSE md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   END AS fp_roll
+            FROM sh
         """,
         "sim_pairs_lsh": _lsh_pairs_oracle(0.3, 4, 11, 64),
         "dedup_minhash_lsh": _minhash_oracle(32, 8, 3, 7, 0.5),

@@ -180,3 +180,56 @@ def write_manifest_list(path: str, manifest_files: list[dict]) -> None:
 def read_manifest_list(path: str) -> list[dict]:
     _, records = avro.read_ocf(path)
     return records
+
+
+def manifest_entries_df(spark, manifest_paths: list[str], *,
+                        bound_cols: tuple[str, ...] = ()):
+    """Distributed manifest scan: one row per LIVE data-file entry, parsed
+    executor-side with the pure-Python Avro reader via ``mapInPandas``.
+
+    The driver ships only manifest *paths* (O(manifests), metadata-sized);
+    entry decoding — O(files) — fans out across executors. This is the scale
+    path for planning over 10^9-file tables where ``live_files`` (driver
+    decode) no longer fits: join/filter the returned DataFrame and collect
+    only the scoped result.
+
+    ``bound_cols`` adds ``lo_<i>``/``hi_<i>`` columns per requested stats
+    column (indexed positionally to keep names SQL-safe), DECODED executor-
+    side to plain strings — string bounds compare directly, numeric bounds
+    cast with ``CAST(lo_i AS LONG)``.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    fields = [
+        T.StructField("path", T.StringType()),
+        T.StructField("partition", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("record_count", T.LongType()),
+        T.StructField("file_size_bytes", T.LongType()),
+    ]
+    for i in range(len(bound_cols)):
+        fields.append(T.StructField(f"lo_{i}", T.StringType()))
+        fields.append(T.StructField(f"hi_{i}", T.StringType()))
+    out_schema = T.StructType(fields)
+    cols = list(bound_cols)
+
+    def _scan(batches):
+        for pdf in batches:
+            rows = []
+            for mp in pdf["manifest"]:
+                for e in read_manifest(mp):
+                    if e["status"] == STATUS_DELETED:
+                        continue
+                    row = [e["path"], e["partition"], e["record_count"],
+                           e["file_size_bytes"]]
+                    for c in cols:
+                        for side in (e["lower_bounds"], e["upper_bounds"]):
+                            b = side.get(c)
+                            row.append(None if b is None else str(decode_bound(b)))
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    paths_df = spark.createDataFrame(
+        [(p,) for p in manifest_paths], "manifest string"
+    ).repartition(max(1, min(len(manifest_paths), 64)))
+    return paths_df.mapInPandas(_scan, out_schema)

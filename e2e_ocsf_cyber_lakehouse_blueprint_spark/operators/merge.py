@@ -55,11 +55,41 @@ class MergeResult:
     spill_bytes: int = 0
 
 
+def scope_paths_distributed(table: Table, source: DataFrame, key_col: str) -> set[str]:
+    """Scale-path file scoping: manifest entries decoded EXECUTOR-side
+    (``manifest_entries_df``), bounds-joined against the distinct source keys,
+    and only the HIT paths — bounded by the merge's blast radius, never by
+    table size — come back to the driver. At 10^9 files the driver holds
+    manifest paths + the scoped hit set only."""
+    from ..format.manifest import manifest_entries_df
+    import e2e_ocsf_cyber_lakehouse_blueprint_spark.format.manifest as mf
+
+    s = table.current_snapshot()
+    mpaths = [m["path"] for m in mf.read_manifest_list(s.manifest_list)]
+    hcol = f"xxh64({key_col})"
+    entries = manifest_entries_df(table.spark, mpaths, bound_cols=(key_col, hcol))
+    keys = source.select(F.col(key_col).alias("_k")).distinct()
+    lo, hi = F.col("lo_0"), F.col("hi_0")
+    hlo = F.expr("CAST(lo_1 AS LONG)")
+    hhi = F.expr("CAST(hi_1 AS LONG)")
+    # missing bounds (no stats, or upper truncated away) => conservatively hit
+    unbounded = F.col("lo_0").isNull() | F.col("hi_0").isNull()
+    hash_ok = (
+        F.col("lo_1").isNull() | F.col("hi_1").isNull()
+        | ((F.xxhash64("_k") >= hlo) & (F.xxhash64("_k") <= hhi))
+    )
+    cond = unbounded | ((F.col("_k") >= lo) & (F.col("_k") <= hi) & hash_ok)
+    hits = entries.join(F.broadcast(keys), cond, "left_semi").select("path")
+    return {r["path"] for r in hits.collect()}
+
+
 def _scope_files(
     table: Table, source: DataFrame, key_col: str
 ) -> tuple[list[DataFile], list[DataFile]]:
     """Split live files into (possibly-affected, untouched) using manifest
     bounds vs source keys — a broadcast join over metadata, never a data scan.
+    Driver-side variant (fine to ~10^5 files); ``scope_paths_distributed`` is
+    the 10^9-file path with identical semantics (tested equal).
     """
     files = table.live_data_files()
     bounded, unbounded = [], []

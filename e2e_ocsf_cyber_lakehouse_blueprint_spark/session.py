@@ -51,6 +51,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Manifest-driven scans pass EXPLICIT file lists; Spark still re-lists
+        # every path on the driver (measured ~19 ms/file via the checksumming
+        # LocalFileSystem = a 3-9 s SERIAL floor per maintenance job at a few
+        # hundred files — the dominant Amdahl term in the scaling protocol).
+        # Raw local FS (no .crc stats) + low parallel-discovery threshold
+        # (listing fans out as a Spark job) cut it ~3x; on object stores the
+        # equivalents are the S3A/ABFS bulk-listing switches.
+        .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "16")
+        .config("spark.sql.sources.parallelPartitionDiscovery.parallelism", "64")
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)

@@ -129,3 +129,22 @@ def test_merge_snapshot_isolation(spark, merge_table):
     src = df.limit(20).withColumn("text", F.lit("X"))
     MergeIntoJob(t).run(src)
     assert rows(t.scan(snapshot_id=pre)) == pre_rows
+
+
+def test_distributed_scoping_matches_driver(spark, merge_table):
+    """scope_paths_distributed (executor-side manifest decode) returns exactly
+    the driver-side _scope_files affected set."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.merge import (
+        _scope_files, scope_paths_distributed,
+    )
+    from pyspark.sql import functions as F
+
+    t, df = merge_table
+    source = df.filter(F.col("conv_id").isin(
+        [r["conv_id"] for r in df.select("conv_id").distinct().limit(3).collect()]
+    ))
+    affected, untouched = _scope_files(t, source, "conv_id")
+    got = scope_paths_distributed(t, source, "conv_id")
+    assert got == {f.path for f in affected}
+    assert got.isdisjoint({f.path for f in untouched})
+    assert 0 < len(got) < len(affected) + len(untouched)
