@@ -79,7 +79,14 @@ class PartitionField:
             return None
         if self.transform.startswith("truncate["):
             return str(value)[: self._param()]
-        return None  # bucket: hash must match Spark xxhash64 — prune via Spark path only
+        if self.transform.startswith("bucket[") and isinstance(value, str):
+            # functions/xxh64.py reproduces Spark's xxhash64 bit-for-bit, so
+            # bucket pruning of = / IN predicates works driver-side too
+            # (Python % on a negative hash == Spark pmod)
+            from ..functions.xxh64 import spark_xxhash64_string
+
+            return str(spark_xxhash64_string(value) % self._param())
+        return None
 
 
 @dataclass(frozen=True)

@@ -91,10 +91,14 @@ def _survives_partition(f: DataFile, spec: PartitionSpec, col: str, op: str,
         if pv is None:
             continue
         tv = field.apply_python(value) if op != "in" else None
+        eq_prunable = (
+            field.transform in ("identity", "days")
+            or field.transform.startswith("bucket[")
+        )
         if op == "in":
             tvs = [field.apply_python(v) for v in value]
             if all(t is not None for t in tvs) and pv not in tvs:
-                if field.transform in ("identity", "days"):
+                if eq_prunable:
                     return False
             continue
         if tv is None:
@@ -107,7 +111,7 @@ def _survives_partition(f: DataFile, spec: PartitionSpec, col: str, op: str,
                 return False
             if op in (">", ">=") and pv < tv:
                 return False
-        elif field.transform == "identity" and op == "=" and pv != tv:
+        elif eq_prunable and op == "=" and pv != tv:
             return False
     return True
 

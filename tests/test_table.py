@@ -160,3 +160,36 @@ def test_distinct_census_approx_within_rsd(spark):
     assert abs(approx["n_conv_id"] - 1000) <= 1000 * 0.10
     assert abs(approx["n_turn_idx"] - 37) <= 5
     assert approx["n_rows"] == 20_000
+
+
+def test_bucket_partition_pruning_point_lookup(spark, tmp_table_dir):
+    """conv_id = X prunes (n-1)/n bucket partitions driver-side: the Python
+    xxhash64 replica makes bucket values computable without a scan."""
+    from pyspark.sql import types as T
+
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.partition import (
+        PartitionSpec, bucket,
+    )
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.plans.pruning import prune_files
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.sources.transcripts import (
+        SCHEMA_DDL, generate_transcripts,
+    )
+
+    df = generate_transcripts(spark, n_convs=40, hot_convs=0, span_days=2)
+    t = Table.create(spark, tmp_table_dir, T.StructType.fromDDL(SCHEMA_DDL),
+                     PartitionSpec.of(bucket("conv_bucket", "conv_id", 4)))
+    t.append(df, n_files=8)
+    files = t.live_data_files()
+    buckets_all = {f.partition["conv_bucket"] for f in files}
+    assert len(buckets_all) == 4
+    conv = df.select("conv_id").first()["conv_id"]
+    kept = prune_files(files, [("conv_id", "=", conv)], t.schema, t.spec)
+    assert {f.partition["conv_bucket"] for f in kept} == {
+        k for k in buckets_all
+        if any(f.partition["conv_bucket"] == k for f in kept)
+    }
+    assert len({f.partition["conv_bucket"] for f in kept}) == 1  # 3/4 pruned
+    # and the scan over pruned files still finds every row of that conv
+    got = t.scan([("conv_id", "=", conv)]).count()
+    want = df.filter(f"conv_id = '{conv}'").count()
+    assert got == want > 0
