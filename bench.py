@@ -180,6 +180,10 @@ def prepare_template(sf_dir: str, cpus: int, template_root: str) -> dict:
     sf = _sf_of(sf_dir)
     turns_scale = int(os.environ.get("BENCH_TURNS_SCALE", "8000000"))
     n_convs = max(2000, int(sf * turns_scale))
+    # fragmentation must scale with data volume, or at larger BENCH_TURNS_SCALE
+    # the per-partition files exceed the small-file threshold and the compact
+    # phase silently degenerates to a planning no-op
+    n_files = max(8, round(8 * sf * turns_scale / 800_000))
     spark = get_spark(parallelism=cpus, shuffle_partitions=max(cpus, 8),
                       app_name="bench-template")
     df = generate_transcripts(spark, n_convs, hot_convs=5, hot_turns=4000,
@@ -194,12 +198,12 @@ def prepare_template(sf_dir: str, cpus: int, template_root: str) -> dict:
             "stats.columns": "conv_id,turn_idx,role,tool,ts",
         },
     )
-    table.append(df, n_files=8)
+    table.append(df, n_files=n_files)
     elapsed = time.time() - t0
     n_turns = sum(f.record_count for f in table.live_data_files())
     spark.stop()
     shutil.copytree(loc, os.path.join(template_root, "pristine"))
-    return {"ingest_sec": round(elapsed, 3), "turns": n_turns}
+    return {"ingest_sec": round(elapsed, 3), "turns": n_turns, "n_files": n_files}
 
 
 def run_core_from_template(template_root: str, cpus: int) -> dict:
