@@ -117,7 +117,52 @@ def q_maintain_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan(columns=_TCOLS)
 
 
+def _make_two_phase_table(spark: SparkSession, sf_dir: str):
+    """Transcripts table built in two appends (even-turn half, odd-turn half);
+    returns (table, snapshot_after_first_append) for read-path queries that
+    exercise the snapshot log (time travel, change feed)."""
+    tune_session(spark)
+    df = transcripts_from_events(spark, sf_dir)
+    loc = tempfile.mkdtemp(prefix="ttbl-")
+    t = Table.create(
+        spark, os.path.join(loc, "transcripts"),
+        T.StructType.fromDDL(TRANSCRIPT_DDL_NTZ),
+        PartitionSpec.of(days("ts_day", "ts"), bucket("conv_bucket", "conv_id", 4)),
+        properties={"stats.columns": "conv_id,turn_idx,role,tool,ts"},
+    )
+    t.append(df.filter(F.col("turn_idx") % 2 == 0), n_files=4)
+    s1 = t.current_snapshot()
+    t.append(df.filter(F.col("turn_idx") % 2 == 1), n_files=4)
+    return t, s1
+
+
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``FOR TIMESTAMP AS OF`` scan (Table.snapshot_as_of): resolve the commit
+    timestamp of the first append against the snapshot log (pure metadata) and
+    plan only that snapshot's files — the later append is never read."""
+    t, s1 = _make_two_phase_table(spark, sf_dir)
+    return t.scan(columns=_TCOLS, as_of_timestamp_ms=s1.timestamp_ms)
+
+
+def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless change feed (``table_changes`` analogue): rows appended after
+    snapshot 1, planned from the manifest file-set delta — the scan touches
+    only the added files, never a full-table diff."""
+    t, s1 = _make_two_phase_table(spark, sf_dir)
+    return t.changes_between(s1.snapshot_id, columns=_TCOLS)
+
+
 _MAINT_ORACLE = f"WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL}) SELECT conv_id, turn_idx, role, text, tool, ts FROM t"
+
+_TIME_TRAVEL_ORACLE = (
+    f"WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL}) SELECT conv_id, turn_idx, role,"
+    " text, tool, ts FROM t WHERE turn_idx % 2 = 0"
+)
+
+_SNAPSHOT_CHANGES_ORACLE = (
+    f"WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL}) SELECT conv_id, turn_idx, role,"
+    " text, tool, ts FROM t WHERE turn_idx % 2 = 1"
+)
 
 _MERGE_ORACLE = f"""
 WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
@@ -642,6 +687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintain_hilbert": q_maintain_hilbert,
         "maintain_merge": q_maintain_merge,
         "maintain_expire": q_maintain_expire,
+        "time_travel": q_time_travel,
+        "snapshot_changes": q_snapshot_changes,
         "bronze_ingest": q_bronze_ingest,
         "silver_extract": q_silver_extract,
         "gold_case_route": q_gold_case_route,
@@ -677,6 +724,8 @@ def oracle_sql() -> dict[str, str]:
         "maintain_hilbert": _MAINT_ORACLE,
         "maintain_merge": _MERGE_ORACLE,
         "maintain_expire": _EXPIRE_ORACLE,
+        "time_travel": _TIME_TRAVEL_ORACLE,
+        "snapshot_changes": _SNAPSHOT_CHANGES_ORACLE,
         "bronze_ingest": """
             SELECT event_id, ts AS _event_time, CAST(ts AS DATE) AS _event_date,
                    'events' AS _source, 'event_stream' AS _source_type,

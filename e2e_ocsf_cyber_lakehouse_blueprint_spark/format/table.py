@@ -18,6 +18,7 @@ The engine-side replacement for the reference's Delta streaming tables
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import uuid
 from typing import Any, Sequence
@@ -107,6 +108,18 @@ class Table:
     def current_snapshot(self) -> snap.Snapshot | None:
         return self.meta.current_snapshot()
 
+    def snapshot_as_of(self, timestamp_ms: int) -> snap.Snapshot:
+        """Time travel by timestamp (``FOR TIMESTAMP AS OF``): the latest
+        snapshot committed at or before ``timestamp_ms``. Pure metadata —
+        resolution walks the (small) snapshot log, never data files."""
+        eligible = [s for s in self.snapshots if s.timestamp_ms <= timestamp_ms]
+        if not eligible:
+            raise ValueError(
+                f"no snapshot at or before {timestamp_ms} "
+                f"(earliest is {min((s.timestamp_ms for s in self.snapshots), default=None)})"
+            )
+        return max(eligible, key=lambda s: (s.timestamp_ms, s.snapshot_id))
+
     def property_int(self, key: str, default: int) -> int:
         try:
             return int(self.meta.properties.get(key, default))
@@ -154,7 +167,12 @@ class Table:
         predicates: Sequence[Predicate] | None = None,
         columns: Sequence[str] | None = None,
         snapshot_id: int | None = None,
+        as_of_timestamp_ms: int | None = None,
     ) -> DataFrame:
+        if as_of_timestamp_ms is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or as_of_timestamp_ms, not both")
+            snapshot_id = self.snapshot_as_of(as_of_timestamp_ms).snapshot_id
         files = self.plan_scan(predicates, snapshot_id)
         schema = self.schema
         if not files:
@@ -163,6 +181,57 @@ class Table:
             df = self.spark.read.schema(schema).parquet(*[f.path for f in files])
         if predicates:
             df = df.filter(self._residual(predicates))  # residual: correctness
+        if columns:
+            df = df.select(*columns)
+        return df
+
+    def changes_between(
+        self,
+        from_snapshot_id: int | None,
+        to_snapshot_id: int | None = None,
+        columns: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Append-only change feed (``table_changes`` analogue): the rows added
+        after ``from_snapshot_id`` (exclusive) up to ``to_snapshot_id``
+        (inclusive; default current). Pure metadata planning: the added rows
+        live exactly in the data files present in ``to`` but not in ``from``,
+        so the scan touches only the delta — never a full-table diff.
+
+        Raises if a non-append snapshot (replace/overwrite/delete) lies in the
+        range: a rewrite re-homes OLD rows into NEW files, so a file-set diff
+        would replay them; use :class:`IncrementalTableReader` checkpoints
+        around maintenance windows instead.
+        """
+        to_snap = (
+            self.meta.snapshot_by_id(to_snapshot_id)
+            if to_snapshot_id is not None else self.current_snapshot()
+        )
+        if to_snap is None:
+            return self.spark.createDataFrame([], self.schema)
+        lo = from_snapshot_id if from_snapshot_id is not None else -1
+        in_range = [
+            s for s in self.snapshots
+            if lo < s.snapshot_id <= to_snap.snapshot_id
+        ]
+        bad = [s for s in in_range if s.operation not in ("append", "expire")]
+        if bad:
+            ops = ", ".join(f"{s.snapshot_id}:{s.operation}" for s in bad)
+            raise ValueError(
+                f"changes_between crosses non-append snapshot(s) [{ops}]; "
+                "file-set diff is only row-accurate for appends"
+            )
+        prev = (
+            {f.path for f in self.live_data_files(from_snapshot_id)}
+            if from_snapshot_id is not None else set()
+        )
+        added = [
+            f for f in self.live_data_files(to_snap.snapshot_id)
+            if f.path not in prev
+        ]
+        if not added:
+            df = self.spark.createDataFrame([], self.schema)
+        else:
+            df = self.spark.read.schema(self.schema).parquet(*[f.path for f in added])
         if columns:
             df = df.select(*columns)
         return df
@@ -298,6 +367,12 @@ class Table:
         for _ in range(20):
             self.refresh()
             snapshot, schema_json = build(self.meta)
+            # Commit timestamps are a total order (snapshot_as_of resolves
+            # FOR TIMESTAMP AS OF by it); two commits in one wall-clock ms
+            # would otherwise alias, so bump past the parent chain's max.
+            prev_max = max((s.timestamp_ms for s in self.meta.snapshots), default=0)
+            if snapshot.timestamp_ms <= prev_max:
+                snapshot = dataclasses.replace(snapshot, timestamp_ms=prev_max + 1)
             new_meta = snap.TableMetadata(
                 table_uuid=self.meta.table_uuid,
                 location=self.meta.location,

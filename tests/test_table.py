@@ -193,3 +193,45 @@ def test_bucket_partition_pruning_point_lookup(spark, tmp_table_dir):
     got = t.scan([("conv_id", "=", conv)]).count()
     want = df.filter(f"conv_id = '{conv}'").count()
     assert got == want > 0
+
+
+def test_time_travel_by_timestamp(spark, tmp_table_dir, small_df):
+    t = Table.create(spark, tmp_table_dir, transcripts_schema(), default_spec())
+    s1 = t.append(small_df)
+    n1 = t.scan().count()
+    s2 = t.append(small_df)
+    # commit timestamps are a strict total order even within one wall-clock ms
+    assert s2.timestamp_ms > s1.timestamp_ms
+    assert t.snapshot_as_of(s1.timestamp_ms).snapshot_id == s1.snapshot_id
+    assert t.snapshot_as_of(s2.timestamp_ms).snapshot_id == s2.snapshot_id
+    assert t.snapshot_as_of(s2.timestamp_ms - 1).snapshot_id == s1.snapshot_id
+    assert t.scan(as_of_timestamp_ms=s1.timestamp_ms).count() == n1
+    with pytest.raises(ValueError):
+        t.snapshot_as_of(s1.timestamp_ms - 1)  # before the first commit
+    with pytest.raises(ValueError):
+        t.scan(snapshot_id=s1.snapshot_id, as_of_timestamp_ms=s1.timestamp_ms)
+
+
+def test_changes_between_appends(spark, tmp_table_dir, small_df):
+    t = Table.create(spark, tmp_table_dir, transcripts_schema(), default_spec())
+    first = small_df.filter(F.col("turn_idx") % 2 == 0)
+    second = small_df.filter(F.col("turn_idx") % 2 == 1)
+    s1 = t.append(first)
+    s2 = t.append(second)
+    got = sorted_rows(t.changes_between(s1.snapshot_id))
+    assert got == sorted_rows(second)
+    # full history from table creation
+    assert t.changes_between(None).count() == small_df.count()
+    # empty range
+    assert t.changes_between(s2.snapshot_id).count() == 0
+
+
+def test_changes_between_rejects_rewrites(spark, tmp_table_dir, small_df):
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.compaction import CompactionJob
+
+    t = Table.create(spark, tmp_table_dir, transcripts_schema(), default_spec())
+    s1 = t.append(small_df, n_files=3)
+    CompactionJob(t, max_concurrency=2).run()
+    t.append(small_df)
+    with pytest.raises(ValueError, match="non-append"):
+        t.changes_between(s1.snapshot_id)
