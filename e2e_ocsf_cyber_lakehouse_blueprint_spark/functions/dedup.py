@@ -24,8 +24,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-
 from .text import fingerprint, shingles, word_tokens
 
 # ---------------------------------------------------------------- exact
