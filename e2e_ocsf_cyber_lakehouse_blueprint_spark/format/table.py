@@ -488,6 +488,30 @@ class Table:
 
         return self._commit(build)
 
+    # --------------------------------------------------------------- restore
+
+    def restore(self, snapshot_id: int) -> snap.Snapshot:
+        """Delta ``RESTORE`` / Iceberg rollback analogue: commit a NEW snapshot
+        whose live file set is exactly that of ``snapshot_id``. History is
+        preserved (the rolled-back commits stay until expiry) and the data
+        files are shared — the target's manifest list is copied, so restore is
+        a pure metadata commit with zero data movement at any table size."""
+        def build(meta: snap.TableMetadata):
+            try:
+                target = meta.snapshot_by_id(snapshot_id)
+            except KeyError:
+                raise ValueError(f"unknown snapshot {snapshot_id}") from None
+            sid, parent_id, seq = self._next_ids(meta)
+            mlist = self._manifest_list_path(sid)
+            mf.write_manifest_list(mlist, mf.read_manifest_list(target.manifest_list))
+            s = snap.Snapshot(
+                sid, parent_id, seq, snap.now_ms(), "restore", mlist,
+                {"restored-snapshot-id": snapshot_id},
+            )
+            return s, None
+
+        return self._commit(build)
+
     # ----------------------------------------------------- snapshot expiry
 
     def expire_snapshots(self, keep_last: int = 3) -> tuple[list[int], list[str]]:
@@ -533,6 +557,10 @@ class Table:
                 sid, parent_id, seq, snap.now_ms(), "expire", mlist,
                 {"expired-snapshots": len(expired)},
             )
+            # same strict total order on commit timestamps as _commit enforces
+            prev_max = max((s.timestamp_ms for s in meta.snapshots), default=0)
+            if new_snap.timestamp_ms <= prev_max:
+                new_snap = dataclasses.replace(new_snap, timestamp_ms=prev_max + 1)
             new_meta = snap.TableMetadata(
                 table_uuid=meta.table_uuid,
                 location=meta.location,

@@ -235,3 +235,35 @@ def test_changes_between_rejects_rewrites(spark, tmp_table_dir, small_df):
     t.append(small_df)
     with pytest.raises(ValueError, match="non-append"):
         t.changes_between(s1.snapshot_id)
+
+
+def test_restore_rolls_back_live_set(spark, tmp_table_dir, small_df):
+    t = Table.create(spark, tmp_table_dir, transcripts_schema(), default_spec())
+    s1 = t.append(small_df)
+    want = sorted_rows(t.scan())
+    t.append(small_df.withColumn("text", F.lit("bad batch")))
+    r = t.restore(s1.snapshot_id)
+    assert r.operation == "restore"
+    assert sorted_rows(t.scan()) == want
+    # history preserved: the bad append is still readable by snapshot id
+    assert len(t.snapshots) == 3
+    assert t.scan(snapshot_id=t.snapshots[1].snapshot_id).count() == 2 * len(want)
+    # restore is a live-set change, so the append-only change feed refuses it
+    with pytest.raises(ValueError, match="non-append"):
+        t.changes_between(s1.snapshot_id)
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        t.restore(9999)
+
+
+def test_restore_then_expire_keeps_restored_files(spark, tmp_table_dir, small_df):
+    t = Table.create(spark, tmp_table_dir, transcripts_schema(), default_spec())
+    s1 = t.append(small_df)
+    want = sorted_rows(t.scan())
+    t.append(small_df.withColumn("text", F.lit("bad batch")))
+    t.restore(s1.snapshot_id)
+    expired_ids, dead = t.expire_snapshots(keep_last=1)
+    assert expired_ids  # the bad append (and originals) fell out of history
+    # restored snapshot still scans intact; its files are not GC candidates
+    assert sorted_rows(t.scan()) == want
+    live = {f.path for f in t.live_data_files()}
+    assert not (live & set(dead))
