@@ -144,6 +144,29 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan(columns=_TCOLS, as_of_timestamp_ms=s1.timestamp_ms)
 
 
+def q_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style partition-spec evolution: write under days(ts), ALTER to
+    days(ts)+bucket(conv_id,4), append more, then compact — the rewrite
+    migrates old files to the current spec (no history rewrite) and the full
+    scan stays equivalent to the union of both generations."""
+    tune_session(spark)
+    df = transcripts_from_events(spark, sf_dir)
+    loc = tempfile.mkdtemp(prefix="petbl-")
+    t = Table.create(
+        spark, os.path.join(loc, "transcripts"),
+        T.StructType.fromDDL(TRANSCRIPT_DDL_NTZ),
+        PartitionSpec.of(days("ts_day", "ts")),
+        properties={"stats.columns": "conv_id,turn_idx,role,tool,ts"},
+    )
+    t.append(df.filter(F.col("turn_idx") % 2 == 0), n_files=4)
+    t.set_partition_spec(
+        PartitionSpec.of(days("ts_day", "ts"), bucket("conv_bucket", "conv_id", 4))
+    )
+    t.append(df.filter(F.col("turn_idx") % 2 == 1), n_files=4)
+    CompactionJob(t, max_concurrency=8).run()
+    return t.scan(columns=_TCOLS)
+
+
 def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateless change feed (``table_changes`` analogue): rows appended after
     snapshot 1, planned from the manifest file-set delta — the scan touches
@@ -689,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintain_expire": q_maintain_expire,
         "time_travel": q_time_travel,
         "snapshot_changes": q_snapshot_changes,
+        "partition_evolution": q_partition_evolution,
         "bronze_ingest": q_bronze_ingest,
         "silver_extract": q_silver_extract,
         "gold_case_route": q_gold_case_route,
@@ -726,6 +750,7 @@ def oracle_sql() -> dict[str, str]:
         "maintain_expire": _EXPIRE_ORACLE,
         "time_travel": _TIME_TRAVEL_ORACLE,
         "snapshot_changes": _SNAPSHOT_CHANGES_ORACLE,
+        "partition_evolution": _MAINT_ORACLE,
         "bronze_ingest": """
             SELECT event_id, ts AS _event_time, CAST(ts AS DATE) AS _event_date,
                    'events' AS _source, 'event_stream' AS _source_type,

@@ -19,6 +19,7 @@ The engine-side replacement for the reference's Delta streaming tables
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 import uuid
 from typing import Any, Sequence
@@ -607,6 +608,64 @@ class Table:
             except FileExistsError:
                 continue
         raise CommitConflict("set_cluster_keys: gave up after 20 retries")
+
+    def set_partition_spec(self, spec: PartitionSpec) -> None:
+        """ALTER TABLE ... PARTITIONED BY analogue (Iceberg partition-spec
+        evolution): future writes and maintenance rewrites use the new spec;
+        existing files keep the partition values they were written with — no
+        rewrite of history at any table size.
+
+        Correct because pruning is per-file and conservative: a file missing
+        a current-spec field simply is not partition-pruned on that field
+        (its min/max bounds still skip), and both rewrite writers recompute
+        partition columns from the CURRENT spec, so compaction/clustering
+        migrate files to the new layout as they touch them.
+
+        A partition field NAME is forever bound to one definition: reusing a
+        current or retired name with a different (source, transform) would
+        make old stored partition values incomparable with the new
+        transform's, so it is rejected (rename instead). Retired definitions
+        live in the ``partition.retired-fields`` table property."""
+        data_cols = {f.name for f in self.schema.fields}
+        retired = json.loads(
+            self.meta.properties.get("partition.retired-fields", "{}")
+        )
+        current = {f.name: f.to_dict() for f in self.spec.fields}
+        for field in spec.fields:
+            if field.source not in data_cols:
+                raise ValueError(f"unknown source column {field.source!r}")
+            if field.name in data_cols:
+                raise ValueError(
+                    f"partition field {field.name!r} collides with a data column"
+                )
+            prior = current.get(field.name) or retired.get(field.name)
+            if prior is not None and prior != field.to_dict():
+                raise ValueError(
+                    f"partition field name {field.name!r} was already defined as "
+                    f"{prior}; reusing it as {field.to_dict()} would make stored "
+                    "partition values incomparable — pick a fresh name"
+                )
+        new_names = {f.name for f in spec.fields}
+        retired.update({n: d for n, d in current.items() if n not in new_names})
+        for _ in range(20):
+            self.refresh()
+            meta = self.meta
+            props = dict(meta.properties)
+            props["partition.retired-fields"] = json.dumps(retired, sort_keys=True)
+            new_meta = snap.TableMetadata(
+                table_uuid=meta.table_uuid, location=meta.location,
+                schema_json=meta.schema_json, partition_spec=spec.to_list(),
+                properties=props, snapshots=meta.snapshots,
+                current_snapshot_id=meta.current_snapshot_id,
+                version=meta.version + 1, cluster_keys=meta.cluster_keys,
+            )
+            try:
+                snap.commit_metadata(new_meta)
+                self.meta = new_meta
+                return
+            except FileExistsError:
+                continue
+        raise CommitConflict("set_partition_spec: gave up after 20 retries")
 
     def set_property(self, key: str, value: str) -> None:
         """ALTER TABLE SET TBLPROPERTIES analogue (table_properties,

@@ -213,12 +213,27 @@ def run_grouped_rewrites(
             continue
         todo.append(plan)
 
+    # Partition-spec evolution: a plan whose stored partition keys differ
+    # from the CURRENT spec is being migrated — its rewrite may fan out into
+    # several new-spec directories, so its outputs can only be attributed by
+    # staging dir. Such plans run as singleton groups (own staging dir);
+    # aligned plans keep the shared-group fast path.
+    cur_keys = set(pcol_names)
+
+    def _migrating(plan) -> bool:
+        return set(plan.partition.keys()) != cur_keys
+
+    aligned = [p for p in todo if not _migrating(p)]
+    migrating = [p for p in todo if _migrating(p)]
+
     # CONSTANT default: the plan/job structure must be a function of the DATA,
     # never of cluster size — round 1 tied this to defaultParallelism, which
     # made local[4] and local[16] run structurally different jobs and poisoned
     # the two-cluster-size scaling comparison (VERDICT.md round 1)
     group_bins = group_bins or 64
-    groups = group_plans(todo, group_bins)
+    groups = group_plans(aligned, group_bins) + [
+        RewriteGroup([p], max(1, p.n_output_files)) for p in migrating
+    ]
 
     def rewrite_group(group: RewriteGroup) -> tuple[RewriteGroup, str, int]:
         started = int(time.time() * 1000)
@@ -251,8 +266,13 @@ def run_grouped_rewrites(
             # scope to THIS plan's staging dir: a resumed group dir can hold a
             # member partition that was meanwhile rewritten into a fresh dir —
             # without the dir filter both copies would be committed
-            outs = [f for f in by_part.get(plan.key, [])
-                    if f.path.startswith(d + os.sep)]
+            if _migrating(plan):
+                # singleton migration group: every file in the dir is this
+                # plan's output (its key can't match the new-spec values)
+                outs = [f for f in files if f.path.startswith(d + os.sep)]
+            else:
+                outs = [f for f in by_part.get(plan.key, [])
+                        if f.path.startswith(d + os.sep)]
             if not outs:
                 raise RuntimeError(
                     f"rewrite produced no files for partition {plan.key}")

@@ -267,3 +267,67 @@ def test_restore_then_expire_keeps_restored_files(spark, tmp_table_dir, small_df
     assert sorted_rows(t.scan()) == want
     live = {f.path for f in t.live_data_files()}
     assert not (live & set(dead))
+
+
+def test_partition_spec_evolution(spark, tmp_table_dir, small_df):
+    t = Table.create(
+        spark, tmp_table_dir, transcripts_schema(),
+        PartitionSpec.of(days("ts_day", "ts")),
+    )
+    first = small_df.filter(F.col("turn_idx") % 2 == 0)
+    second = small_df.filter(F.col("turn_idx") % 2 == 1)
+    t.append(first, n_files=2)
+    old_files = {f.path for f in t.live_data_files()}
+    t.set_partition_spec(
+        PartitionSpec.of(days("ts_day", "ts"), bucket("conv_bucket", "conv_id", 4))
+    )
+    t.append(second, n_files=2)
+    # old files untouched; new files carry the new spec's partition values
+    assert old_files <= {f.path for f in t.live_data_files()}
+    new_files = [f for f in t.live_data_files() if f.path not in old_files]
+    assert all("conv_bucket" in f.partition for f in new_files)
+    assert all("conv_bucket" not in f.partition for f in t.live_data_files()
+               if f.path in old_files)
+    # full scan sees both generations
+    assert sorted_rows(t.scan()) == sorted_rows(small_df)
+    # point lookup: correct rows; bucket pruning applies to new files only,
+    # old files survive conservatively (min/max may still skip them)
+    conv = small_df.select("conv_id").orderBy("conv_id").first()[0]
+    got = sorted_rows(t.scan([("conv_id", "=", conv)]))
+    assert got == sorted_rows(small_df.filter(F.col("conv_id") == conv))
+
+
+def test_partition_evolution_rewrite_migrates_layout(spark, tmp_table_dir, small_df):
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.compaction import CompactionJob
+
+    t = Table.create(
+        spark, tmp_table_dir, transcripts_schema(),
+        PartitionSpec.of(days("ts_day", "ts")),
+    )
+    t.append(small_df, n_files=3)
+    t.set_partition_spec(
+        PartitionSpec.of(days("ts_day", "ts"), bucket("conv_bucket", "conv_id", 4))
+    )
+    CompactionJob(t, max_concurrency=2).run()
+    # compaction rewrote into the CURRENT spec: every live file is migrated
+    assert all("conv_bucket" in f.partition for f in t.live_data_files())
+    assert sorted_rows(t.scan()) == sorted_rows(small_df)
+
+
+def test_partition_field_name_reuse_rejected(spark, tmp_table_dir, small_df):
+    t = Table.create(
+        spark, tmp_table_dir, transcripts_schema(),
+        PartitionSpec.of(bucket("conv_bucket", "conv_id", 4)),
+    )
+    t.append(small_df)
+    # same name, different transform param -> stored values incomparable
+    with pytest.raises(ValueError, match="incomparable"):
+        t.set_partition_spec(PartitionSpec.of(bucket("conv_bucket", "conv_id", 8)))
+    # retire the name, then try to re-add it differently: still rejected
+    t.set_partition_spec(PartitionSpec.of(days("ts_day", "ts")))
+    with pytest.raises(ValueError, match="incomparable"):
+        t.set_partition_spec(PartitionSpec.of(bucket("conv_bucket", "conv_id", 8)))
+    # identical definition may return
+    t.set_partition_spec(PartitionSpec.of(bucket("conv_bucket", "conv_id", 4)))
+    with pytest.raises(ValueError, match="unknown source"):
+        t.set_partition_spec(PartitionSpec.of(days("d", "nope")))
