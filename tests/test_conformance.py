@@ -1,11 +1,14 @@
 """Gold conformance (SURVEY.md §5): randomized-but-seeded op sequences.
 
 A small Zipf-skewed transcripts table undergoes a random sequence of
-maintenance ops (append / compact / cluster / merge / expire+GC); after EVERY
-op the full scan must equal a plain-DataFrame oracle maintained step-by-step —
-per-turn text equality under stable (conv_id, turn_idx, ts) ordering, the
-north_rule invariant. Covers op interactions no single-op test sees
-(e.g. merge right after cluster, expire after merge, double compact)."""
+maintenance ops (append / compact / cluster / merge / expire+GC / restore /
+partition-spec evolve); after EVERY op the full scan must equal a
+plain-DataFrame oracle maintained step-by-step — per-turn text equality under
+stable (conv_id, turn_idx, ts) ordering, the north_rule invariant. Covers op
+interactions no single-op test sees (merge right after cluster, expire after
+merge, compact across a spec evolution, restore then expire). Seeds are
+chosen so every sequence contains restore, a rewrite after an evolve, and
+merge+append."""
 
 from __future__ import annotations
 
@@ -42,7 +45,7 @@ def oracle_merge(target, source):
     return keep.unionByName(upd).unionByName(ins)
 
 
-@pytest.mark.parametrize("seed", [11, 23])
+@pytest.mark.parametrize("seed", [31, 43, 44])
 def test_op_sequence_conformance(spark, tmp_path, seed):
     rng = random.Random(seed)
     base = generate_transcripts(
@@ -55,9 +58,16 @@ def test_op_sequence_conformance(spark, tmp_path, seed):
     )
     t.append(base, n_files=3)
     oracle = base
+    # oracle state per snapshot id, for restore targets
+    hist = {t.current_snapshot().snapshot_id: oracle}
+    specs = [
+        PartitionSpec.of(days("ts_day", "ts"), bucket("conv_bucket", "conv_id", 2)),
+        PartitionSpec.of(days("ts_day", "ts")),
+        PartitionSpec.of(days("ts_day", "ts"), bucket("conv_bucket4", "conv_id", 4)),
+    ]
 
-    ops = ["append", "compact", "cluster", "merge", "expire"]
-    seq = [rng.choice(ops) for _ in range(6)]
+    ops = ["append", "compact", "cluster", "merge", "expire", "restore", "evolve"]
+    seq = [rng.choice(ops) for _ in range(8)]
     for step, op in enumerate(seq):
         if op == "append":
             extra = generate_transcripts(
@@ -82,6 +92,19 @@ def test_op_sequence_conformance(spark, tmp_path, seed):
                 oracle = oracle_merge(oracle, src).cache()
         elif op == "expire":
             ExpireSnapshotsJob(t, keep_last=2).run()
+        elif op == "restore":
+            candidates = [
+                s.snapshot_id for s in t.snapshots
+                if s.snapshot_id in hist
+                and s.snapshot_id != t.current_snapshot().snapshot_id
+            ]
+            if candidates:
+                sid = rng.choice(candidates)
+                t.restore(sid)
+                oracle = hist[sid]
+        elif op == "evolve":
+            t.set_partition_spec(specs[rng.randrange(len(specs))])
+        hist[t.current_snapshot().snapshot_id] = oracle
         got = rows(t.scan())
         want = rows(oracle)
         assert got == want, f"divergence after step {step} ({op}) in {seq}"
