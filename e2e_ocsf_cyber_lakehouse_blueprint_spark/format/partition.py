@@ -128,3 +128,7 @@ def bucket(name: str, source: str, n: int) -> PartitionField:
 
 def identity(name: str, source: str) -> PartitionField:
     return PartitionField(name, source, "identity")
+
+
+def truncate(name: str, source: str, width: int) -> PartitionField:
+    return PartitionField(name, source, f"truncate[{width}]")

@@ -182,8 +182,12 @@ class split_size_for_rewrites:
                 self.old[k] = None
         self.spark.conf.set(self.KEY, str(self.target))
         # size-faithful split packing: the default 4MB per-file open cost
-        # would make Spark under-fill bins of genuinely small files...
-        self.spark.conf.set(self.OPEN_COST, str(256 * 1024))
+        # would make Spark under-fill bins of genuinely small files. The open
+        # cost must scale with the target (1/128th, i.e. 256KB at the 32MB
+        # default): a FIXED cost >= the target would give every tiny file its
+        # own split and turn a 1-bin plan into one output file per input.
+        open_cost = min(256 * 1024, max(4 * 1024, self.target // 128))
+        self.spark.conf.set(self.OPEN_COST, str(open_cost))
         # ...and the default split size is min(maxPartitionBytes,
         # totalBytes/defaultParallelism) — per-core right-sizing that would
         # shatter a binpack scan into per-file tasks. minPartitionNum=1 makes

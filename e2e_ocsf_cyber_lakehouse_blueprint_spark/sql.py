@@ -1,0 +1,202 @@
+"""Maintenance SQL dialect — the Delta-utility statements reference users run.
+
+The reference operates its tables with Databricks SQL utilities (OPTIMIZE /
+VACUUM / RESTORE / DESCRIBE HISTORY / ALTER TABLE CLUSTER BY; e.g.
+`utilities/post_setup_ocsf_tables.py` issues ALTER ... CLUSTER BY). Queries
+and DML stay in Spark SQL over scan views; this module covers the
+table-maintenance statements the engine owns:
+
+    OPTIMIZE <tbl>
+    OPTIMIZE <tbl> ZORDER BY (conv_col[, turn_col[, ts_col]])
+    OPTIMIZE <tbl> HILBERT BY (conv_col[, turn_col[, ts_col]])
+    VACUUM <tbl> [RETAIN <n> HOURS]
+    RESTORE TABLE <tbl> TO VERSION AS OF <n>
+    RESTORE TABLE <tbl> TO TIMESTAMP AS OF '<iso-ts>'
+    DESCRIBE HISTORY <tbl>
+    ALTER TABLE <tbl> CLUSTER BY (c1[, ...])
+    ALTER TABLE <tbl> SET TBLPROPERTIES ('k'='v'[, ...])
+    ALTER TABLE <tbl> PARTITIONED BY (transform[, ...])
+        where transform is days(col) | bucket(n, col) | truncate(w, col) |
+        identity(col), each optionally `AS <field_name>`
+
+Statements are parsed with anchored regexes (this is a fixed utility grammar,
+not a general SQL engine) and dispatched to the corresponding maintenance
+job / Table DDL. `run_sql` returns the job's result object, or a DataFrame
+for DESCRIBE HISTORY.
+
+The Z-order/Hilbert column list maps positionally onto the engine's three
+curve dimensions (conversation id, turn index, timestamp); omitted trailing
+columns keep their defaults.
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from .format.catalog import Catalog
+from .format.partition import (
+    PartitionField, PartitionSpec, bucket, days, identity, truncate,
+)
+from .format.table import Table
+from .operators.clustering import ClusteringJob
+from .operators.compaction import CompactionJob
+from .operators.expire import ExpireSnapshotsJob
+
+_ID = r"[A-Za-z_][\w.$-]*"
+
+
+def _cols(s: str) -> list[str]:
+    return [c.strip().strip("`") for c in s.split(",") if c.strip()]
+
+
+_TRANSFORM_RE = re.compile(
+    rf"(?P<fn>days|bucket|truncate|identity)\s*\(\s*(?P<args>[^)]*)\)"
+    rf"(?:\s+AS\s+(?P<alias>{_ID}))?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _parse_transform(s: str) -> PartitionField:
+    m = _TRANSFORM_RE.match(s.strip())
+    if not m:
+        raise ValueError(f"unparseable partition transform: {s!r}")
+    fn = m.group("fn").lower()
+    args = _cols(m.group("args"))
+    alias = m.group("alias")
+    if fn == "days":
+        (col,) = args
+        return days(alias or f"{col}_day", col)
+    if fn == "identity":
+        (col,) = args
+        return identity(alias or col, col)
+    n, col = int(args[0]), args[1]
+    if fn == "bucket":
+        return bucket(alias or f"{col}_bucket", col, n)
+    return truncate(alias or f"{col}_trunc", col, n)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not inside parentheses (for transform lists)."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return [p.strip() for p in out if p.strip()]
+
+
+_STATEMENTS: list[tuple[re.Pattern, str]] = [
+    (re.compile(
+        rf"OPTIMIZE\s+(?P<tbl>{_ID})"
+        rf"(?:\s+(?P<curve>ZORDER|HILBERT)\s+BY\s*\((?P<cols>[^)]+)\))?\s*;?\s*$",
+        re.IGNORECASE), "optimize"),
+    (re.compile(
+        rf"VACUUM\s+(?P<tbl>{_ID})(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS?)?\s*;?\s*$",
+        re.IGNORECASE), "vacuum"),
+    (re.compile(
+        rf"RESTORE\s+TABLE\s+(?P<tbl>{_ID})\s+TO\s+VERSION\s+AS\s+OF\s+(?P<version>\d+)\s*;?\s*$",
+        re.IGNORECASE), "restore_version"),
+    (re.compile(
+        rf"RESTORE\s+TABLE\s+(?P<tbl>{_ID})\s+TO\s+TIMESTAMP\s+AS\s+OF\s+"
+        rf"'(?P<ts>[^']+)'\s*;?\s*$",
+        re.IGNORECASE), "restore_timestamp"),
+    (re.compile(
+        rf"DESCRIBE\s+HISTORY\s+(?P<tbl>{_ID})\s*;?\s*$", re.IGNORECASE),
+     "history"),
+    (re.compile(
+        rf"ALTER\s+TABLE\s+(?P<tbl>{_ID})\s+CLUSTER\s+BY\s*\((?P<cols>[^)]+)\)\s*;?\s*$",
+        re.IGNORECASE), "cluster_by"),
+    (re.compile(
+        rf"ALTER\s+TABLE\s+(?P<tbl>{_ID})\s+SET\s+TBLPROPERTIES\s*\((?P<props>.+)\)\s*;?\s*$",
+        re.IGNORECASE), "set_properties"),
+    (re.compile(
+        rf"ALTER\s+TABLE\s+(?P<tbl>{_ID})\s+PARTITIONED\s+BY\s*\((?P<transforms>.+)\)\s*;?\s*$",
+        re.IGNORECASE), "partitioned_by"),
+]
+
+_PROP_RE = re.compile(r"'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'")
+
+
+def run_sql(catalog: Catalog, statement: str) -> Any:
+    """Parse and execute one maintenance statement against ``catalog``."""
+    stmt = statement.strip()
+    for pattern, action in _STATEMENTS:
+        m = pattern.match(stmt)
+        if m is None:
+            continue
+        table = catalog.load_table(m.group("tbl"))
+        return _dispatch(action, table, m)
+    raise ValueError(f"unsupported maintenance statement: {statement!r}")
+
+
+def _dispatch(action: str, table: Table, m: re.Match) -> Any:
+    if action == "optimize":
+        result = CompactionJob(table).run()
+        curve = (m.group("curve") or "").lower()
+        if curve:
+            cols = _cols(m.group("cols"))
+            dims = dict(zip(("conv_col", "turn_col", "ts_col"), cols))
+            return ClusteringJob(table, curve=curve, **dims).run()
+        return result
+    if action == "vacuum":
+        hours = float(m.group("hours") or 0)
+        return ExpireSnapshotsJob(
+            table, grace_period_sec=hours * 3600.0
+        ).run()
+    if action == "restore_version":
+        return table.restore(int(m.group("version")))
+    if action == "restore_timestamp":
+        dt = datetime.datetime.fromisoformat(m.group("ts"))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=datetime.timezone.utc)
+        target = table.snapshot_as_of(int(dt.timestamp() * 1000))
+        return table.restore(target.snapshot_id)
+    if action == "history":
+        return history(table)
+    if action == "cluster_by":
+        table.set_cluster_keys(_cols(m.group("cols")))
+        return None
+    if action == "set_properties":
+        for pm in _PROP_RE.finditer(m.group("props")):
+            table.set_property(pm.group("k"), pm.group("v"))
+        return None
+    if action == "partitioned_by":
+        fields = [_parse_transform(p)
+                  for p in _split_top_level(m.group("transforms"))]
+        table.set_partition_spec(PartitionSpec.of(*fields))
+        return None
+    raise AssertionError(action)
+
+
+def history(table: Table) -> DataFrame:
+    """DESCRIBE HISTORY analogue: one row per snapshot, newest first."""
+    rows = [
+        (
+            s.snapshot_id,
+            datetime.datetime.fromtimestamp(
+                s.timestamp_ms / 1000.0, tz=datetime.timezone.utc
+            ).replace(tzinfo=None),
+            s.operation,
+            s.parent_snapshot_id,
+            {k: str(v) for k, v in (s.summary or {}).items()},
+        )
+        for s in sorted(table.snapshots,
+                        key=lambda s: s.sequence_number, reverse=True)
+    ]
+    return table.spark.createDataFrame(
+        rows,
+        "version long, timestamp timestamp_ntz, operation string, "
+        "parent_version long, summary map<string,string>",
+    )

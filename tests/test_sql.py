@@ -1,0 +1,130 @@
+"""Maintenance SQL dialect: every supported statement dispatches to the right
+job/DDL with the right arguments, and unsupported text fails loudly."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.catalog import Catalog
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.partition import (
+    PartitionSpec, days,
+)
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.sql import run_sql
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.sources.transcripts import (
+    SCHEMA_DDL, generate_transcripts,
+)
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    c = Catalog(spark, str(tmp_path / "wh"))
+    c.create_database("ops")
+    t = c.create_table(
+        "ops.transcripts", T.StructType.fromDDL(SCHEMA_DDL),
+        PartitionSpec.of(days("ts_day", "ts")),
+        properties={"write.target-file-size-bytes": str(256 * 1024)},
+    )
+    df = generate_transcripts(spark, n_convs=30, hot_convs=1, hot_turns=40,
+                              span_days=3).cache()
+    t.append(df, n_files=3)
+    t.append(df.withColumn("conv_id", F.concat("conv_id", F.lit("-b"))), n_files=3)
+    return c, df
+
+
+def _rows(t):
+    return sorted(tuple(r) for r in t.scan().collect())
+
+
+def test_optimize_compacts(cat):
+    c, _ = cat
+    t = c.load_table("ops.transcripts")
+    before_rows, before_files = _rows(t), len(t.live_data_files())
+    res = run_sql(c, "OPTIMIZE ops.transcripts")
+    t.refresh()
+    assert res.files_out < res.files_in
+    assert len(t.live_data_files()) < before_files
+    assert _rows(t) == before_rows
+
+
+def test_optimize_zorder_by(cat):
+    c, _ = cat
+    t = c.load_table("ops.transcripts")
+    before = _rows(t)
+    res = run_sql(c, "OPTIMIZE ops.transcripts ZORDER BY (conv_id, turn_idx, ts)")
+    t.refresh()
+    assert res.curve == "zorder"
+    assert _rows(t) == before
+
+
+def test_vacuum_retain_hours(cat, tmp_path):
+    c, _ = cat
+    t = c.load_table("ops.transcripts")
+    run_sql(c, "OPTIMIZE ops.transcripts")
+    run_sql(c, "OPTIMIZE ops.transcripts ZORDER BY (conv_id)")
+    res = run_sql(c, "VACUUM ops.transcripts RETAIN 0 HOURS")
+    assert res.expired_snapshot_ids
+    t.refresh()
+    assert len(t.snapshots) <= 4  # keep_last(3) + expire marker
+
+
+def test_restore_version_and_timestamp(cat):
+    c, df = cat
+    t = c.load_table("ops.transcripts")
+    s1 = t.snapshots[0]
+    n1 = t.scan(snapshot_id=s1.snapshot_id).count()
+    run_sql(c, f"RESTORE TABLE ops.transcripts TO VERSION AS OF {s1.snapshot_id}")
+    t.refresh()
+    assert t.scan().count() == n1
+    # roll forward again via timestamp of the second (larger) snapshot
+    s2 = t.snapshots[1]
+    iso = datetime.datetime.fromtimestamp(
+        s2.timestamp_ms / 1000.0, tz=datetime.timezone.utc
+    ).isoformat()
+    run_sql(c, f"RESTORE TABLE ops.transcripts TO TIMESTAMP AS OF '{iso}'")
+    t.refresh()
+    assert t.scan().count() == 2 * n1
+
+
+def test_describe_history(cat):
+    c, _ = cat
+    hist = run_sql(c, "DESCRIBE HISTORY ops.transcripts")
+    rows = hist.collect()
+    assert [r.operation for r in rows] == ["append", "append"]
+    assert rows[0].version > rows[1].version  # newest first
+    assert rows[0].summary["added-data-files"]
+
+
+def test_alter_cluster_by_and_properties(cat):
+    c, _ = cat
+    run_sql(c, "ALTER TABLE ops.transcripts CLUSTER BY (conv_id, ts)")
+    run_sql(c, "ALTER TABLE ops.transcripts SET TBLPROPERTIES "
+               "('stats.columns'='conv_id,ts', 'a.b'='1')")
+    t = c.load_table("ops.transcripts")
+    assert t.meta.cluster_keys == ["conv_id", "ts"]
+    assert t.meta.properties["a.b"] == "1"
+    assert t.stat_columns() == ["conv_id", "ts"]
+
+
+def test_alter_partitioned_by_evolves_spec(cat):
+    c, _ = cat
+    run_sql(c, "ALTER TABLE ops.transcripts PARTITIONED BY "
+               "(days(ts) AS ts_day, bucket(4, conv_id) AS conv_b4)")
+    t = c.load_table("ops.transcripts")
+    assert [f.name for f in t.spec.fields] == ["ts_day", "conv_b4"]
+    assert t.spec.fields[1].transform == "bucket[4]"
+    # name reuse with a different definition still rejected through SQL
+    with pytest.raises(ValueError, match="incomparable"):
+        run_sql(c, "ALTER TABLE ops.transcripts PARTITIONED BY "
+                   "(bucket(8, conv_id) AS conv_b4)")
+
+
+def test_unsupported_statement_raises(cat):
+    c, _ = cat
+    with pytest.raises(ValueError, match="unsupported"):
+        run_sql(c, "DROP TABLE ops.transcripts")
+    with pytest.raises(ValueError, match="unparseable"):
+        run_sql(c, "ALTER TABLE ops.transcripts PARTITIONED BY (years(ts))")
