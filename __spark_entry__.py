@@ -32,6 +32,7 @@ from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.partition import PartitionS
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.table import Table
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.compaction import CompactionJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.clustering import ClusteringJob
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.delete import DeleteJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.expire import ExpireSnapshotsJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.merge import MergeIntoJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.sources.transcripts import (
@@ -117,6 +118,19 @@ def q_maintain_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan(columns=_TCOLS)
 
 
+def q_maintain_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE FROM ... WHERE as copy-on-write maintenance (operators/delete.py):
+    a day-aligned retention delete whose matching files are removed METADATA-
+    ONLY (the days(ts) partitioning proves every row matches — no data moves),
+    then a predicate delete exercising SQL NULL semantics (rows where the
+    conjunction is UNKNOWN survive, exactly like Spark/Delta DELETE)."""
+    t = _make_transcript_table(spark, sf_dir, n_files=6)
+    r1 = DeleteJob(t, [("ts", "<", "2024-01-08 00:00:00")]).run()
+    assert r1.files_rewritten == 0 and r1.files_dropped > 0
+    DeleteJob(t, [("role", "=", "tool"), ("tool", "=", "search")]).run()
+    return t.scan(columns=_TCOLS)
+
+
 def _make_two_phase_table(spark: SparkSession, sf_dir: str):
     """Transcripts table built in two appends (even-turn half, odd-turn half);
     returns (table, snapshot_after_first_append) for read-path queries that
@@ -186,6 +200,13 @@ _SNAPSHOT_CHANGES_ORACLE = (
     f"WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL}) SELECT conv_id, turn_idx, role,"
     " text, tool, ts FROM t WHERE turn_idx % 2 = 1"
 )
+
+_DELETE_ORACLE = f"""
+WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+SELECT conv_id, turn_idx, role, text, tool, ts FROM t
+WHERE NOT COALESCE(ts < TIMESTAMP '2024-01-08 00:00:00', FALSE)
+  AND NOT COALESCE(role = 'tool' AND tool = 'search', FALSE)
+"""
 
 _MERGE_ORACLE = f"""
 WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
@@ -709,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintain_zorder": q_maintain_zorder,
         "maintain_hilbert": q_maintain_hilbert,
         "maintain_merge": q_maintain_merge,
+        "maintain_delete": q_maintain_delete,
         "maintain_expire": q_maintain_expire,
         "time_travel": q_time_travel,
         "snapshot_changes": q_snapshot_changes,
@@ -747,6 +769,7 @@ def oracle_sql() -> dict[str, str]:
         "maintain_zorder": _MAINT_ORACLE,
         "maintain_hilbert": _MAINT_ORACLE,
         "maintain_merge": _MERGE_ORACLE,
+        "maintain_delete": _DELETE_ORACLE,
         "maintain_expire": _EXPIRE_ORACLE,
         "time_travel": _TIME_TRAVEL_ORACLE,
         "snapshot_changes": _SNAPSHOT_CHANGES_ORACLE,

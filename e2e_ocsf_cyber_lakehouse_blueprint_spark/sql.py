@@ -9,6 +9,10 @@ table-maintenance statements the engine owns:
     OPTIMIZE <tbl>
     OPTIMIZE <tbl> ZORDER BY (conv_col[, turn_col[, ts_col]])
     OPTIMIZE <tbl> HILBERT BY (conv_col[, turn_col[, ts_col]])
+    DELETE FROM <tbl> WHERE <conjunction>
+        where each term is col {=|<|<=|>|>=} literal | col IN (lit, ...)
+        | col IS [NOT] NULL; literals are 'str', numbers, TIMESTAMP '<iso>'
+        or DATE '<iso>'
     VACUUM <tbl> [RETAIN <n> HOURS]
     RESTORE TABLE <tbl> TO VERSION AS OF <n>
     RESTORE TABLE <tbl> TO TIMESTAMP AS OF '<iso-ts>'
@@ -44,6 +48,7 @@ from .format.partition import (
 from .format.table import Table
 from .operators.clustering import ClusteringJob
 from .operators.compaction import CompactionJob
+from .operators.delete import DeleteJob
 from .operators.expire import ExpireSnapshotsJob
 
 _ID = r"[A-Za-z_][\w.$-]*"
@@ -97,7 +102,72 @@ def _split_top_level(s: str) -> list[str]:
     return [p.strip() for p in out if p.strip()]
 
 
+_TERM_RE = re.compile(
+    rf"(?P<col>{_ID})\s*(?:"
+    rf"(?P<cmp>=|<=|>=|<|>)\s*(?P<lit>.+)"
+    rf"|(?P<in>IN)\s*\((?P<list>[^)]+)\)"
+    rf"|IS\s+(?P<not>NOT\s+)?NULL"
+    rf")\s*$",
+    re.IGNORECASE,
+)
+
+
+def _parse_literal(s: str):
+    s = s.strip()
+    m = re.match(r"(?i)(TIMESTAMP|DATE)\s*'([^']*)'$", s)
+    if m:
+        v = datetime.datetime.fromisoformat(m.group(2).replace(" ", "T", 1))
+        return v.date() if m.group(1).upper() == "DATE" else v
+    if len(s) >= 2 and s[0] == "'" and s[-1] == "'":
+        return s[1:-1]
+    try:
+        return int(s)
+    except ValueError:
+        return float(s)
+
+
+def _split_on_and(s: str) -> list[str]:
+    """Split a WHERE body on top-level AND (outside quotes)."""
+    out, cur, in_q = [], [], False
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            in_q = not in_q
+        if not in_q and s[i:i + 3].upper() == "AND" and (i == 0 or s[i - 1].isspace()) \
+                and (i + 3 >= n or s[i + 3].isspace()):
+            out.append("".join(cur))
+            cur = []
+            i += 3
+            continue
+        cur.append(ch)
+        i += 1
+    out.append("".join(cur))
+    return [p.strip() for p in out if p.strip()]
+
+
+def parse_where(body: str) -> list[tuple]:
+    """WHERE conjunction -> the engine's predicate triples (plans/pruning.py)."""
+    preds = []
+    for term in _split_on_and(body):
+        m = _TERM_RE.match(term)
+        if not m:
+            raise ValueError(f"unparseable DELETE term: {term!r}")
+        col = m.group("col")
+        if m.group("cmp"):
+            preds.append((col, m.group("cmp"), _parse_literal(m.group("lit"))))
+        elif m.group("in"):
+            preds.append((col, "in",
+                          [_parse_literal(p) for p in m.group("list").split(",")]))
+        else:
+            preds.append((col, "isnull" if not m.group("not") else "notnull", None))
+    return preds
+
+
 _STATEMENTS: list[tuple[re.Pattern, str]] = [
+    (re.compile(
+        rf"DELETE\s+FROM\s+(?P<tbl>{_ID})\s+WHERE\s+(?P<where>.+?)\s*;?\s*$",
+        re.IGNORECASE), "delete"),
     (re.compile(
         rf"OPTIMIZE\s+(?P<tbl>{_ID})"
         rf"(?:\s+(?P<curve>ZORDER|HILBERT)\s+BY\s*\((?P<cols>[^)]+)\))?\s*;?\s*$",
@@ -142,6 +212,8 @@ def run_sql(catalog: Catalog, statement: str) -> Any:
 
 
 def _dispatch(action: str, table: Table, m: re.Match) -> Any:
+    if action == "delete":
+        return DeleteJob(table, parse_where(m.group("where"))).run()
     if action == "optimize":
         result = CompactionJob(table).run()
         curve = (m.group("curve") or "").lower()

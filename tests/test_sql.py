@@ -122,6 +122,47 @@ def test_alter_partitioned_by_evolves_spec(cat):
                    "(bucket(8, conv_id) AS conv_b4)")
 
 
+def test_delete_from_where(cat):
+    c, df = cat
+    t = c.load_table("ops.transcripts")
+    total = t.scan().count()
+    gone = t.scan().filter(
+        (F.col("role") == "tool") & (F.col("turn_idx") >= 2)
+    ).count()
+    res = run_sql(
+        c, "DELETE FROM ops.transcripts WHERE role = 'tool' AND turn_idx >= 2")
+    assert res.rows_deleted == gone
+    t.refresh()
+    assert t.scan().count() == total - gone
+    assert t.current_snapshot().operation == "delete"
+
+
+def test_delete_from_where_timestamp_literal(cat):
+    c, _ = cat
+    t = c.load_table("ops.transcripts")
+    cutoff = datetime.datetime(2025, 1, 2)
+    keep = t.scan().filter(~(F.col("ts") < F.lit(cutoff))).count()
+    run_sql(c, "DELETE FROM ops.transcripts WHERE ts < TIMESTAMP '2025-01-02 00:00:00'")
+    t.refresh()
+    assert t.scan().count() == keep
+
+
+def test_delete_from_where_in_and_null(cat):
+    c, _ = cat
+    t = c.load_table("ops.transcripts")
+    keep = t.scan().filter(
+        ~F.col("role").isin("system", "tool") | F.col("role").isNull()
+    ).count()
+    run_sql(c, "DELETE FROM ops.transcripts WHERE role IN ('system', 'tool')")
+    t.refresh()
+    assert t.scan().count() == keep
+    n_null_tool = t.scan().filter(F.col("tool").isNull()).count()
+    run_sql(c, "DELETE FROM ops.transcripts WHERE tool IS NULL")
+    t.refresh()
+    assert t.scan().filter(F.col("tool").isNull()).count() == 0
+    assert n_null_tool > 0
+
+
 def test_unsupported_statement_raises(cat):
     c, _ = cat
     with pytest.raises(ValueError, match="unsupported"):
