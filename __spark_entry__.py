@@ -33,6 +33,7 @@ from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.table import Table
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.compaction import CompactionJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.clustering import ClusteringJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.delete import DeleteJob
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.update import UpdateJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.expire import ExpireSnapshotsJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.merge import MergeIntoJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.sources.transcripts import (
@@ -131,6 +132,19 @@ def q_maintain_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan(columns=_TCOLS)
 
 
+def q_maintain_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... SET ... WHERE as copy-on-write maintenance
+    (operators/update.py): write-side stats pruning picks the candidate
+    files, matched rows get the assignments (RHS over OLD values, cast back
+    to the declared type), UNKNOWN/FALSE rows are copied unchanged."""
+    t = _make_transcript_table(spark, sf_dir, n_files=6)
+    UpdateJob(
+        t, [("role", "=", "tool")],
+        {"text": "concat('redacted:', text)", "tool": "coalesce(tool, 'none')"},
+    ).run()
+    return t.scan(columns=_TCOLS)
+
+
 def _make_two_phase_table(spark: SparkSession, sf_dir: str):
     """Transcripts table built in two appends (even-turn half, odd-turn half);
     returns (table, snapshot_after_first_append) for read-path queries that
@@ -200,6 +214,17 @@ _SNAPSHOT_CHANGES_ORACLE = (
     f"WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL}) SELECT conv_id, turn_idx, role,"
     " text, tool, ts FROM t WHERE turn_idx % 2 = 1"
 )
+
+_UPDATE_ORACLE = f"""
+WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+SELECT conv_id, turn_idx, role,
+  CASE WHEN COALESCE(role = 'tool', FALSE)
+       THEN 'redacted:' || text ELSE text END AS text,
+  CASE WHEN COALESCE(role = 'tool', FALSE)
+       THEN COALESCE(tool, 'none') ELSE tool END AS tool,
+  ts
+FROM t
+"""
 
 _DELETE_ORACLE = f"""
 WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
@@ -731,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintain_hilbert": q_maintain_hilbert,
         "maintain_merge": q_maintain_merge,
         "maintain_delete": q_maintain_delete,
+        "maintain_update": q_maintain_update,
         "maintain_expire": q_maintain_expire,
         "time_travel": q_time_travel,
         "snapshot_changes": q_snapshot_changes,
@@ -770,6 +796,7 @@ def oracle_sql() -> dict[str, str]:
         "maintain_hilbert": _MAINT_ORACLE,
         "maintain_merge": _MERGE_ORACLE,
         "maintain_delete": _DELETE_ORACLE,
+        "maintain_update": _UPDATE_ORACLE,
         "maintain_expire": _EXPIRE_ORACLE,
         "time_travel": _TIME_TRAVEL_ORACLE,
         "snapshot_changes": _SNAPSHOT_CHANGES_ORACLE,

@@ -94,6 +94,33 @@ def _all_rows_match(f: DataFile, col: str, op: str, value,
     return False
 
 
+def record_rewrite_lineage(table: Table, job_type: str, snap,
+                           removed: list[DataFile], outs: list[DataFile]) -> None:
+    """Per-partition input->output lineage for a copy-on-write rewrite commit
+    (the audit ledger contract shared by DELETE and UPDATE)."""
+    job_id = f"{job_type}-{snap.parent_snapshot_id or 0}-{snap.snapshot_id}"
+    ledger = Ledger(table.location, job_id, job_type)
+    by_part_in: dict[str, list[str]] = {}
+    part_of: dict[str, dict] = {}
+    for f in removed:
+        k = partition_key(f.partition)
+        by_part_in.setdefault(k, []).append(f.path)
+        part_of.setdefault(k, f.partition)
+    by_part_out: dict[str, list[DataFile]] = {}
+    for f in outs:
+        by_part_out.setdefault(partition_key(f.partition), []).append(f)
+        part_of.setdefault(partition_key(f.partition), f.partition)
+    for k in sorted(set(by_part_in) | set(by_part_out)):
+        po = by_part_out.get(k, [])
+        ledger.record_partition(
+            part_of[k], by_part_in.get(k, []), po,
+            rows=sum(f.record_count for f in po),
+            bytes_written=sum(f.file_size_bytes for f in po),
+            spill_bytes=0,
+        )
+    ledger.record_job_done({"snapshot_id": snap.snapshot_id})
+
+
 class DeleteJob:
     """``DELETE FROM table WHERE <conjunction>`` as a resumable-commit job."""
 
@@ -168,27 +195,7 @@ class DeleteJob:
             },
         )
 
-        job_id = f"delete-{snap.parent_snapshot_id or 0}-{snap.snapshot_id}"
-        ledger = Ledger(table.location, job_id, "delete")
-        by_part_in: dict[str, list[str]] = {}
-        part_of: dict[str, dict] = {}
-        for f in removed:
-            k = partition_key(f.partition)
-            by_part_in.setdefault(k, []).append(f.path)
-            part_of.setdefault(k, f.partition)
-        by_part_out: dict[str, list[DataFile]] = {}
-        for f in outs:
-            by_part_out.setdefault(partition_key(f.partition), []).append(f)
-            part_of.setdefault(partition_key(f.partition), f.partition)
-        for k in sorted(set(by_part_in) | set(by_part_out)):
-            po = by_part_out.get(k, [])
-            ledger.record_partition(
-                part_of[k], by_part_in.get(k, []), po,
-                rows=sum(f.record_count for f in po),
-                bytes_written=sum(f.file_size_bytes for f in po),
-                spill_bytes=0,
-            )
-        ledger.record_job_done({"snapshot_id": snap.snapshot_id})
+        record_rewrite_lineage(table, "delete", snap, removed, outs)
 
         return DeleteResult(
             snapshot_id=snap.snapshot_id,

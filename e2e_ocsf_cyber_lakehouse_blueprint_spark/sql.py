@@ -13,6 +13,8 @@ table-maintenance statements the engine owns:
         where each term is col {=|<|<=|>|>=} literal | col IN (lit, ...)
         | col IS [NOT] NULL; literals are 'str', numbers, TIMESTAMP '<iso>'
         or DATE '<iso>'
+    UPDATE <tbl> SET col = <sql-expr>[, ...] [WHERE <conjunction>]
+        right-hand sides are Spark SQL expressions over the OLD row values
     VACUUM <tbl> [RETAIN <n> HOURS]
     RESTORE TABLE <tbl> TO VERSION AS OF <n>
     RESTORE TABLE <tbl> TO TIMESTAMP AS OF '<iso-ts>'
@@ -50,6 +52,7 @@ from .operators.clustering import ClusteringJob
 from .operators.compaction import CompactionJob
 from .operators.delete import DeleteJob
 from .operators.expire import ExpireSnapshotsJob
+from .operators.update import UpdateJob
 
 _ID = r"[A-Za-z_][\w.$-]*"
 
@@ -164,10 +167,27 @@ def parse_where(body: str) -> list[tuple]:
     return preds
 
 
+def parse_set(body: str) -> dict[str, str]:
+    """SET assignment list -> {column: sql expression} (comma split is
+    parenthesis-aware; string literals containing top-level commas are not
+    supported by this utility grammar)."""
+    out: dict[str, str] = {}
+    for part in _split_top_level(body):
+        m = re.match(rf"(?P<col>{_ID})\s*=\s*(?P<expr>.+)$", part.strip(), re.S)
+        if not m:
+            raise ValueError(f"unparseable SET assignment: {part!r}")
+        out[m.group("col")] = m.group("expr").strip()
+    return out
+
+
 _STATEMENTS: list[tuple[re.Pattern, str]] = [
     (re.compile(
         rf"DELETE\s+FROM\s+(?P<tbl>{_ID})\s+WHERE\s+(?P<where>.+?)\s*;?\s*$",
         re.IGNORECASE), "delete"),
+    (re.compile(
+        rf"UPDATE\s+(?P<tbl>{_ID})\s+SET\s+(?P<set>.+?)"
+        rf"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+        re.IGNORECASE), "update"),
     (re.compile(
         rf"OPTIMIZE\s+(?P<tbl>{_ID})"
         rf"(?:\s+(?P<curve>ZORDER|HILBERT)\s+BY\s*\((?P<cols>[^)]+)\))?\s*;?\s*$",
@@ -214,6 +234,11 @@ def run_sql(catalog: Catalog, statement: str) -> Any:
 def _dispatch(action: str, table: Table, m: re.Match) -> Any:
     if action == "delete":
         return DeleteJob(table, parse_where(m.group("where"))).run()
+    if action == "update":
+        where = m.group("where")
+        return UpdateJob(
+            table, parse_where(where) if where else [], parse_set(m.group("set"))
+        ).run()
     if action == "optimize":
         result = CompactionJob(table).run()
         curve = (m.group("curve") or "").lower()

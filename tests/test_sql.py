@@ -163,6 +163,30 @@ def test_delete_from_where_in_and_null(cat):
     assert n_null_tool > 0
 
 
+def test_update_set_where(cat):
+    c, _ = cat
+    t = c.load_table("ops.transcripts")
+    n_assist = t.scan().filter(F.col("role") == "assistant").count()
+    res = run_sql(
+        c, "UPDATE ops.transcripts SET text = concat('v2:', text), "
+           "tool = 'rewriter' WHERE role = 'assistant'")
+    assert res.rows_updated == n_assist
+    t.refresh()
+    got = t.scan().filter(F.col("role") == "assistant")
+    assert got.filter(F.col("text").startswith("v2:")).count() == n_assist
+    assert got.filter(F.col("tool") == "rewriter").count() == n_assist
+
+
+def test_update_without_where_touches_all(cat):
+    c, _ = cat
+    t = c.load_table("ops.transcripts")
+    total = t.scan().count()
+    res = run_sql(c, "UPDATE ops.transcripts SET tool = coalesce(tool, 'none')")
+    assert res.rows_updated == total
+    t.refresh()
+    assert t.scan().filter(F.col("tool").isNull()).count() == 0
+
+
 def test_unsupported_statement_raises(cat):
     c, _ = cat
     with pytest.raises(ValueError, match="unsupported"):
