@@ -264,10 +264,27 @@ def run_once(sf_dir: str, cpus: int, *, maintenance_only: bool = False,
                       app_name=f"bench-{cpus}")
     sf = _sf_of(sf_dir)
     workdir = tempfile.mkdtemp(prefix=f"bench-{cpus}-", dir=BENCH_WORKROOT)
+    # The host shows one-sided CPU-steal noise (identical back-to-back runs
+    # measured 67s vs 27s core); a single shot is a lottery. Default to
+    # best-of-2 trials of the maintenance pipeline with per-phase minima —
+    # the same estimator the scaling protocol uses (BENCH/BASELINE.md).
+    trials = max(1, int(os.environ.get("BENCH_MAINT_TRIALS", "2")))
     try:
-        maint = _maintenance_bench(
-            spark, sf, workdir, cpus=cpus, core_only=core_only,
-            turns_scale=int(os.environ.get("BENCH_TURNS_SCALE", "8000000")))
+        maint = None
+        for i in range(trials):
+            wd = os.path.join(workdir, f"t{i}")
+            os.makedirs(wd, exist_ok=True)
+            m = _maintenance_bench(
+                spark, sf, wd, cpus=cpus, core_only=core_only,
+                turns_scale=int(os.environ.get("BENCH_TURNS_SCALE", "8000000")))
+            if maint is None:
+                maint = m
+            else:
+                for k, v in m["timings"].items():
+                    if not k.endswith("_frac"):
+                        maint["timings"][k] = min(maint["timings"][k], v)
+        core = maint["timings"]["compact"] + maint["timings"]["cluster_zorder"]
+        maint["throughput_turns_per_sec"] = round(maint["turns"] / core, 1)
         queries = dict(maint["timings"])
         if not maintenance_only:
             queries.update(_query_bench(spark, sf_dir))
@@ -281,6 +298,7 @@ def run_once(sf_dir: str, cpus: int, *, maintenance_only: bool = False,
             "cpus": cpus,
             "turns": maint["turns"],
             "throughput_turns_per_sec": maint["throughput_turns_per_sec"],
+            "maint_trials": trials,
         }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

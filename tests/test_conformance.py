@@ -1,14 +1,15 @@
 """Gold conformance (SURVEY.md §5): randomized-but-seeded op sequences.
 
 A small Zipf-skewed transcripts table undergoes a random sequence of
-maintenance ops (append / compact / cluster / merge / expire+GC / restore /
-partition-spec evolve); after EVERY op the full scan must equal a
+maintenance ops (append / compact / cluster / merge / delete / update /
+expire+GC / restore / partition-spec evolve); after EVERY op the full scan
+must equal a
 plain-DataFrame oracle maintained step-by-step — per-turn text equality under
 stable (conv_id, turn_idx, ts) ordering, the north_rule invariant. Covers op
 interactions no single-op test sees (merge right after cluster, expire after
-merge, compact across a spec evolution, restore then expire). Seeds are
-chosen so every sequence contains restore, a rewrite after an evolve, and
-merge+append."""
+merge, compact across a spec evolution, restore then expire, delete after
+cluster, update before merge). Seeds are chosen so the three sequences
+together cover every op, a restore, and a rewrite after an evolve."""
 
 from __future__ import annotations
 
@@ -25,7 +26,9 @@ from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.table import Table
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.clustering import ClusteringJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.compaction import CompactionJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.expire import ExpireSnapshotsJob
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.delete import DeleteJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.merge import MergeIntoJob
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.update import UpdateJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.sources.transcripts import (
     SCHEMA_DDL, generate_transcripts,
 )
@@ -66,7 +69,8 @@ def test_op_sequence_conformance(spark, tmp_path, seed):
         PartitionSpec.of(days("ts_day", "ts"), bucket("conv_bucket4", "conv_id", 4)),
     ]
 
-    ops = ["append", "compact", "cluster", "merge", "expire", "restore", "evolve"]
+    ops = ["append", "compact", "cluster", "merge", "expire", "restore",
+           "evolve", "delete", "update"]
     seq = [rng.choice(ops) for _ in range(8)]
     for step, op in enumerate(seq):
         if op == "append":
@@ -104,6 +108,27 @@ def test_op_sequence_conformance(spark, tmp_path, seed):
                 oracle = hist[sid]
         elif op == "evolve":
             t.set_partition_spec(specs[rng.randrange(len(specs))])
+        elif op == "delete":
+            # delete one turn stripe of one conv-hash bucket; NULL-semantics
+            # guard: predicate columns are non-null in the fixture
+            m = step % 3 + 3
+            DeleteJob(t, [("turn_idx", "<", m), ("role", "=", "user")]).run()
+            oracle = oracle.filter(
+                ~((F.col("turn_idx") < m) & (F.col("role") == "user"))).cache()
+        elif op == "update":
+            m = step % 4
+            UpdateJob(
+                t, [("turn_idx", "=", m)],
+                {"text": f"concat('u{step}:', text)", "tool": "coalesce(tool, 'none')"},
+            ).run()
+            hit = F.col("turn_idx") == m
+            oracle = oracle.withColumn(
+                "text", F.when(hit, F.concat(F.lit(f"u{step}:"), F.col("text")))
+                         .otherwise(F.col("text"))
+            ).withColumn(
+                "tool", F.when(hit, F.coalesce(F.col("tool"), F.lit("none")))
+                         .otherwise(F.col("tool"))
+            ).cache()
         hist[t.current_snapshot().snapshot_id] = oracle
         got = rows(t.scan())
         want = rows(oracle)
