@@ -39,6 +39,12 @@ MANIFEST_ENTRY_SCHEMA = {
         {"name": "lower_bounds", "type": {"type": "map", "values": "string"}},
         {"name": "upper_bounds", "type": {"type": "map", "values": "string"}},
         {"name": "null_counts", "type": {"type": "map", "values": "long"}},
+        # content: "data" | "posdel" (positional-delete file: rows of
+        # (file_path, pos) marking deleted row positions — Iceberg v2 /
+        # Delta deletion-vector analogue). covered_paths lists the data files
+        # a posdel file references, for scan scoping and staleness cleanup.
+        {"name": "content", "type": "string"},
+        {"name": "covered_paths", "type": {"type": "array", "items": "string"}},
     ],
 }
 
@@ -100,6 +106,8 @@ class DataFile:
     upper_bounds: dict[str, str] = field(default_factory=dict)
     null_counts: dict[str, int] = field(default_factory=dict)
     file_format: str = "parquet"
+    content: str = "data"
+    covered_paths: list[str] = field(default_factory=list)
 
     def to_entry(self, status: int, snapshot_id: int) -> dict:
         return {
@@ -113,6 +121,8 @@ class DataFile:
             "lower_bounds": self.lower_bounds,
             "upper_bounds": self.upper_bounds,
             "null_counts": self.null_counts,
+            "content": self.content,
+            "covered_paths": self.covered_paths,
         }
 
     @staticmethod
@@ -126,6 +136,8 @@ class DataFile:
             upper_bounds=e["upper_bounds"],
             null_counts=e["null_counts"],
             file_format=e.get("file_format", "parquet"),
+            content=e.get("content", "data"),
+            covered_paths=list(e.get("covered_paths") or []),
         )
 
 
@@ -163,13 +175,18 @@ def read_manifest(path: str) -> list[dict]:
     return entries
 
 
-def live_files(manifest_paths: list[str]) -> list[DataFile]:
-    """All non-deleted data files across the given manifests."""
+def live_files(manifest_paths: list[str], content: str = "data") -> list[DataFile]:
+    """All non-deleted entries of the given content kind across the manifests
+    (``content="data"`` for data files, ``"posdel"`` for positional-delete
+    files, ``None`` for everything)."""
     out: list[DataFile] = []
     for mp in manifest_paths:
         for e in read_manifest(mp):
-            if e["status"] != STATUS_DELETED:
-                out.append(DataFile.from_entry(e))
+            if e["status"] == STATUS_DELETED:
+                continue
+            if content is not None and e.get("content", "data") != content:
+                continue
+            out.append(DataFile.from_entry(e))
     return out
 
 
@@ -219,6 +236,8 @@ def manifest_entries_df(spark, manifest_paths: list[str], *,
             for mp in pdf["manifest"]:
                 for e in read_manifest(mp):
                     if e["status"] == STATUS_DELETED:
+                        continue
+                    if e.get("content", "data") != "data":
                         continue
                     row = [e["path"], e["partition"], e["record_count"],
                            e["file_size_bytes"]]

@@ -143,6 +143,13 @@ class Table:
     # ---------------------------------------------------------------- files
 
     def live_data_files(self, snapshot_id: int | None = None) -> list[DataFile]:
+        return self._live_files(snapshot_id, "data")
+
+    def live_delete_files(self, snapshot_id: int | None = None) -> list[DataFile]:
+        """Positional-delete (deletion-vector) files live in the snapshot."""
+        return self._live_files(snapshot_id, "posdel")
+
+    def _live_files(self, snapshot_id: int | None, content: str | None) -> list[DataFile]:
         s = (
             self.meta.snapshot_by_id(snapshot_id)
             if snapshot_id is not None
@@ -151,7 +158,7 @@ class Table:
         if s is None:
             return []
         manifests = [m["path"] for m in mf.read_manifest_list(s.manifest_list)]
-        return mf.live_files(manifests)
+        return mf.live_files(manifests, content)
 
     def plan_scan(
         self,
@@ -175,16 +182,81 @@ class Table:
                 raise ValueError("pass snapshot_id or as_of_timestamp_ms, not both")
             snapshot_id = self.snapshot_as_of(as_of_timestamp_ms).snapshot_id
         files = self.plan_scan(predicates, snapshot_id)
-        schema = self.schema
-        if not files:
-            df = self.spark.createDataFrame([], schema)
-        else:
-            df = self.spark.read.schema(schema).parquet(*[f.path for f in files])
+        df = self.read_data_files(files, snapshot_id=snapshot_id)
         if predicates:
             df = df.filter(self._residual(predicates))  # residual: correctness
         if columns:
             df = df.select(*columns)
         return df
+
+    def read_data_files(
+        self,
+        files: Sequence[DataFile],
+        *,
+        snapshot_id: int | None = None,
+        delete_files: Sequence[DataFile] | None = None,
+    ) -> DataFrame:
+        """Read data files with the snapshot's positional deletes applied.
+
+        Files with no outstanding deletes take the plain parquet scan (the hot
+        path costs nothing when the table has no deletion vectors). Covered
+        files get `(_metadata.file_path, _metadata.row_index)` and a broadcast
+        LEFT ANTI join against the (small, metadata-sized) delete rows — a
+        narrow, shuffle-free operator that preserves scan-task partitioning,
+        so downstream sortWithinPartitions contracts still hold. Every
+        maintenance rewrite reads through here, which is what folds deletion
+        vectors into rewritten files."""
+        schema = self.schema
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        dels = (list(delete_files) if delete_files is not None
+                else self.live_delete_files(snapshot_id))
+        scanned = {f.path for f in files}
+        hit = [d for d in dels if scanned.intersection(d.covered_paths)]
+        if not hit:
+            return self.spark.read.schema(schema).parquet(*[f.path for f in files])
+        covered = set()
+        for d in hit:
+            covered.update(d.covered_paths)
+        clean = [f.path for f in files if f.path not in covered]
+        dirty = [f.path for f in files if f.path in covered]
+        raw = (
+            self.spark.read.schema(schema).parquet(*dirty)
+            .withColumn("_fp", F.regexp_replace(F.col("_metadata.file_path"),
+                                                "^file:(//)?", ""))
+            .withColumn("_pos", F.col("_metadata.row_index"))
+        )
+        ddf = (
+            self.spark.read.parquet(*[d.path for d in hit])
+            .select(F.col("file_path").alias("_fp"), F.col("pos").alias("_pos"))
+        )
+        out = (
+            raw.join(F.broadcast(ddf), ["_fp", "_pos"], "left_anti")
+            .drop("_fp", "_pos")
+        )
+        if clean:
+            out = self.spark.read.schema(schema).parquet(*clean).unionByName(out)
+        return out
+
+    def deleted_row_count(
+        self,
+        files: Sequence[DataFile],
+        delete_files: Sequence[DataFile] | None = None,
+    ) -> int:
+        """Rows of ``files`` masked by positional deletes (reads only the
+        metadata-sized delete parquet, never the data files). Lets callers
+        correct manifest ``record_count`` sums to LIVE row counts."""
+        dels = (list(delete_files) if delete_files is not None
+                else self.live_delete_files())
+        paths = {f.path for f in files}
+        hit = [d for d in dels if paths.intersection(d.covered_paths)]
+        if not hit:
+            return 0
+        return (
+            self.spark.read.parquet(*[d.path for d in hit])
+            .filter(F.col("file_path").isin(list(paths)))
+            .count()
+        )
 
     def changes_between(
         self,
@@ -445,32 +517,53 @@ class Table:
             old_records = (
                 mf.read_manifest_list(parent.manifest_list) if parent else []
             )
+            # pass 1: read every manifest once; the post-rewrite live DATA
+            # set decides which positional-delete files went stale (all their
+            # covered files rewritten away -> the delete rows can never match
+            # a scanned row again) and ride along in this commit's removals.
+            loaded = [(rec, mf.read_manifest(rec["path"])) for rec in old_records]
             live = set()
-            new_records = []
-            for rec in old_records:
-                entries = mf.read_manifest(rec["path"])
-                paths = {e["path"] for e in entries if e["status"] != mf.STATUS_DELETED}
-                live |= paths
-                hit = paths & deleted
-                if not hit:
-                    new_records.append(rec)
-                    continue
-                survivors = [
-                    DataFile.from_entry(e)
-                    for e in entries
-                    if e["status"] != mf.STATUS_DELETED and e["path"] not in deleted
-                ]
-                if survivors:
-                    mpath = self._new_manifest_path()
-                    new_records.append(
-                        mf.write_manifest(mpath, survivors, sid, mf.STATUS_EXISTING)
-                    )
+            live_data_after = set()
+            for _, entries in loaded:
+                for e in entries:
+                    if e["status"] == mf.STATUS_DELETED:
+                        continue
+                    live.add(e["path"])
+                    if (e.get("content", "data") == "data"
+                            and e["path"] not in deleted):
+                        live_data_after.add(e["path"])
             missing = deleted - live
             if missing:
                 raise CommitConflict(
                     f"{len(missing)} files to replace are no longer live "
                     f"(concurrent rewrite): {sorted(missing)[:3]}..."
                 )
+            stale_posdel = {
+                e["path"]
+                for _, entries in loaded
+                for e in entries
+                if e["status"] != mf.STATUS_DELETED
+                and e.get("content", "data") == "posdel"
+                and e["path"] not in deleted
+                and not live_data_after.intersection(e.get("covered_paths") or [])
+            }
+            drop = deleted | stale_posdel
+            new_records = []
+            for rec, entries in loaded:
+                paths = {e["path"] for e in entries if e["status"] != mf.STATUS_DELETED}
+                if not (paths & drop):
+                    new_records.append(rec)
+                    continue
+                survivors = [
+                    DataFile.from_entry(e)
+                    for e in entries
+                    if e["status"] != mf.STATUS_DELETED and e["path"] not in drop
+                ]
+                if survivors:
+                    mpath = self._new_manifest_path()
+                    new_records.append(
+                        mf.write_manifest(mpath, survivors, sid, mf.STATUS_EXISTING)
+                    )
             if added_files:
                 mpath = self._new_manifest_path()
                 new_records.append(

@@ -115,11 +115,12 @@ def write_group_binpack(table: Table, group: RewriteGroup,
     Union of single-partition children into ONE partition, serializing the
     whole group (measured: 47 bins -> 1 task)."""
     spec = table.spec
+    dels = table.live_delete_files()
 
     def child(plan):
-        df = table.spark.read.schema(table.schema).parquet(
-            *[f.path for f in plan.input_files]
-        )
+        # broadcast-anti DV application is narrow: scan-task partitioning (the
+        # bins) and per-task ordering survive, so the zero-shuffle contract holds
+        df = table.read_data_files(plan.input_files, delete_files=dels)
         return df.sortWithinPartitions(*sort_keys)
 
     # DataFrame construction costs a driver round trip per child (file-index
@@ -148,8 +149,8 @@ def write_group_global_range(table: Table, group: RewriteGroup, key_col_name: st
     effect is an occasional extra sub-target-size file, which the next
     compaction pass folds in."""
     spec = table.spec
-    paths = [f.path for p in group.plans for f in p.input_files]
-    df = table.spark.read.schema(table.schema).parquet(*paths)
+    files = [f for p in group.plans for f in p.input_files]
+    df = table.read_data_files(files)
     df = df.withColumn(key_col_name, key_expr)
     df = spec.with_partition_columns(df)
     keys = spec.column_names + [key_col_name]

@@ -53,6 +53,9 @@ class DeleteResult:
     rows_deleted: int
     elapsed_sec: float = 0.0
     spill_bytes: int = 0
+    mode: str = "copy-on-write"
+    files_marked: int = 0       # merge-on-read: data files covered by new DVs
+    delete_files_written: int = 0
 
 
 def _all_rows_match(f: DataFile, col: str, op: str, value,
@@ -125,11 +128,17 @@ class DeleteJob:
     """``DELETE FROM table WHERE <conjunction>`` as a resumable-commit job."""
 
     def __init__(self, table: Table, predicates: Sequence[Predicate],
-                 *, sort_keys: Sequence[str] | None = None):
+                 *, sort_keys: Sequence[str] | None = None,
+                 mode: str | None = None):
         if not predicates:
             raise ValueError("DELETE without predicates: use drop/expire paths")
+        if mode is None:
+            mode = table.meta.properties.get("write.delete.mode", "copy-on-write")
+        if mode not in ("copy-on-write", "merge-on-read"):
+            raise ValueError(f"unknown delete mode {mode!r}")
         self.table = table
         self.predicates = list(predicates)
+        self.mode = mode
         if sort_keys is None:
             cols = {f.name for f in table.schema.fields}
             sort_keys = [c for c in ("conv_id", "turn_idx") if c in cols]
@@ -166,9 +175,11 @@ class DeleteJob:
                                 time.time() - t0, 0)
         spark = table.spark
         schema = table.schema
+        if self.mode == "merge-on-read":
+            return self._run_mor(untouched, dropped, rewrite, t0)
         outs: list[DataFile] = []
         if rewrite:
-            df = spark.read.schema(schema).parquet(*[f.path for f in rewrite])
+            df = table.read_data_files(rewrite)
             # delete iff predicate is TRUE; UNKNOWN (NULL) rows are kept
             pred = table._residual(self.predicates)
             survivors = df.filter(~F.coalesce(pred, F.lit(False)))
@@ -207,4 +218,106 @@ class DeleteJob:
             rows_deleted=n_in - n_out,
             elapsed_sec=time.time() - t0,
             spill_bytes=spill_metrics(spark),
+        )
+
+    def _run_mor(self, untouched: list[DataFile], dropped: list[DataFile],
+                 straddling: list[DataFile], t0: float) -> DeleteResult:
+        """Merge-on-read: matching rows in straddling files are MARKED in a
+        positional-delete (deletion-vector) file — (file_path, pos) rows
+        keyed by ``_metadata`` — instead of rewriting data. Provably
+        all-matching files are still dropped metadata-only (strictly cheaper
+        than marking every row). A 100 TB predicate delete therefore moves
+        only the DV bytes; compaction later folds DVs into rewritten files
+        and the commit path retires DVs whose covered files are all gone."""
+        import os
+        import uuid
+
+        table = self.table
+        spark = table.spark
+        n_total = len(untouched) + len(dropped) + len(straddling)
+        dels = table.live_delete_files()
+        outs: list[DataFile] = []
+        n_marked = 0
+        if straddling:
+            pred = table._residual(self.predicates)
+            raw = (
+                spark.read.schema(table.schema)
+                .parquet(*[f.path for f in straddling])
+                .withColumn("file_path",
+                            F.regexp_replace(F.col("_metadata.file_path"),
+                                             "^file:(//)?", ""))
+                .withColumn("pos", F.col("_metadata.row_index"))
+            )
+            marks = (raw.filter(F.coalesce(pred, F.lit(False)))
+                        .select("file_path", "pos"))
+            # never re-mark rows an existing DV already deletes (keeps DV row
+            # sets disjoint, so counts add and scans can union DVs blindly)
+            prior = [d for d in dels
+                     if {f.path for f in straddling}.intersection(d.covered_paths)]
+            if prior:
+                existing = (spark.read.parquet(*[d.path for d in prior])
+                            .select("file_path", "pos"))
+                marks = marks.join(F.broadcast(existing),
+                                   ["file_path", "pos"], "left_anti")
+            staging = os.path.join(table.location, "data",
+                                   f"posdel-{uuid.uuid4().hex[:12]}")
+            # range-partition by file_path so each DV file covers a contiguous
+            # slice of data files (localized covered_paths, prunable scans)
+            n_dv_files = max(1, len(straddling) // 64)
+            marks.repartitionByRange(n_dv_files, "file_path", "pos") \
+                 .write.mode("error").parquet(staging)
+            info = (
+                spark.read.parquet(staging)
+                .groupBy(F.regexp_replace(F.col("_metadata.file_path"),
+                                          "^file:(//)?", "").alias("_dv"))
+                .agg(F.count("*").alias("n"),
+                     F.collect_set("file_path").alias("covered"),
+                     F.min("file_path").alias("lo"),
+                     F.max("file_path").alias("hi"))
+            ).collect()
+            from ..format.manifest import encode_bound
+            for r in info:
+                outs.append(DataFile(
+                    path=r["_dv"], partition={}, record_count=r["n"],
+                    file_size_bytes=os.path.getsize(r["_dv"]),
+                    lower_bounds={"file_path": encode_bound(r["lo"])},
+                    upper_bounds={"file_path": encode_bound(r["hi"])},
+                    content="posdel", covered_paths=sorted(r["covered"]),
+                ))
+                n_marked += r["n"]
+
+        n_dropped_live = (sum(f.record_count for f in dropped)
+                          - table.deleted_row_count(dropped, dels))
+        if not dropped and not outs:
+            return DeleteResult(None, n_total, n_total, 0, 0, 0, 0,
+                                time.time() - t0, 0, mode=self.mode)
+        snap = table.commit_rewrite(
+            [f.path for f in dropped], outs, operation="delete",
+            summary_extra={
+                "job": "delete",
+                "mode": "merge-on-read",
+                "predicates": " AND ".join(
+                    f"{c} {op} {v!r}" for c, op, v in self.predicates),
+                "deleted-records": n_dropped_live + n_marked,
+                "dropped-whole-files": len(dropped),
+                "delete-files-written": len(outs),
+            },
+        )
+        record_rewrite_lineage(table, "delete", snap, dropped, outs)
+        covered = set()
+        for d in outs:
+            covered.update(d.covered_paths)
+        return DeleteResult(
+            snapshot_id=snap.snapshot_id,
+            files_total=n_total,
+            files_untouched=len(untouched),
+            files_dropped=len(dropped),
+            files_rewritten=0,
+            files_written=0,
+            rows_deleted=n_dropped_live + n_marked,
+            elapsed_sec=time.time() - t0,
+            spill_bytes=spill_metrics(spark),
+            mode=self.mode,
+            files_marked=len(covered),
+            delete_files_written=len(outs),
         )

@@ -179,10 +179,9 @@ class MergeIntoJob:
         affected, _untouched = _scope_files(table, source, self.key_cols[0])
         spark = table.spark
 
-        if affected:
-            tgt = spark.read.schema(schema).parquet(*[f.path for f in affected])
-        else:
-            tgt = spark.createDataFrame([], schema)
+        # read through the table so outstanding deletion vectors are applied
+        # (and thereby folded into the rewritten files)
+        tgt = table.read_data_files(affected)
 
         # 3-way merge (exchange-reused shuffles on the same keys)
         if self.salt_buckets and self.when_matched == "update":
@@ -220,7 +219,8 @@ class MergeIntoJob:
         # the affected inputs + harvested outputs) plus ONE narrow count of
         # the deduped source. Assumes unique keys per side (the merge
         # invariant: source is deduped above, target by construction).
-        n_tgt = sum(f.record_count for f in affected)
+        n_tgt = (sum(f.record_count for f in affected)
+                 - table.deleted_row_count(affected))
         n_src = source.count()
         n_out = sum(f.record_count for f in outs)
         if self.when_matched == "update" and self.when_not_matched == "insert":

@@ -82,7 +82,9 @@ class UpdateJob:
                                 time.time() - t0, 0)
         spark = table.spark
         schema = table.schema
-        df = spark.read.schema(schema).parquet(*[f.path for f in rewrite])
+        # capture BEFORE the commit: the rewrite may retire the delete files
+        n_dv_masked = table.deleted_row_count(rewrite)
+        df = table.read_data_files(rewrite)
         pred = (F.coalesce(table._residual(self.predicates), F.lit(False))
                 if self.predicates else F.lit(True))
         # all right-hand sides evaluate against the OLD row (standard UPDATE):
@@ -114,7 +116,7 @@ class UpdateJob:
             },
         )
         record_rewrite_lineage(table, "update", snap, rewrite, outs)
-        n_in = sum(f.record_count for f in rewrite)
+        n_in = sum(f.record_count for f in rewrite) - n_dv_masked
         return UpdateResult(
             snapshot_id=snap.snapshot_id,
             files_total=len(files),

@@ -48,7 +48,7 @@ def oracle_merge(target, source):
     return keep.unionByName(upd).unionByName(ins)
 
 
-@pytest.mark.parametrize("seed", [31, 43, 44])
+@pytest.mark.parametrize("seed", [31, 43, 44, 62])
 def test_op_sequence_conformance(spark, tmp_path, seed):
     rng = random.Random(seed)
     base = generate_transcripts(
@@ -70,7 +70,7 @@ def test_op_sequence_conformance(spark, tmp_path, seed):
     ]
 
     ops = ["append", "compact", "cluster", "merge", "expire", "restore",
-           "evolve", "delete", "update"]
+           "evolve", "delete", "update", "delete_mor"]
     seq = [rng.choice(ops) for _ in range(8)]
     for step, op in enumerate(seq):
         if op == "append":
@@ -108,11 +108,14 @@ def test_op_sequence_conformance(spark, tmp_path, seed):
                 oracle = hist[sid]
         elif op == "evolve":
             t.set_partition_spec(specs[rng.randrange(len(specs))])
-        elif op == "delete":
-            # delete one turn stripe of one conv-hash bucket; NULL-semantics
-            # guard: predicate columns are non-null in the fixture
+        elif op in ("delete", "delete_mor"):
+            # delete one turn stripe of one role; NULL-semantics guard:
+            # predicate columns are non-null in the fixture. delete_mor takes
+            # the deletion-vector path, interleaving DVs with every other op.
             m = step % 3 + 3
-            DeleteJob(t, [("turn_idx", "<", m), ("role", "=", "user")]).run()
+            mode = "merge-on-read" if op == "delete_mor" else "copy-on-write"
+            DeleteJob(t, [("turn_idx", "<", m), ("role", "=", "user")],
+                      mode=mode).run()
             oracle = oracle.filter(
                 ~((F.col("turn_idx") < m) & (F.col("role") == "user"))).cache()
         elif op == "update":
