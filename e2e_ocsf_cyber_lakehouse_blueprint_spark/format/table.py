@@ -418,9 +418,32 @@ class Table:
         if schema_changed:
             self.meta.schema_json = merged_schema.jsonValue()
         files = self.write_data_files(aligned, n_files=n_files, sort_within=sort_within)
-        return self._commit_append(files, schema_json=merged_schema.jsonValue()
-                                   if schema_changed else None,
-                                   summary_extra=summary_extra)
+        snapshot = self._commit_append(files, schema_json=merged_schema.jsonValue()
+                                       if schema_changed else None,
+                                       summary_extra=summary_extra)
+        self._maybe_auto_compact(files)
+        return snapshot
+
+    def _maybe_auto_compact(self, appended: list[DataFile]) -> None:
+        """Post-commit auto-compaction (``delta.autoOptimize.autoCompact``
+        analogue, `utilities/utils.py:87`): when enabled via the
+        ``write.auto-compact.enabled`` table property, a small-file census
+        runs over ONLY the partitions this append touched and, where at least
+        ``write.auto-compact.min-input-files`` sub-target files exist, a
+        scoped bin-packing rewrite commits right behind the append. Cold
+        partitions are never re-planned, so the trigger cost is O(metadata of
+        the touched partitions) no matter how large the table is."""
+        if self.meta.properties.get("write.auto-compact.enabled") != "true":
+            return
+        from ..operators.compaction import CompactionJob
+        from ..operators.ledger import partition_key
+        touched = {partition_key(f.partition) for f in appended}
+        self.last_auto_compact = CompactionJob(
+            self,
+            min_input_files=self.property_int(
+                "write.auto-compact.min-input-files", 16),
+            only_partitions=touched,
+        ).run()
 
     # -------------------------------------------------------------- commits
 

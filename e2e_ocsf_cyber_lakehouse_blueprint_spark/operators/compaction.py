@@ -318,12 +318,19 @@ def plan_compaction(
     target_file_size: int,
     small_file_ratio: float = 0.75,
     min_input_files: int = 2,
+    only_partitions: set[str] | None = None,
 ) -> list[PartitionCompactionPlan]:
-    """Census + FFD pack per partition. Pure metadata — no data read."""
+    """Census + FFD pack per partition. Pure metadata — no data read.
+
+    ``only_partitions`` restricts the census to the given partition keys —
+    the auto-compact path scopes work to partitions the triggering append
+    actually touched, so a hot table never re-plans its cold history."""
     by_partition: dict[str, list[DataFile]] = {}
     parts: dict[str, dict] = {}
     for f in table.live_data_files():
         k = partition_key(f.partition)
+        if only_partitions is not None and k not in only_partitions:
+            continue
         by_partition.setdefault(k, []).append(f)
         parts[k] = f.partition
     plans = []
@@ -357,6 +364,7 @@ class CompactionJob:
         small_file_ratio: float = 0.75,
         min_input_files: int = 2,
         max_concurrency: int = 8,
+        only_partitions: set[str] | None = None,
     ):
         self.table = table
         self.target_file_size = target_file_size or table.property_int(
@@ -366,6 +374,7 @@ class CompactionJob:
         self.small_file_ratio = small_file_ratio
         self.min_input_files = min_input_files
         self.max_concurrency = max_concurrency
+        self.only_partitions = only_partitions
 
     def _group_writer(self, group: RewriteGroup, job_tag: str) -> str:
         return write_group_binpack(self.table, group, self.sort_keys, job_tag)
@@ -386,6 +395,7 @@ class CompactionJob:
             target_file_size=self.target_file_size,
             small_file_ratio=self.small_file_ratio,
             min_input_files=self.min_input_files,
+            only_partitions=self.only_partitions,
         )
         if dry_run or not plans:
             return CompactionResult(

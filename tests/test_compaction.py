@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.partition import (
@@ -148,3 +149,60 @@ def test_compaction_idempotent_noop_after_run(spark, fragmented_table):
     res2 = CompactionJob(t).run()
     assert res2.partitions == 0 or res2.files_in == 0
     assert {f.path for f in t.live_data_files()} == files_after
+
+
+def test_auto_compact_on_append(spark, tmp_table_dir):
+    """write.auto-compact.enabled: appends past the small-file threshold
+    trigger a scoped rewrite right behind the commit (autoCompact analogue,
+    reference utilities/utils.py:87), restricted to touched partitions."""
+    df = generate_transcripts(spark, n_convs=40, hot_convs=1, hot_turns=50, span_days=2)
+    t = Table.create(
+        spark, tmp_table_dir, schema(), spec(),
+        properties={
+            "write.target-file-size-bytes": str(4 * 1024 * 1024),
+            "write.auto-compact.enabled": "true",
+            "write.auto-compact.min-input-files": "6",
+        },
+    )
+    t.append(df, n_files=4)  # 4 files/partition: below threshold, no work yet
+    first = t.last_auto_compact
+    assert first.partitions == 0 or first.files_out == 0 or first.files_in == 0
+    t.append(df, n_files=4)
+    t.append(df, n_files=4)
+    res = t.last_auto_compact
+    assert res.files_in > res.files_out > 0  # the last append triggered packing
+    assert t.current_snapshot().operation == "replace"
+    # scan equivalence: three identical appends, nothing lost or duplicated
+    assert t.scan().count() == 3 * df.count()
+    expected = sorted(
+        [tuple(r) for r in df.collect()] * 3,
+        key=lambda r: tuple(str(x) for x in r),
+    )
+    got = sorted(
+        [tuple(r) for r in t.scan().collect()],
+        key=lambda r: tuple(str(x) for x in r),
+    )
+    assert got == expected
+
+
+def test_auto_compact_scopes_to_touched_partitions(spark, tmp_table_dir):
+    """Appends to one day never re-plan another day's fragmented history."""
+    df = generate_transcripts(spark, n_convs=40, hot_convs=1, hot_turns=50, span_days=2)
+    day0 = df.filter(F.dayofmonth("ts") % 2 == 0)
+    day1 = df.filter(F.dayofmonth("ts") % 2 == 1)
+    t = Table.create(
+        spark, tmp_table_dir, schema(), spec(),
+        properties={"write.target-file-size-bytes": str(4 * 1024 * 1024)},
+    )
+    for _ in range(4):
+        t.append(day0, n_files=3)  # fragment day0 with auto-compact OFF
+    frag_before = {f.path for f in t.live_data_files()}
+    t.set_property("write.auto-compact.enabled", "true")
+    t.set_property("write.auto-compact.min-input-files", "3")
+    for _ in range(3):
+        t.append(day1, n_files=3)
+    # day1's fragmentation was folded...
+    assert t.last_auto_compact.files_out > 0
+    # ...but day0's untouched partitions were left alone (cold history)
+    still_live = {f.path for f in t.live_data_files()}
+    assert frag_before <= still_live
