@@ -405,6 +405,27 @@ def q_anti_join_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_census_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct census (SURVEY.md §2.4 clustering-grid sizing):
+    HLL++ distinct estimates per group. The sketch value itself is
+    engine-specific, so the cross-engine contract is the GUARANTEE, not the
+    estimate: with rsd=0.01 the estimate must land within 5% of the exact
+    count (deterministic for fixed data), which the oracle states as TRUE."""
+    ev = _read(spark, sf_dir, "events")
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id", rsd=0.01)
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"), exact.alias("n_users"),
+             approx.alias("_approx"))
+        .select(
+            "event_type", "n_rows", "n_users",
+            (F.abs(F.col("_approx") - F.col("n_users"))
+             <= 0.05 * F.col("n_users")).alias("approx_within_5pct"),
+        )
+    )
+
+
 def q_stats_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group min/max/count census (per-file manifest stats analogue §2.4)."""
     ev = _read(spark, sf_dir, "events")
@@ -772,6 +793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_broadcast_dim": q_join_broadcast_dim,
         "anti_join_gc": q_anti_join_gc,
         "stats_census": q_stats_census,
+        "stats_census_approx": q_stats_census_approx,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_stats": q_text_stats,
@@ -886,6 +908,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n_rows, MIN(ts) AS ts_min, MAX(ts) AS ts_max,
                    COUNT(DISTINCT user_id) AS n_users,
                    MIN(event_id) AS id_min, MAX(event_id) AS id_max
+            FROM events GROUP BY event_type
+        """,
+        "stats_census_approx": """
+            SELECT event_type, COUNT(*) AS n_rows,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   TRUE AS approx_within_5pct
             FROM events GROUP BY event_type
         """,
         "dedup_exact": """
