@@ -366,6 +366,28 @@ class Table:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         return df.select(*cols), merged
 
+    def _optimized_write_n_files(self, df: DataFrame) -> int | None:
+        """Pick an output file count from Catalyst's size estimate of the
+        input plan (``optimizeWrite`` analogue, `utilities/utils.py:86`).
+
+        The logical estimate is uncompressed in-memory bytes; parquet with
+        snappy lands around 1/4 of that for text-heavy transcript data, so
+        the estimate is scaled before dividing by the target file size. A
+        nonsense estimate (unknown source -> Long.MAX) falls back to None
+        (no pre-write exchange) rather than a million-way shuffle."""
+        try:
+            est = int(df._jdf.queryExecution().optimizedPlan().stats()
+                      .sizeInBytes())
+        except Exception:
+            return None
+        if est <= 0 or est >= (1 << 62):
+            return None
+        target = self.property_int(
+            "write.target-file-size-bytes", 128 * 1024 * 1024)
+        ratio = float(self.meta.properties.get(
+            "write.optimize-write.compression-ratio", "0.25"))
+        return max(1, min(100_000, -(-int(est * ratio) // target)))
+
     def write_data_files(
         self,
         df: DataFrame,
@@ -378,12 +400,18 @@ class Table:
 
         The pre-write ``repartition``/``sortWithinPartitions`` mirrors Delta's
         optimized writes (`utilities/utils.py:86`): target-size output files
-        instead of one file per input task.
+        instead of one file per input task. With the
+        ``write.optimize-write.enabled`` table property and no explicit
+        ``n_files``, the count is sized automatically from Catalyst's plan
+        size estimate and the target file size.
         """
         spec = self.spec
         out = df
         if spec.fields:
             out = spec.with_partition_columns(out)
+        if (n_files is None
+                and self.meta.properties.get("write.optimize-write.enabled") == "true"):
+            n_files = self._optimized_write_n_files(df)
         if n_files:
             if sort_within:
                 out = out.repartitionByRange(n_files, *sort_within)

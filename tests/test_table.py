@@ -331,3 +331,28 @@ def test_partition_field_name_reuse_rejected(spark, tmp_table_dir, small_df):
     t.set_partition_spec(PartitionSpec.of(bucket("conv_bucket", "conv_id", 4)))
     with pytest.raises(ValueError, match="unknown source"):
         t.set_partition_spec(PartitionSpec.of(days("d", "nope")))
+
+
+def test_optimized_write_sizes_files_automatically(spark, tmp_path):
+    """write.optimize-write.enabled: append without n_files picks the output
+    file count from Catalyst's size estimate / target file size instead of
+    one-file-per-input-task (optimizeWrite analogue, utils.py:86)."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.sources.transcripts import generate_transcripts
+
+    df = generate_transcripts(spark, n_convs=80, hot_convs=1, hot_turns=60, span_days=1)
+    # many-task input: without optimize-write this writes one file per task
+    df = df.repartition(24)
+    t = Table.create(
+        spark, str(tmp_path / "ow"),
+        T.StructType.fromDDL(SCHEMA_DDL),
+        PartitionSpec.of(),
+        properties={
+            "write.target-file-size-bytes": str(64 * 1024 * 1024),
+            "write.optimize-write.enabled": "true",
+        },
+    )
+    t.append(df)
+    files = t.live_data_files()
+    # the whole table is << 64 MiB, so the auto-sizer must coalesce to ~1 file
+    assert len(files) <= 2
+    assert t.scan().count() == df.count()
