@@ -98,6 +98,7 @@ class ClusteringJob:
         ts_col: str = "ts",
         min_input_files: int = 1,
         max_concurrency: int = 8,
+        only_partitions: set[str] | None = None,
     ):
         if curve not in ("zorder", "hilbert"):
             raise ValueError(f"unknown curve {curve!r}")
@@ -109,12 +110,17 @@ class ClusteringJob:
         self.conv_col, self.turn_col, self.ts_col = conv_col, turn_col, ts_col
         self.min_input_files = min_input_files
         self.max_concurrency = max_concurrency
+        # incremental liquid clustering: the managed pass scopes the rewrite
+        # to partitions that gained files since the last clustering commit
+        self.only_partitions = only_partitions
 
     def _plan(self) -> list[PartitionClusterPlan]:
         by_part: dict[str, list[DataFile]] = {}
         parts: dict[str, dict] = {}
         for f in self.table.live_data_files():
             k = partition_key(f.partition)
+            if self.only_partitions is not None and k not in self.only_partitions:
+                continue
             by_part.setdefault(k, []).append(f)
             parts[k] = f.partition
         plans = []

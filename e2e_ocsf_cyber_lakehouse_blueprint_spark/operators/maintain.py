@@ -1,0 +1,102 @@
+"""Managed maintenance: one policy-driven pass over a table.
+
+The reference toggles ``pipelines.autoOptimize.managed``
+(`utilities/utils.py:88`) and lets the platform decide when to compact,
+cluster, and clean up. ``run_maintenance`` is that scheduler: a single call
+that inspects metadata (never data) and runs the right jobs.
+
+Policy (each stage is the same resumable, ledgered job a user runs by hand):
+
+- **Cluster keys declared** → *incremental liquid clustering*: the curve
+  rewrite already bin-packs (each partition lands in ceil(bytes/target)
+  curve-sorted files), so running a separate compactor would ping-pong with
+  it — compaction's (conv, turn) sort disturbs the curve layout, the next
+  clustering re-splits, forever. Instead ONE clustering job runs, scoped to
+  the partitions whose live file set changed since the last clustering
+  commit (a pure manifest diff; the cold 99% of a 100 TB table is never
+  re-planned, matching how liquid clustering stays incremental).
+- **No cluster keys** → plain FFD bin-packing compaction (no-op when
+  nothing is fragmented).
+- Then snapshot expiration + orphan GC by the retention policy.
+
+Policy knobs are table properties so they travel with the table:
+``maintenance.cluster.curve`` (zorder|hilbert, default zorder),
+``maintenance.expire.keep-last`` (default 3; 0 disables expiration),
+``maintenance.expire.grace-sec`` (orphan grace period, default 3600).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from ..format.table import Table
+from .clustering import ClusteringJob, ClusteringResult
+from .compaction import CompactionJob, CompactionResult
+from .expire import ExpireResult, ExpireSnapshotsJob
+from .ledger import partition_key
+
+
+@dataclass
+class MaintenanceResult:
+    compaction: CompactionResult | None
+    clustering: ClusteringResult | None
+    expiration: ExpireResult | None
+    elapsed_sec: float = 0.0
+
+
+def stale_partitions(table: Table) -> set[str] | None:
+    """Partition keys whose live file set changed since the last clustering
+    commit; ``None`` means cluster everything (no prior clustering, or its
+    snapshot already expired). Pure metadata — two manifest-list reads."""
+    last = None
+    for s in sorted(table.meta.snapshots, key=lambda s: -s.sequence_number):
+        if s.summary.get("job") == "cluster":
+            last = s
+            break
+    if last is None:
+        return None
+    old = {f.path for f in table.live_data_files(last.snapshot_id)}
+    return {
+        partition_key(f.partition)
+        for f in table.live_data_files()
+        if f.path not in old
+    }
+
+
+def run_maintenance(
+    table: Table,
+    *,
+    max_concurrency: int = 8,
+    force_cluster: bool = False,
+) -> MaintenanceResult:
+    t0 = time.time()
+    table.refresh()
+
+    compaction = None
+    clustering = None
+    if table.meta.cluster_keys:
+        scope = None if force_cluster else stale_partitions(table)
+        if scope is None or scope:
+            curve = table.meta.properties.get("maintenance.cluster.curve", "zorder")
+            clustering = ClusteringJob(
+                table, curve=curve, max_concurrency=max_concurrency,
+                only_partitions=scope,
+            ).run()
+    else:
+        compaction = CompactionJob(table, max_concurrency=max_concurrency).run()
+
+    expiration = None
+    keep_last = table.property_int("maintenance.expire.keep-last", 3)
+    if keep_last > 0:
+        grace = table.property_int("maintenance.expire.grace-sec", 3600)
+        expiration = ExpireSnapshotsJob(
+            table, keep_last=keep_last, grace_period_sec=float(grace)
+        ).run()
+
+    return MaintenanceResult(
+        compaction=compaction,
+        clustering=clustering,
+        expiration=expiration,
+        elapsed_sec=time.time() - t0,
+    )

@@ -16,6 +16,10 @@ table-maintenance statements the engine owns:
     UPDATE <tbl> SET col = <sql-expr>[, ...] [WHERE <conjunction>]
         right-hand sides are Spark SQL expressions over the OLD row values
     VACUUM <tbl> [RETAIN <n> HOURS]
+    MAINTAIN <tbl>
+        managed pass (pipelines.autoOptimize.managed analogue): compact,
+        cluster iff cluster keys are set and data arrived since the last
+        clustering, then expire/GC per the table's retention properties
     RESTORE TABLE <tbl> TO VERSION AS OF <n>
     RESTORE TABLE <tbl> TO TIMESTAMP AS OF '<iso-ts>'
     DESCRIBE HISTORY <tbl>
@@ -206,6 +210,8 @@ _STATEMENTS: list[tuple[re.Pattern, str]] = [
         rf"DESCRIBE\s+HISTORY\s+(?P<tbl>{_ID})\s*;?\s*$", re.IGNORECASE),
      "history"),
     (re.compile(
+        rf"MAINTAIN\s+(?P<tbl>{_ID})\s*;?\s*$", re.IGNORECASE), "maintain"),
+    (re.compile(
         rf"ALTER\s+TABLE\s+(?P<tbl>{_ID})\s+CLUSTER\s+BY\s*\((?P<cols>[^)]+)\)\s*;?\s*$",
         re.IGNORECASE), "cluster_by"),
     (re.compile(
@@ -262,6 +268,9 @@ def _dispatch(action: str, table: Table, m: re.Match) -> Any:
         return table.restore(target.snapshot_id)
     if action == "history":
         return history(table)
+    if action == "maintain":
+        from .operators.maintain import run_maintenance
+        return run_maintenance(table)
     if action == "cluster_by":
         table.set_cluster_keys(_cols(m.group("cols")))
         return None

@@ -193,3 +193,45 @@ def test_unsupported_statement_raises(cat):
         run_sql(c, "DROP TABLE ops.transcripts")
     with pytest.raises(ValueError, match="unparseable"):
         run_sql(c, "ALTER TABLE ops.transcripts PARTITIONED BY (years(ts))")
+
+
+def test_maintain_runs_managed_pass(cat):
+    """MAINTAIN: compacts, clusters only when keys are set and data is new,
+    expires by retention properties — one policy call, three ledgered jobs."""
+    c, df = cat
+    t = c.load_table("ops.transcripts")
+    run_sql(c, "ALTER TABLE ops.transcripts CLUSTER BY (conv_id)")
+    run_sql(c, "ALTER TABLE ops.transcripts SET TBLPROPERTIES "
+               "('maintenance.expire.keep-last'='1', "
+               "'maintenance.expire.grace-sec'='0')")
+    before = _rows(t)
+    res = run_sql(c, "MAINTAIN ops.transcripts")
+    # cluster keys set -> clustering IS the compactor (no separate packer)
+    assert res.compaction is None
+    assert res.clustering is not None and res.clustering.curve == "zorder"
+    assert res.expiration is not None and res.expiration.expired_snapshot_ids
+    t.refresh()
+    assert _rows(t) == before  # scan equivalence through the managed pass
+    # steady state: a second pass finds no changed partitions -> no rewrite
+    res2 = run_sql(c, "MAINTAIN ops.transcripts")
+    assert res2.clustering is None
+    # new data arrives -> the next pass re-clusters only what changed
+    t.append(df.limit(50), n_files=1)
+    res3 = run_sql(c, "MAINTAIN ops.transcripts")
+    assert res3.clustering is not None
+    assert res3.clustering.partitions > 0
+    t.refresh()
+    total_parts = len({tuple(sorted(f.partition.items()))
+                       for f in t.live_data_files()})
+    assert res3.clustering.partitions <= total_parts
+
+
+def test_maintain_without_cluster_keys_compacts(cat):
+    c, df = cat
+    t = c.load_table("ops.transcripts")
+    before = _rows(t)
+    res = run_sql(c, "MAINTAIN ops.transcripts")
+    assert res.clustering is None
+    assert res.compaction is not None and res.compaction.files_in > res.compaction.files_out
+    t.refresh()
+    assert _rows(t) == before
