@@ -178,10 +178,10 @@ class DeleteJob:
         if self.mode == "merge-on-read":
             return self._run_mor(untouched, dropped, rewrite, t0)
         outs: list[DataFile] = []
+        pred = table._residual(self.predicates)
         if rewrite:
             df = table.read_data_files(rewrite)
             # delete iff predicate is TRUE; UNKNOWN (NULL) rows are kept
-            pred = table._residual(self.predicates)
             survivors = df.filter(~F.coalesce(pred, F.lit(False)))
             target_size = table.property_int(
                 "write.target-file-size-bytes", 128 * 1024 * 1024)
@@ -192,18 +192,22 @@ class DeleteJob:
                 sort_within=self.sort_keys or None, job_tag="delete",
             )
 
+        cdir = self._write_cdf(dropped, rewrite, pred)
         removed = dropped + rewrite
         n_in = sum(f.record_count for f in removed)
         n_out = sum(f.record_count for f in outs)
+        summary = {
+            "job": "delete",
+            "predicates": " AND ".join(
+                f"{c} {op} {v!r}" for c, op, v in self.predicates),
+            "deleted-records": n_in - n_out,
+            "dropped-whole-files": len(dropped),
+        }
+        if cdir:
+            summary["change-data-dir"] = cdir
         snap = table.commit_rewrite(
             [f.path for f in removed], outs, operation="delete",
-            summary_extra={
-                "job": "delete",
-                "predicates": " AND ".join(
-                    f"{c} {op} {v!r}" for c, op, v in self.predicates),
-                "deleted-records": n_in - n_out,
-                "dropped-whole-files": len(dropped),
-            },
+            summary_extra=summary,
         )
 
         record_rewrite_lineage(table, "delete", snap, removed, outs)
@@ -219,6 +223,29 @@ class DeleteJob:
             elapsed_sec=time.time() - t0,
             spill_bytes=spill_metrics(spark),
         )
+
+    def _write_cdf(self, dropped: list[DataFile], rewrite: list[DataFile],
+                   pred) -> str | None:
+        """Change-data-feed rows for this DELETE (when enabled): the matched
+        rows of straddling files plus every live row of whole-dropped files,
+        typed ``delete``. Costs one extra filtered scan of ONLY the affected
+        files — reconstructing victims read-side would be a full-table diff."""
+        from .change_feed import CHANGE_TYPE_COL, cdf_enabled, write_change_data
+
+        table = self.table
+        if not cdf_enabled(table) or not (dropped or rewrite):
+            return None
+        parts = []
+        if rewrite:
+            parts.append(table.read_data_files(rewrite)
+                         .filter(F.coalesce(pred, F.lit(False))))
+        if dropped:
+            parts.append(table.read_data_files(dropped))
+        ch = parts[0]
+        for p in parts[1:]:
+            ch = ch.unionByName(p)
+        return write_change_data(
+            table, ch.withColumn(CHANGE_TYPE_COL, F.lit("delete")))
 
     def _run_mor(self, untouched: list[DataFile], dropped: list[DataFile],
                  straddling: list[DataFile], t0: float) -> DeleteResult:
@@ -291,17 +318,24 @@ class DeleteJob:
         if not dropped and not outs:
             return DeleteResult(None, n_total, n_total, 0, 0, 0, 0,
                                 time.time() - t0, 0, mode=self.mode)
+        # CDF: read_data_files applies the PRIOR DVs, so the filtered scan
+        # yields exactly the rows this commit newly deletes
+        cdir = self._write_cdf(dropped, straddling,
+                               table._residual(self.predicates))
+        summary = {
+            "job": "delete",
+            "mode": "merge-on-read",
+            "predicates": " AND ".join(
+                f"{c} {op} {v!r}" for c, op, v in self.predicates),
+            "deleted-records": n_dropped_live + n_marked,
+            "dropped-whole-files": len(dropped),
+            "delete-files-written": len(outs),
+        }
+        if cdir:
+            summary["change-data-dir"] = cdir
         snap = table.commit_rewrite(
             [f.path for f in dropped], outs, operation="delete",
-            summary_extra={
-                "job": "delete",
-                "mode": "merge-on-read",
-                "predicates": " AND ".join(
-                    f"{c} {op} {v!r}" for c, op, v in self.predicates),
-                "deleted-records": n_dropped_live + n_marked,
-                "dropped-whole-files": len(dropped),
-                "delete-files-written": len(outs),
-            },
+            summary_extra=summary,
         )
         record_rewrite_lineage(table, "delete", snap, dropped, outs)
         covered = set()

@@ -166,6 +166,28 @@ class MergeIntoJob:
             .drop("_rn")
         )
 
+    def _write_cdf(self, tgt, source, upd, ins, cols) -> str | None:
+        """Change-data-feed rows for this MERGE (when enabled): matched
+        target rows as preimages (or ``delete`` when matched rows are
+        deleted), the update leg as postimages, the insert leg as inserts.
+        Reuses the already-built legs — the only extra plan is the preimage
+        semi-join, scoped to the affected files."""
+        from .change_feed import CHANGE_TYPE_COL, cdf_enabled, write_change_data
+
+        if not cdf_enabled(self.table):
+            return None
+        pre_type = ("delete" if self.when_matched == "delete"
+                    else "update_preimage")
+        pre = (tgt.join(source.select(*self.key_cols), self.key_cols, "semi")
+               .select(*cols).withColumn(CHANGE_TYPE_COL, F.lit(pre_type)))
+        ch = pre
+        if self.when_matched == "update":
+            ch = ch.unionByName(
+                upd.withColumn(CHANGE_TYPE_COL, F.lit("update_postimage")))
+        if self.when_not_matched == "insert":
+            ch = ch.unionByName(ins.withColumn(CHANGE_TYPE_COL, F.lit("insert")))
+        return write_change_data(self.table, ch)
+
     def run(self, source: DataFrame) -> MergeResult:
         t0 = time.time()
         table = self.table
@@ -233,9 +255,13 @@ class MergeIntoJob:
             n_matched = upd.count()
         n_keep = n_tgt - n_matched
         n_ins = (n_src - n_matched) if self.when_not_matched == "insert" else 0
+        summary = {"job": "merge", "matched": n_matched, "inserted": n_ins}
+        cdir = self._write_cdf(tgt, source, upd, ins, cols)
+        if cdir:
+            summary["change-data-dir"] = cdir
         snap = table.commit_rewrite(
             [f.path for f in affected], outs, operation="overwrite",
-            summary_extra={"job": "merge", "matched": n_matched, "inserted": n_ins},
+            summary_extra=summary,
         )
 
         # lineage: per-partition input/output mapping for the audit ledger

@@ -70,6 +70,25 @@ class UpdateJob:
             sort_keys = [c for c in ("conv_id", "turn_idx") if c in cols]
         self.sort_keys = list(sort_keys)
 
+    def _write_cdf(self, df, pred, schema) -> str | None:
+        """Change-data-feed pre/post images for this UPDATE (when enabled):
+        matched rows before and after assignments, over the affected files
+        only. Both images come from one filtered scan shape — the write cost
+        is proportional to the rows actually updated."""
+        from .change_feed import CHANGE_TYPE_COL, cdf_enabled, write_change_data
+
+        if not cdf_enabled(self.table):
+            return None
+        matched = df.filter(pred)
+        pre = matched.select(*[F.col(c.name) for c in schema.fields]) \
+                     .withColumn(CHANGE_TYPE_COL, F.lit("update_preimage"))
+        post = matched.select(*[
+            F.expr(self.assignments[c.name]).cast(c.dataType).alias(c.name)
+            if c.name in self.assignments else F.col(c.name)
+            for c in schema.fields
+        ]).withColumn(CHANGE_TYPE_COL, F.lit("update_postimage"))
+        return write_change_data(self.table, pre.unionByName(post))
+
     def run(self) -> UpdateResult:
         t0 = time.time()
         table = self.table
@@ -98,6 +117,7 @@ class UpdateJob:
         # narrow metadata-pushdown count of matched rows (predicate only,
         # affected files only) — no second pass over the rewrite output
         n_updated = df.filter(pred).count()
+        cdir = self._write_cdf(df, pred, schema)
         target_size = table.property_int(
             "write.target-file-size-bytes", 128 * 1024 * 1024)
         bytes_in = sum(f.file_size_bytes for f in rewrite)
@@ -106,14 +126,17 @@ class UpdateJob:
             updated, n_files=n_files,
             sort_within=self.sort_keys or None, job_tag="update",
         )
+        summary = {
+            "job": "update",
+            "predicates": " AND ".join(
+                f"{c} {op} {v!r}" for c, op, v in self.predicates) or "TRUE",
+            "updated-records": n_updated,
+        }
+        if cdir:
+            summary["change-data-dir"] = cdir
         snap = table.commit_rewrite(
             [f.path for f in rewrite], outs, operation="overwrite",
-            summary_extra={
-                "job": "update",
-                "predicates": " AND ".join(
-                    f"{c} {op} {v!r}" for c, op, v in self.predicates) or "TRUE",
-                "updated-records": n_updated,
-            },
+            summary_extra=summary,
         )
         record_rewrite_lineage(table, "update", snap, rewrite, outs)
         n_in = sum(f.record_count for f in rewrite) - n_dv_masked
