@@ -23,6 +23,9 @@ table-maintenance statements the engine owns:
     RESTORE TABLE <tbl> TO VERSION AS OF <n>
     RESTORE TABLE <tbl> TO TIMESTAMP AS OF '<iso-ts>'
     DESCRIBE HISTORY <tbl>
+    TABLE CHANGES <tbl> FROM VERSION <n> [TO VERSION <m>]
+        row-level change feed (_change_type/_commit_snapshot_id) after
+        snapshot n (exclusive) up to m (inclusive; default current)
     ALTER TABLE <tbl> CLUSTER BY (c1[, ...])
     ALTER TABLE <tbl> SET TBLPROPERTIES ('k'='v'[, ...])
     ALTER TABLE <tbl> PARTITIONED BY (transform[, ...])
@@ -212,6 +215,10 @@ _STATEMENTS: list[tuple[re.Pattern, str]] = [
     (re.compile(
         rf"MAINTAIN\s+(?P<tbl>{_ID})\s*;?\s*$", re.IGNORECASE), "maintain"),
     (re.compile(
+        rf"TABLE\s+CHANGES\s+(?P<tbl>{_ID})\s+FROM\s+VERSION\s+(?P<from>\d+)"
+        rf"(?:\s+TO\s+VERSION\s+(?P<to>\d+))?\s*;?\s*$",
+        re.IGNORECASE), "table_changes"),
+    (re.compile(
         rf"ALTER\s+TABLE\s+(?P<tbl>{_ID})\s+CLUSTER\s+BY\s*\((?P<cols>[^)]+)\)\s*;?\s*$",
         re.IGNORECASE), "cluster_by"),
     (re.compile(
@@ -271,6 +278,11 @@ def _dispatch(action: str, table: Table, m: re.Match) -> Any:
     if action == "maintain":
         from .operators.maintain import run_maintenance
         return run_maintenance(table)
+    if action == "table_changes":
+        from .operators.change_feed import change_feed
+        to = m.group("to")
+        return change_feed(table, int(m.group("from")),
+                           int(to) if to else None)
     if action == "cluster_by":
         table.set_cluster_keys(_cols(m.group("cols")))
         return None

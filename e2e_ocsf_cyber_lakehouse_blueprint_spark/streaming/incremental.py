@@ -154,6 +154,42 @@ class IncrementalTableReader:
         })
 
 
+class ChangeFeedReader:
+    """readStream with full CDC semantics: each batch is the row-level change
+    feed (``_change_type`` / ``_commit_snapshot_id``) since the checkpointed
+    snapshot. Where IncrementalTableReader handles append-only upstreams,
+    this reader also streams DELETE / UPDATE / MERGE effects — the consumer
+    (e.g. a silver table keeping itself consistent with a mutating bronze)
+    applies them as an idempotent merge keyed on the change columns."""
+
+    def __init__(self, table: Table, checkpoint: str):
+        self.table = table
+        self.cp = _Checkpoint(checkpoint)
+
+    def next_batch(self) -> Batch | None:
+        from ..operators.change_feed import change_feed
+
+        self.table.refresh()
+        cur = self.table.current_snapshot()
+        if cur is None:
+            return None
+        state = self.cp.read()
+        last = state.get("last_snapshot_id")
+        if last == cur.snapshot_id:
+            return None
+        df = change_feed(self.table, last, cur.snapshot_id)
+        batch_id = int(state.get("batch_id", -1)) + 1
+        b = Batch(batch_id, [], df)
+        b._snapshot_id = cur.snapshot_id  # type: ignore[attr-defined]
+        return b
+
+    def commit(self, batch: Batch) -> None:
+        self.cp.write({
+            "last_snapshot_id": getattr(batch, "_snapshot_id"),
+            "batch_id": batch.batch_id,
+        })
+
+
 def run_micro_batches(
     source,
     target: Table,

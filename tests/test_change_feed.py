@@ -132,3 +132,47 @@ def test_unrecorded_row_change_fails_loudly(spark, tmp_path):
     DeleteJob(t, [("turn_idx", "<", 3)]).run()
     with pytest.raises(ValueError, match="change-data-feed"):
         change_feed(t, s0)
+
+
+def test_change_feed_reader_streams_cdc_batches(cdf_table, tmp_path):
+    """ChangeFeedReader: checkpointed micro-batches of row-level changes —
+    the streaming face of the same feed."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.streaming.incremental import ChangeFeedReader
+
+    t, df = cdf_table
+    r = ChangeFeedReader(t, str(tmp_path / "cp"))
+    b0 = r.next_batch()
+    assert b0 is not None
+    assert _rows(b0.df) == _rows(df)  # initial load = all inserts
+    r.commit(b0)
+    assert r.next_batch() is None  # caught up
+
+    DeleteJob(t, [("turn_idx", "<", 2)]).run()
+    t.append(df.filter(F.col("turn_idx") == 0), n_files=1)
+    b1 = r.next_batch()
+    by_type = dict(b1.df.groupBy("_change_type").count().collect())
+    assert by_type["delete"] == df.filter(F.col("turn_idx") < 2).count()
+    assert by_type["insert"] == df.filter(F.col("turn_idx") == 0).count()
+    r.commit(b1)
+    assert r.next_batch() is None
+
+
+def test_table_changes_sql(spark, tmp_path):
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.catalog import Catalog
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.sql import run_sql
+
+    c = Catalog(spark, str(tmp_path / "wh"))
+    c.create_database("ops")
+    t = c.create_table(
+        "ops.t", T.StructType.fromDDL(SCHEMA_DDL), PartitionSpec.of(),
+        properties={"write.change-data-feed.enabled": "true"},
+    )
+    df = generate_transcripts(spark, n_convs=10, hot_convs=1, hot_turns=10,
+                              span_days=1)
+    t.append(df, n_files=1)
+    s0 = t.current_snapshot().snapshot_id
+    run_sql(c, "DELETE FROM ops.t WHERE turn_idx >= 5")
+    feed = run_sql(c, f"TABLE CHANGES ops.t FROM VERSION {s0}")
+    assert dict(feed.groupBy("_change_type").count().collect()) == {
+        "delete": df.filter(F.col("turn_idx") >= 5).count()
+    }
