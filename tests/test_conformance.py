@@ -27,6 +27,7 @@ from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.clustering import Cluste
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.compaction import CompactionJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.expire import ExpireSnapshotsJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.delete import DeleteJob
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.maintain import run_maintenance
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.merge import MergeIntoJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.update import UpdateJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.sources.transcripts import (
@@ -48,17 +49,24 @@ def oracle_merge(target, source):
     return keep.unionByName(upd).unionByName(ins)
 
 
-@pytest.mark.parametrize("seed", [31, 43, 44, 62])
+@pytest.mark.parametrize("seed", [31, 43, 44, 62, 77])
 def test_op_sequence_conformance(spark, tmp_path, seed):
     rng = random.Random(seed)
     base = generate_transcripts(
         spark, n_convs=60, hot_convs=2, hot_turns=80, span_days=6, seed=seed
     ).cache()
+    # odd seeds run with the change-data-feed write paths enabled, so CDF
+    # change-file writes interleave with every op (the feed itself is
+    # verified in test_change_feed.py; here it must never perturb state)
+    props = {"write.target-file-size-bytes": str(256 * 1024)}
+    if seed % 2 == 1:
+        props["write.change-data-feed.enabled"] = "true"
     t = Table.create(
         spark, str(tmp_path / "tbl"), T.StructType.fromDDL(SCHEMA_DDL),
         PartitionSpec.of(days("ts_day", "ts"), bucket("conv_bucket", "conv_id", 2)),
-        properties={"write.target-file-size-bytes": str(256 * 1024)},
+        properties=props,
     )
+    t.set_cluster_keys(["conv_id"])
     t.append(base, n_files=3)
     oracle = base
     # oracle state per snapshot id, for restore targets
@@ -70,7 +78,7 @@ def test_op_sequence_conformance(spark, tmp_path, seed):
     ]
 
     ops = ["append", "compact", "cluster", "merge", "expire", "restore",
-           "evolve", "delete", "update", "delete_mor"]
+           "evolve", "delete", "update", "delete_mor", "maintain"]
     seq = [rng.choice(ops) for _ in range(8)]
     for step, op in enumerate(seq):
         if op == "append":
@@ -96,6 +104,8 @@ def test_op_sequence_conformance(spark, tmp_path, seed):
                 oracle = oracle_merge(oracle, src).cache()
         elif op == "expire":
             ExpireSnapshotsJob(t, keep_last=2).run()
+        elif op == "maintain":
+            run_maintenance(t, max_concurrency=4)
         elif op == "restore":
             candidates = [
                 s.snapshot_id for s in t.snapshots
