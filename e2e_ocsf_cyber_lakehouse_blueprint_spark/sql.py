@@ -31,6 +31,11 @@ table-maintenance statements the engine owns:
     ALTER TABLE <tbl> PARTITIONED BY (transform[, ...])
         where transform is days(col) | bucket(n, col) | truncate(w, col) |
         identity(col), each optionally `AS <field_name>`
+    CREATE DATABASE [IF NOT EXISTS] <db>
+    CREATE TABLE [IF NOT EXISTS] <db.tbl> (<col TYPE, ...>)
+        [PARTITIONED BY (transform[, ...])] [TBLPROPERTIES ('k'='v'[, ...])]
+    SHOW TABLES [IN <db>]
+    DESCRIBE DETAIL <tbl>
 
 Statements are parsed with anchored regexes (this is a fixed utility grammar,
 not a general SQL engine) and dispatched to the corresponding maintenance
@@ -49,6 +54,7 @@ import re
 from typing import Any
 
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
 
 from .format.catalog import Catalog
 from .format.partition import (
@@ -231,10 +237,76 @@ _STATEMENTS: list[tuple[re.Pattern, str]] = [
 
 _PROP_RE = re.compile(r"'(?P<k>[^']+)'\s*=\s*'(?P<v>[^']*)'")
 
+# catalog-level DDL (no pre-existing table to load) — the statements the
+# reference's setup scripts issue (`pre_setup_ocsf_tables.py:65,103-107,142`,
+# `post_setup_ocsf_tables.py:67`)
+_CATALOG_STATEMENTS: list[tuple[re.Pattern, str]] = [
+    (re.compile(
+        r"CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<db>[\w$-]+)\s*;?\s*$",
+        re.IGNORECASE), "create_database"),
+    (re.compile(
+        rf"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<tbl>{_ID})\s*"
+        rf"\((?P<rest>.+)$",  # balanced column list extracted by hand below
+        re.IGNORECASE | re.DOTALL), "create_table"),
+    (re.compile(
+        r"SHOW\s+TABLES(?:\s+IN\s+(?P<db>[\w$-]+))?\s*;?\s*$",
+        re.IGNORECASE), "show_tables"),
+    (re.compile(
+        rf"DESCRIBE\s+DETAIL\s+(?P<tbl>{_ID})\s*;?\s*$",
+        re.IGNORECASE), "describe_detail"),
+]
+
+
+def _balanced_prefix(s: str, what: str) -> tuple[str, str]:
+    """Split ``s`` (text following an already-consumed '(') at ITS matching
+    close paren; returns (content, tail-after-close)."""
+    depth = 1
+    for i, ch in enumerate(s):
+        depth += (ch == "(") - (ch == ")")
+        if depth == 0:
+            return s[:i], s[i + 1:]
+    raise ValueError(f"{what}: unbalanced parentheses")
+
+
+def _dispatch_catalog(action: str, catalog: Catalog, m: re.Match) -> Any:
+    if action == "create_database":
+        catalog.create_database(m.group("db"))
+        return None
+    if action == "create_table":
+        name = m.group("tbl")
+        if "IF NOT EXISTS" in m.string.upper() and catalog.table_exists(name):
+            return catalog.load_table(name)
+        # the column list (and the transform list) may contain nested parens
+        # (decimal(10,2), bucket(4, c)), so both are extracted by balance
+        cols, tail = _balanced_prefix(m.group("rest"),
+                                      "CREATE TABLE column list")
+        schema = T.StructType.fromDDL(cols)
+        tm = re.search(r"PARTITIONED\s+BY\s*\(", tail, re.IGNORECASE)
+        spec = PartitionSpec.of()
+        if tm:
+            transforms, _ = _balanced_prefix(tail[tm.end():], "PARTITIONED BY")
+            spec = PartitionSpec.of(*[
+                _parse_transform(p) for p in _split_top_level(transforms)
+            ])
+        pm_ = re.search(r"TBLPROPERTIES\s*\((?P<props>.+?)\)\s*;?\s*$",
+                        tail, re.IGNORECASE | re.DOTALL)
+        props = {x.group("k"): x.group("v")
+                 for x in _PROP_RE.finditer(pm_.group("props") if pm_ else "")}
+        return catalog.create_table(name, schema, spec, properties=props)
+    if action == "show_tables":
+        return catalog.list_tables(m.group("db") or "default")
+    if action == "describe_detail":
+        return catalog.load_table(m.group("tbl")).describe()
+    raise AssertionError(action)
+
 
 def run_sql(catalog: Catalog, statement: str) -> Any:
     """Parse and execute one maintenance statement against ``catalog``."""
     stmt = statement.strip()
+    for pattern, action in _CATALOG_STATEMENTS:
+        m = pattern.match(stmt)
+        if m is not None:
+            return _dispatch_catalog(action, catalog, m)
     for pattern, action in _STATEMENTS:
         m = pattern.match(stmt)
         if m is None:

@@ -92,6 +92,8 @@ def test_manifest_schema_shape(tmp_path):
         "lower_bounds": {"conv_id": '"conv-0"'},
         "upper_bounds": {"conv_id": '"conv-9"'},
         "null_counts": {"tool": 3},
+        "content": "data",
+        "covered_paths": [],
     }
     path = str(tmp_path / "m.avro")
     avro.write_ocf(path, MANIFEST_ENTRY_SCHEMA, [entry])

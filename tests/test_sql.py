@@ -235,3 +235,28 @@ def test_maintain_without_cluster_keys_compacts(cat):
     assert res.compaction is not None and res.compaction.files_in > res.compaction.files_out
     t.refresh()
     assert _rows(t) == before
+
+
+def test_create_database_table_show_describe(spark, tmp_path):
+    """Catalog DDL statements (reference pre/post_setup_ocsf_tables.py):
+    CREATE DATABASE / CREATE TABLE with partition transforms and properties /
+    SHOW TABLES / DESCRIBE DETAIL."""
+    c = Catalog(spark, str(tmp_path / "wh2"))
+    run_sql(c, "CREATE DATABASE IF NOT EXISTS audit")
+    t = run_sql(
+        c,
+        "CREATE TABLE audit.events (conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp) "
+        "PARTITIONED BY (days(ts) AS ts_day, bucket(4, conv_id)) "
+        "TBLPROPERTIES ('write.target-file-size-bytes'='1048576')")
+    assert [f.name for f in t.spec.fields] == ["ts_day", "conv_id_bucket"]
+    assert t.meta.properties["write.target-file-size-bytes"] == "1048576"
+    assert run_sql(c, "SHOW TABLES IN audit") == ["events"]
+    # IF NOT EXISTS short-circuits instead of failing
+    again = run_sql(c, "CREATE TABLE IF NOT EXISTS audit.events (x int)")
+    assert [f.name for f in again.schema.fields] != ["x"]
+    df = generate_transcripts(spark, n_convs=5, hot_convs=0, span_days=1)
+    t.append(df, n_files=1)
+    detail = run_sql(c, "DESCRIBE DETAIL audit.events")
+    assert detail["record_count"] == df.count()
+    assert detail["file_count"] >= 1
