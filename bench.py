@@ -120,6 +120,24 @@ def _maintenance_bench(spark, sf: float, workdir: str, *, cpus: int = DEFAULT_CP
         timings["merge_files_scoped_frac"] = round(
             res.files_scoped / max(1, res.files_total), 3)
 
+        # predicate delete both ways on the same-shape stripe: merge-on-read
+        # moves only the DV bytes, copy-on-write rewrites the neighborhood
+        from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.delete import DeleteJob
+
+        # disjoint same-volume stripes (roles cycle with turn_idx%4):
+        # tool rows sit at turns 3,7; system rows at 2,6 — every file holds
+        # both stripes, so each delete straddles the whole table
+        t0 = time.time()
+        rm = DeleteJob(table, [("role", "=", "tool"), ("turn_idx", "<", 8)],
+                       mode="merge-on-read").run()
+        timings["delete_mor"] = time.time() - t0
+        assert rm.rows_deleted > 0
+        t0 = time.time()
+        rc = DeleteJob(table, [("role", "=", "system"), ("turn_idx", "<", 8)],
+                       mode="copy-on-write").run()
+        timings["delete_cow"] = time.time() - t0
+        assert rc.rows_deleted > 0
+
         t0 = time.time()
         ExpireSnapshotsJob(table, keep_last=1).run()
         timings["expire_gc"] = time.time() - t0
