@@ -356,3 +356,60 @@ def test_optimized_write_sizes_files_automatically(spark, tmp_path):
     # the whole table is << 64 MiB, so the auto-sizer must coalesce to ~1 file
     assert len(files) <= 2
     assert t.scan().count() == df.count()
+
+
+def test_rewrite_of_replaced_files_conflicts(spark, tmp_table_dir, small_df):
+    """Two maintenance jobs racing over the same input files: the loser's
+    copy-on-write commit must fail with CommitConflict (its inputs are no
+    longer live), never silently resurrect or double-count rows."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.table import CommitConflict
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.compaction import CompactionJob
+
+    t = Table.create(
+        spark, tmp_table_dir, transcripts_schema(), default_spec(),
+        properties={"write.target-file-size-bytes": str(256 * 1024)},
+    )
+    t.append(small_df, n_files=2)
+    t.append(small_df, n_files=2)
+    stale_inputs = [f.path for f in t.live_data_files()]
+    CompactionJob(t).run()  # winner rewrites those files away
+    with pytest.raises(CommitConflict, match="no longer live"):
+        t.commit_rewrite(stale_inputs[:1], [], operation="delete")
+    t.refresh()
+    assert t.scan().count() == 2 * small_df.count()
+
+
+def test_append_racing_compaction_rebases(spark, tmp_table_dir, small_df):
+    """A stale-handle append lands AFTER a compaction replaced the snapshot it
+    was built on: the optimistic commit rebases onto the compacted file set."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.compaction import CompactionJob
+
+    t1 = Table.create(
+        spark, tmp_table_dir, transcripts_schema(), default_spec(),
+        properties={"write.target-file-size-bytes": str(256 * 1024)},
+    )
+    t1.append(small_df, n_files=2)
+    t1.append(small_df, n_files=2)
+    t2 = Table.load(spark, tmp_table_dir)  # stale handle
+    CompactionJob(t1).run()
+    compacted = {f.path for f in t1.refresh().live_data_files()}
+    t2.append(small_df, n_files=1)
+    t1.refresh()
+    assert t1.scan().count() == 3 * small_df.count()
+    assert compacted <= {f.path for f in t1.live_data_files()}
+
+
+def test_threaded_concurrent_appends_all_commit(spark, tmp_table_dir, small_df):
+    """N writer handles appending simultaneously (the reference's 15-flow
+    fan-in, `gold_ocsf_iam_event_classes_delta_sinks.py:184-305`): optimistic
+    retry serializes the commits; every row lands exactly once."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = Table.create(spark, tmp_table_dir, transcripts_schema(), default_spec())
+    t.append(small_df)
+    handles = [Table.load(spark, tmp_table_dir) for _ in range(4)]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(lambda h: h.append(small_df, n_files=1), handles))
+    t.refresh()
+    assert t.scan().count() == 5 * small_df.count()
+    assert len(t.snapshots) == 5
