@@ -542,6 +542,44 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).drop("feature")  # array<float> kept engine-side
 
 
+def q_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change data feed (operators/change_feed.py): append -> CoW
+    DELETE -> UPDATE -> append, then the feed since snapshot 1. Inserts come
+    free from added files; delete/update rows were recorded at write time.
+    Snapshot ids are sequential, so the commit column is deterministic and
+    the whole feed is DuckDB-checkable."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.change_feed import change_feed
+
+    t = _make_transcript_table(spark, sf_dir, n_files=4)
+    t.set_property("write.change-data-feed.enabled", "true")
+    DeleteJob(t, [("role", "=", "tool"), ("turn_idx", "<", 3)]).run()
+    UpdateJob(t, [("role", "=", "system")],
+              {"tool": "coalesce(tool, 'none')"}).run()
+    base = transcripts_from_events(spark, sf_dir)
+    t.append(base.filter(F.col("turn_idx") == 0), n_files=2)
+    return change_feed(t, 1).select(
+        *_TCOLS, "_change_type", "_commit_snapshot_id")
+
+
+_CDC_FEED_ORACLE = f"""
+WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+SELECT conv_id, turn_idx, role, text, tool, ts,
+       'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_snapshot_id
+FROM t WHERE COALESCE(role = 'tool' AND turn_idx < 3, FALSE)
+UNION ALL
+SELECT conv_id, turn_idx, role, text, tool, ts,
+       'update_preimage', 3
+FROM t WHERE role = 'system' AND NOT COALESCE(role = 'tool' AND turn_idx < 3, FALSE)
+UNION ALL
+SELECT conv_id, turn_idx, role, text, COALESCE(tool, 'none') AS tool, ts,
+       'update_postimage', 3
+FROM t WHERE role = 'system' AND NOT COALESCE(role = 'tool' AND turn_idx < 3, FALSE)
+UNION ALL
+SELECT conv_id, turn_idx, role, text, tool, ts, 'insert', 4
+FROM t WHERE turn_idx = 0
+"""
+
+
 def q_scan_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed scan-equivalence checksum (SURVEY.md §2.4): per-conversation
     md5 digest of turn payloads under stable (conv_id, turn_idx) order."""
@@ -808,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": q_sim_ivf_topk,
         "multimodal_features": q_multimodal_features,
         "scan_checksum": q_scan_checksum,
+        "cdc_feed": q_cdc_feed,
     }
 
 
@@ -1048,4 +1087,5 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf_topk": _ivf_topk_oracle(10, 16, 6, 13, 64),
         "multimodal_features": _multimodal_oracle(96, 5),
         "scan_checksum": _CHECKSUM_ORACLE,
+        "cdc_feed": _CDC_FEED_ORACLE,
     }
