@@ -203,15 +203,17 @@ def _ivf_centroids(n_cells: int, dim: int, seed: int) -> np.ndarray:
     return C / np.linalg.norm(C, axis=1, keepdims=True)
 
 
-def ivf_cell_column(vec_col, dim: int, n_cells: int = 16, seed: int = 13) -> F.Column:
+def ivf_cell_column(vec_col, dim: int, n_cells: int = 16, seed: int = 13,
+                    centroids: np.ndarray | None = None) -> F.Column:
     """Nearest-centroid cell id as a Catalyst expression.
 
     argmax of n_cells literal-centroid dots; the vector's own norm is a
     positive constant per row, so normalization cannot change the argmax and
-    is skipped. First-max tie-break = numpy argmax = DuckDB list_position."""
-    C = _ivf_centroids(n_cells, dim, seed)
+    is skipped. First-max tie-break = numpy argmax = DuckDB list_position.
+    ``centroids`` (e.g. from ``ivf_train``) overrides the seeded random ones."""
+    C = centroids if centroids is not None else _ivf_centroids(n_cells, dim, seed)
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    dps = F.array(*[dot(v, _lit_vec(C[c])) for c in range(n_cells)])
+    dps = F.array(*[dot(v, _lit_vec(C[c])) for c in range(len(C))])
     return (F.array_position(dps, F.array_max(dps)) - 1).cast("int")
 
 
@@ -222,18 +224,60 @@ def ivf_assign(
     n_cells: int = 16,
     dim: int | None = None,
     seed: int = 13,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Add the ``ivf_cell`` assignment column (the partitioning half of IVF)."""
     d = dim or len(df.select(vec_col).first()[0])
-    return df.withColumn("ivf_cell", ivf_cell_column(vec_col, d, n_cells, seed))
+    return df.withColumn(
+        "ivf_cell", ivf_cell_column(vec_col, d, n_cells, seed, centroids))
+
+
+def ivf_train(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_iters: int = 5,
+    seed: int = 13,
+) -> np.ndarray:
+    """Distributed spherical k-means (Lloyd) for IVF centroids.
+
+    Each iteration is ONE Spark job: assignment is the Catalyst argmax over
+    literal centroids (codegen'd register math, no UDF), the new means come
+    from ``posexplode`` + a single ``groupBy(cell, dim_idx)`` average — a
+    shuffle of n_cells x dim partial sums, independent of row count thanks
+    to map-side combine. Centroids stay driver-side (n_cells x dim floats),
+    so the loop never collects data rows. Empty cells keep their previous
+    centroid. Training on a sample (``df.sample(...)``) is the 100 TB path:
+    k-means quality saturates long before full-data scans pay off."""
+    d = len(df.select(vec_col).first()[0])
+    C = _ivf_centroids(n_cells, d, seed)
+    vecs = df.select(F.col(vec_col).alias("_v"))
+    for _ in range(n_iters):
+        assigned = vecs.withColumn(
+            "_cell", ivf_cell_column("_v", d, n_cells, seed, C))
+        sums = (
+            assigned.select("_cell", F.posexplode("_v").alias("_i", "_x"))
+            .groupBy("_cell", "_i").agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        newC = C.copy()  # cells with no members keep their previous centroid
+        for r in sums:
+            newC[r["_cell"], r["_i"]] = r["_m"]
+        norms = np.linalg.norm(newC, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        C = newC / norms
+    return C
 
 
 def ivf_probe_cells(query_vec: list[float], n_cells: int = 16, n_probe: int = 4,
-                    seed: int = 13) -> list[int]:
+                    seed: int = 13,
+                    centroids: np.ndarray | None = None) -> list[int]:
     """The query's n_probe nearest cells (driver-side: n_cells tiny)."""
-    C = _ivf_centroids(n_cells, len(query_vec), seed)
-    dps = [seq_dot(query_vec, C[c]) for c in range(n_cells)]
-    order = sorted(range(n_cells), key=lambda c: (-dps[c], c))
+    C = (centroids if centroids is not None
+         else _ivf_centroids(n_cells, len(query_vec), seed))
+    dps = [seq_dot(query_vec, C[c]) for c in range(len(C))]
+    order = sorted(range(len(C)), key=lambda c: (-dps[c], c))
     return order[:n_probe]
 
 
@@ -247,18 +291,21 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 13,
+    centroids=None,
 ) -> DataFrame:
     """IVF ANN search: route vectors to centroid cells, probe the query's
     n_probe nearest cells, exact cosine re-rank within.
 
     Validates the query dimension against the data dimension up front (a
-    mismatch would silently probe wrong cells otherwise). At scale use
-    ``ivf_write_index`` + ``topk_over_index`` (partition pruning)."""
+    mismatch would silently probe wrong cells otherwise). ``centroids``
+    (e.g. from ``ivf_train``) overrides the seeded random cells. At scale
+    use ``ivf_write_index`` + ``topk_over_index`` (partition pruning)."""
     d = len(df.select(vec_col).first()[0])
     if len(query_vec) != d:
         raise ValueError(f"query dim {len(query_vec)} != data dim {d}")
-    assigned = df.withColumn("ivf_cell", ivf_cell_column(vec_col, d, n_cells, seed))
-    probe = ivf_probe_cells(query_vec, n_cells, n_probe, seed)
+    assigned = df.withColumn(
+        "ivf_cell", ivf_cell_column(vec_col, d, n_cells, seed, centroids))
+    probe = ivf_probe_cells(query_vec, n_cells, n_probe, seed, centroids)
     cand = assigned.filter(F.col("ivf_cell").isin(probe))
     return brute_force_topk(cand, query_vec, id_col=id_col, vec_col=vec_col, k=k)
 
@@ -268,11 +315,15 @@ def ivf_topk(
 def ivf_write_index(
     df: DataFrame, path: str, *, vec_col: str = "embedding",
     n_cells: int = 16, dim: int | None = None, seed: int = 13,
+    centroids: np.ndarray | None = None,
 ) -> None:
     """Materialize the IVF index: parquet PARTITIONED by ivf_cell. A probe
     filter on ivf_cell is then partition pruning — the scan reads
-    n_probe/n_cells of the files and never recomputes assignments."""
-    assigned = ivf_assign(df, vec_col=vec_col, n_cells=n_cells, dim=dim, seed=seed)
+    n_probe/n_cells of the files and never recomputes assignments. Pass
+    ``centroids=ivf_train(df, ...)`` for data-fitted cells; keep the same
+    array for ``ivf_probe_cells`` at query time."""
+    assigned = ivf_assign(df, vec_col=vec_col, n_cells=n_cells, dim=dim,
+                          seed=seed, centroids=centroids)
     assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
 
 

@@ -282,3 +282,32 @@ def test_ivf_dim_mismatch_fails_fast(embs):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="dim"):
         S.ivf_topk(embs, [1.0, 2.0], k=5)
+
+
+def test_ivf_train_improves_objective_and_recall(embs):
+    import numpy as np
+
+    rows = embs.select("embedding").collect()
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+
+    def objective(C):
+        # mean max-cosine to the assigned centroid (higher = tighter cells)
+        return float((Vn @ C.T).max(axis=1).mean())
+
+    random_C = S._ivf_centroids(8, V.shape[1], seed=13)
+    trained_C = S.ivf_train(embs, n_cells=8, n_iters=4, seed=13)
+    assert trained_C.shape == random_C.shape
+    assert np.allclose(np.linalg.norm(trained_C, axis=1), 1.0)
+    assert objective(trained_C) > objective(random_C)
+
+    # trained centroids flow through assign/probe/topk consistently
+    q = [float(x) for x in embs.orderBy("vec_id").first()["embedding"]]
+    probe = S.ivf_probe_cells(q, n_cells=8, n_probe=3, centroids=trained_C)
+    got = S.ivf_topk(embs, q, k=10, n_cells=8, n_probe=3,
+                     centroids=trained_C).collect()
+    assert got[0]["vec_id"] == embs.orderBy("vec_id").first()["vec_id"]
+    exact = {r["vec_id"]
+             for r in S.brute_force_topk(embs, q, k=10).collect()}
+    assert len({r["vec_id"] for r in got} & exact) >= 3
+    assert all(0 <= c < 8 for c in probe)
