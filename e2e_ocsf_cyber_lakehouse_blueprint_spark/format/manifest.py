@@ -45,6 +45,9 @@ MANIFEST_ENTRY_SCHEMA = {
         # a posdel file references, for scan scoping and staleness cleanup.
         {"name": "content", "type": "string"},
         {"name": "covered_paths", "type": {"type": "array", "items": "string"}},
+        # blooms: per-column encoded bloom bitsets keyed "bloom(col)"
+        # (format/bloom.py) — point-lookup skipping where min/max cannot help
+        {"name": "blooms", "type": {"type": "map", "values": "string"}},
     ],
 }
 
@@ -108,6 +111,7 @@ class DataFile:
     file_format: str = "parquet"
     content: str = "data"
     covered_paths: list[str] = field(default_factory=list)
+    blooms: dict[str, str] = field(default_factory=dict)
 
     def to_entry(self, status: int, snapshot_id: int) -> dict:
         return {
@@ -123,6 +127,7 @@ class DataFile:
             "null_counts": self.null_counts,
             "content": self.content,
             "covered_paths": self.covered_paths,
+            "blooms": self.blooms,
         }
 
     @staticmethod
@@ -138,6 +143,7 @@ class DataFile:
             file_format=e.get("file_format", "parquet"),
             content=e.get("content", "data"),
             covered_paths=list(e.get("covered_paths") or []),
+            blooms=dict(e.get("blooms") or {}),
         )
 
 

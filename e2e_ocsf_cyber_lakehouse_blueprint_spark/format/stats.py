@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .bloom import harvest_blooms
 from .manifest import DataFile, encode_bound, truncate_lower, truncate_upper
 from .partition import PARTITION_COL_PREFIX
 
@@ -63,6 +64,8 @@ def harvest_file_stats(
     partition_col_names: list[str],
     hash_stat_columns: list[str] | None = None,
     stat_columns: list[str] | None = None,
+    bloom_columns: list[str] | None = None,
+    bloom_bits: int = 8192,
 ) -> list[DataFile]:
     """Compute DataFile entries (stats + partition tuple) for every parquet file
     under ``staging_dir`` (one directory Spark just wrote, possibly
@@ -84,7 +87,7 @@ def harvest_file_stats(
     ]
     df = functools.reduce(lambda a, b: a.unionByName(b), parts)
     return harvest_df_stats(df, schema, partition_col_names, hash_stat_columns,
-                            stat_columns)
+                            stat_columns, bloom_columns, bloom_bits)
 
 
 def harvest_df_stats(
@@ -93,6 +96,8 @@ def harvest_df_stats(
     partition_col_names: list[str],
     hash_stat_columns: list[str] | None = None,
     stat_columns: list[str] | None = None,
+    bloom_columns: list[str] | None = None,
+    bloom_bits: int = 8192,
 ) -> list[DataFile]:
     """``stat_columns`` restricts which columns get min/max/null bounds.
 
@@ -166,6 +171,21 @@ def harvest_df_stats(
                 null_counts=nulls,
             )
         )
+    bloom_cols = [
+        c for c in (bloom_columns or [])
+        if c in {f.name for f in schema.fields
+                 if isinstance(f.dataType, T.StringType)}
+    ]
+    if bloom_cols:
+        # second narrow job (path + bloom key columns only — column pruning
+        # keeps the payload out of the scan); see format/bloom.py for shape
+        path_col = _META_PATH if _META_PATH in df.columns else "_metadata.file_path"
+        by_path = harvest_blooms(
+            df.select(F.col(path_col).alias("_bfp"), *bloom_cols),
+            "_bfp", bloom_cols, m=bloom_bits)
+        by_path = {normalize_path(p): b for p, b in by_path.items()}
+        for d in out:
+            d.blooms = by_path.get(d.path, {})
     out.sort(key=lambda d: d.path)
     return out
 

@@ -131,6 +131,16 @@ class Table:
         raw = self.meta.properties.get("stats.hash-columns", "")
         return [c.strip() for c in raw.split(",") if c.strip()]
 
+    def bloom_stat_columns(self) -> list[str]:
+        """Columns that get per-file bloom bitsets ('stats.bloom-columns'
+        property) — Delta's delta.bloomFilter column-option analogue. Size
+        via 'stats.bloom-bits' (power of two, default 8192 = 1 KiB/file)."""
+        raw = self.meta.properties.get("stats.bloom-columns", "")
+        return [c.strip() for c in raw.split(",") if c.strip()]
+
+    def bloom_bits(self) -> int:
+        return self.property_int("stats.bloom-bits", 8192)
+
     def stat_columns(self) -> list[str] | None:
         """Columns to collect min/max bounds for; None = all boundable columns.
         Set 'stats.columns' to the prunable key columns on wide-payload tables
@@ -429,7 +439,7 @@ class Table:
         return harvest_file_stats(
             self.spark, staging, self.schema,
             [f.name for f in spec.fields], self.hash_stat_columns(),
-            self.stat_columns(),
+            self.stat_columns(), self.bloom_stat_columns(), self.bloom_bits(),
         )
 
     def append(

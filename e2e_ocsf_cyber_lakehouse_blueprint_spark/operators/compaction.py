@@ -257,6 +257,7 @@ def run_grouped_rewrites(
         files = harvest_file_stats(
             spark, sorted({d for _, d, _ in staged}), table.schema,
             pcol_names, table.hash_stat_columns(), table.stat_columns(),
+            table.bloom_stat_columns(), table.bloom_bits(),
         )
         by_part: dict[str, list[DataFile]] = {}
         for f in files:

@@ -19,6 +19,7 @@ from typing import Any, Iterable, Sequence
 
 from pyspark.sql import types as T
 
+from ..format.bloom import bloom_key, bloom_might_contain
 from ..format.manifest import DataFile, decode_bound
 from ..format.partition import PartitionSpec
 from ..functions.xxh64 import spark_xxhash64_string
@@ -57,6 +58,15 @@ def _survives_bounds(f: DataFile, col: str, op: str, value: Any,
                 hlo, hhi = decode_bound(hlo_s), decode_bound(hhi_s)
                 if not any(hlo <= spark_xxhash64_string(v) <= hhi for v in vals):
                     return False
+        # per-file bloom bitset (format/bloom.py): definite-absence proof for
+        # point lookups on files whose min/max AND hash bounds stay wide
+        # (fresh time-ordered appends). False positives only cost a read.
+        bl = f.blooms.get(bloom_key(col))
+        if bl is not None:
+            vals = list(value) if op == "in" else [value]
+            if (all(isinstance(v, str) for v in vals)
+                    and not any(bloom_might_contain(bl, v) for v in vals)):
+                return False
     lo_s, hi_s = f.lower_bounds.get(col), f.upper_bounds.get(col)
     if lo_s is None or hi_s is None:
         return True  # no stats -> cannot prune

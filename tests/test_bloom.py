@@ -1,0 +1,153 @@
+"""Per-file bloom-filter skipping (format/bloom.py + pruning integration).
+
+The scenario min/max cannot handle: a time-ordered append mixes conv_ids, so
+every file's conv_id bounds span the keyspace — only a bloom proves absence.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.bloom import (
+    BLOOM_K,
+    bloom_key,
+    bloom_might_contain,
+    decode_bloom,
+    encode_bloom,
+    harvest_blooms,
+)
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.manifest import DataFile
+
+
+def test_encode_decode_roundtrip():
+    words = {0: 1, 5: (1 << 63) | 7, 127: -1 & ((1 << 64) - 1)}
+    enc = encode_bloom(8192, 4, words)
+    m, k, out = decode_bloom(enc)
+    assert (m, k) == (8192, 4)
+    assert out == words
+    # zero words are dropped from the sparse encoding
+    assert decode_bloom(encode_bloom(64, 2, {3: 0}))[2] == {}
+
+
+def test_harvest_rejects_non_power_of_two(spark):
+    df = spark.createDataFrame([("f", "v")], "fp string, c string")
+    with pytest.raises(ValueError, match="power of two"):
+        harvest_blooms(df, "fp", ["c"], m=1000)
+
+
+def test_no_false_negatives_and_bounded_fpr(spark):
+    df = spark.createDataFrame(
+        [(f"f{i % 2}", f"conv-{i:05d}") for i in range(2000)],
+        "fp string, conv string")
+    blooms = harvest_blooms(df, "fp", ["conv"], m=8192)
+    enc = blooms["f1"][bloom_key("conv")]
+    present = [f"conv-{i:05d}" for i in range(1, 2000, 2)]
+    assert all(bloom_might_contain(enc, v) for v in present)
+    absent = [f"other-{i}" for i in range(4000)]
+    fpr = sum(bloom_might_contain(enc, v) for v in absent) / len(absent)
+    assert fpr < 0.10  # theory ~2.4% at n=1000, m=8192, k=4
+
+
+def test_spark_and_python_positions_agree(spark):
+    """The build (Catalyst) and the probe (pure Python) must set/test the
+    SAME bits — including unicode, empty string, and long values."""
+    vals = ["conv-000123", "", "Ω-unicode-λ", "a" * 300, "\x01\x02"]
+    df = spark.createDataFrame([("f", v) for v in vals], "fp string, c string")
+    enc = harvest_blooms(df, "fp", ["c"], m=4096)["f"][bloom_key("c")]
+    assert all(bloom_might_contain(enc, v) for v in vals)
+    m, k, words = decode_bloom(enc)
+    n_bits = sum(bin(w & ((1 << 64) - 1)).count("1") for w in words.values())
+    assert n_bits <= len(vals) * BLOOM_K  # exactly the k probes per value
+
+
+def test_null_values_are_skipped(spark):
+    df = spark.createDataFrame(
+        [("f", "x"), ("f", None)], "fp string, c string")
+    blooms = harvest_blooms(df, "fp", ["c"], m=64)
+    assert bloom_might_contain(blooms["f"][bloom_key("c")], "x")
+
+
+def _mk_file(path, blooms=None, lower=None, upper=None):
+    return DataFile(path=path, partition={}, record_count=10,
+                    file_size_bytes=100, lower_bounds=lower or {},
+                    upper_bounds=upper or {}, null_counts={},
+                    blooms=blooms or {})
+
+
+def test_pruner_uses_blooms(spark):
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.plans.pruning import (
+        prune_files,
+    )
+    df = spark.createDataFrame(
+        [("fA", "conv-a"), ("fB", "conv-b")], "fp string, conv_id string")
+    blooms = harvest_blooms(df, "fp", ["conv_id"], m=1024)
+    files = [
+        _mk_file("fA", {bloom_key("conv_id"): blooms["fA"][bloom_key("conv_id")]}),
+        _mk_file("fB", {bloom_key("conv_id"): blooms["fB"][bloom_key("conv_id")]}),
+        _mk_file("fC"),  # no bloom -> never bloom-pruned
+    ]
+    import pyspark.sql.types as T
+
+    schema = T.StructType([T.StructField("conv_id", T.StringType())])
+    survive = prune_files(files, [("conv_id", "=", "conv-a")], schema, None)
+    assert [f.path for f in survive] == ["fA", "fC"]
+    survive = prune_files(files, [("conv_id", "in", ["conv-b", "zzz"])],
+                          schema, None)
+    assert [f.path for f in survive] == ["fB", "fC"]
+    # non-string values are never bloom-tested
+    survive = prune_files(files, [("conv_id", "=", 7)], schema, None)
+    assert len(survive) == 3
+
+
+def test_table_point_lookup_skips_files(spark, tmp_path):
+    """End-to-end: time-ordered appends (wide conv bounds per file) + bloom
+    property => a conv_id point lookup plans a strict subset of files, and
+    the scan result matches the unpruned scan exactly."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.table import Table
+
+    import pyspark.sql.types as T
+
+    loc = str(tmp_path / "t")
+    tbl = Table.create(
+        spark, loc,
+        T.StructType.fromDDL(
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"),
+        properties={"stats.bloom-columns": "conv_id",
+                    "stats.bloom-bits": "4096"},
+    )
+    # two appends, each holding a disjoint conv population but sorted by ts
+    # so conv_id min/max bounds overlap heavily within each append's files
+    base = spark.range(0, 1200).select(
+        F.concat(F.lit("conv-"),
+                 F.lpad((F.col("id") % 40).cast("string"), 4, "0")
+                 ).alias("conv_id"),
+        (F.col("id") / 40).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"), F.lit("hello").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"))
+    second = spark.range(0, 1200).select(
+        F.concat(F.lit("zonv-"),
+                 F.lpad((F.col("id") % 40).cast("string"), 4, "0")
+                 ).alias("conv_id"),
+        (F.col("id") / 40).cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"), F.lit("ok").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"))
+    tbl.append(base, n_files=4)
+    tbl.append(second, n_files=4)
+
+    tbl = Table.load(spark, loc)
+    files = tbl.live_data_files()
+    assert len(files) == 8
+    assert all(bloom_key("conv_id") in f.blooms for f in files)
+
+    pred = [("conv_id", "=", "conv-0007")]
+    planned = tbl.plan_scan(pred)
+    # the zonv append is provably absent; blooms must drop those 4 files
+    assert len(planned) <= 4
+
+    got = sorted(tbl.scan(predicates=pred).collect())
+    want = sorted(tbl.scan().filter(F.col("conv_id") == "conv-0007").collect())
+    assert got == want and len(got) == 30
