@@ -23,10 +23,15 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
-    ``parallelism`` maps to ``local[N]`` in the sandbox; on a real cluster the
-    master comes from spark-submit and this argument is ignored.
+    ``parallelism`` maps to ``local[N]`` in the sandbox. On a real cluster,
+    run via spark-submit and set ``SPARK_GRAFT_MASTER=submit`` (the submit
+    driver `scripts/submit_maintenance.py` does): the builder then leaves
+    ``spark.master`` alone so spark-submit's ``--master`` wins instead of
+    being silently overridden back to local mode. Any other value of
+    ``SPARK_GRAFT_MASTER`` is used verbatim as the master URL.
     """
     cpus = parallelism or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master_env = os.environ.get("SPARK_GRAFT_MASTER")
     # Shuffle/spill local dirs: tmpfs is an explicit OPT-IN (the bench harness
     # sets SPARK_GRAFT_TMPFS=1). The sandbox's single virtio disk (~270 MB/s,
     # shared writeback) serializes shuffle I/O and would make core-count
@@ -37,9 +42,11 @@ def get_spark(
     if (local_dir is None and os.environ.get("SPARK_GRAFT_TMPFS") == "1"
             and os.path.isdir("/dev/shm")):
         local_dir = "/dev/shm/spark-local"
+    builder = SparkSession.builder.appName(app_name)
+    if master_env != "submit":
+        builder = builder.master(master_env or f"local[{cpus}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
