@@ -47,7 +47,8 @@ MANIFEST_ENTRY_SCHEMA = {
         {"name": "covered_paths", "type": {"type": "array", "items": "string"}},
         # blooms: per-column encoded bloom bitsets keyed "bloom(col)"
         # (format/bloom.py) — point-lookup skipping where min/max cannot help
-        {"name": "blooms", "type": {"type": "map", "values": "string"}},
+        {"name": "blooms", "type": {"type": "map", "values": "string"},
+         "default": {}},
     ],
 }
 

@@ -33,7 +33,7 @@ from . import snapshot as snap
 from .manifest import DataFile
 from .partition import PartitionSpec
 from .stats import harvest_file_stats
-from ..plans.pruning import Predicate, prune_files
+from ..plans.pruning import Predicate, prune_files, prune_manifest_records
 
 
 class CommitConflict(Exception):
@@ -175,7 +175,18 @@ class Table:
         predicates: Sequence[Predicate] | None = None,
         snapshot_id: int | None = None,
     ) -> list[DataFile]:
-        files = self.live_data_files(snapshot_id)
+        s = (
+            self.meta.snapshot_by_id(snapshot_id)
+            if snapshot_id is not None
+            else self.current_snapshot()
+        )
+        if s is None:
+            return []
+        # two-level skip: whole manifests first (partition_summaries), then
+        # per-entry min/max/bloom bounds — only surviving manifests are read
+        records = mf.read_manifest_list(s.manifest_list)
+        records = prune_manifest_records(records, predicates, self.spec)
+        files = mf.live_files([r["path"] for r in records], "data")
         return prune_files(files, predicates, self.schema, self.spec)
 
     # ----------------------------------------------------------------- scan

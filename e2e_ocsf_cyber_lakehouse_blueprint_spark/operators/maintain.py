@@ -18,6 +18,9 @@ Policy (each stage is the same resumable, ledgered job a user runs by hand):
 - **No cluster keys** → plain FFD bin-packing compaction (no-op when
   nothing is fragmented).
 - Then snapshot expiration + orphan GC by the retention policy.
+- Finally manifest-layer compaction (``operators/manifests.py``) when the
+  manifest count passed ``maintenance.manifest.max-count`` — micro-batch
+  appends add one manifest per commit, and planning must stay O(live files).
 
 Policy knobs are table properties so they travel with the table:
 ``maintenance.cluster.curve`` (zorder|hilbert, default zorder),
@@ -30,11 +33,13 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 
+from ..format import manifest as mf
 from ..format.table import Table
 from .clustering import ClusteringJob, ClusteringResult
 from .compaction import CompactionJob, CompactionResult
 from .expire import ExpireResult, ExpireSnapshotsJob
 from .ledger import partition_key
+from .manifests import RewriteManifestsJob, RewriteManifestsResult
 
 
 @dataclass
@@ -42,6 +47,7 @@ class MaintenanceResult:
     compaction: CompactionResult | None
     clustering: ClusteringResult | None
     expiration: ExpireResult | None
+    manifests: RewriteManifestsResult | None = None
     elapsed_sec: float = 0.0
 
 
@@ -94,9 +100,20 @@ def run_maintenance(
             table, keep_last=keep_last, grace_period_sec=float(grace)
         ).run()
 
+    # manifest-layer compaction: micro-batch appends add one manifest per
+    # commit; past the threshold, re-pack them partition-sorted so planning
+    # stays O(live files), not O(commits)
+    manifests = None
+    max_manifests = table.property_int("maintenance.manifest.max-count", 8)
+    cur = table.current_snapshot()
+    if cur is not None and max_manifests > 0:
+        if len(mf.read_manifest_list(cur.manifest_list)) > max_manifests:
+            manifests = RewriteManifestsJob(table).run()
+
     return MaintenanceResult(
         compaction=compaction,
         clustering=clustering,
         expiration=expiration,
+        manifests=manifests,
         elapsed_sec=time.time() - t0,
     )

@@ -15,6 +15,7 @@ Predicates are conjunctive triples ``(column, op, value)`` with op in
 from __future__ import annotations
 
 import datetime
+import json
 from typing import Any, Iterable, Sequence
 
 from pyspark.sql import types as T
@@ -124,6 +125,69 @@ def _survives_partition(f: DataFile, spec: PartitionSpec, col: str, op: str,
         elif eq_prunable and op == "=" and pv != tv:
             return False
     return True
+
+
+def prune_manifest_records(
+    records: list[dict],
+    predicates: Sequence[Predicate] | None,
+    spec: PartitionSpec | None,
+) -> list[dict]:
+    """Manifest-level skip via ``partition_summaries`` — drop whole manifests
+    before reading a single entry. The layer above :func:`prune_files`: at
+    10^12 turns the manifest layer itself is large, and after
+    ``RewriteManifestsJob`` partition-sorts entries, each manifest's summary
+    covers a narrow range, so a time-range predicate opens only the manifests
+    it needs.
+
+    Soundness: a summary's lo/hi are the lexical min/max of the partition
+    values present, so lexical containment is safe for equality on ANY
+    string-encoded transform (a present value is always inside its own
+    min/max). Range ops are applied only for ``days`` (fixed-width yyyy-MM-dd
+    orders lexically), mirroring `_survives_partition`.
+    """
+    if not predicates or spec is None or not spec.fields:
+        return list(records)
+    by_source: dict[str, list] = {}
+    for field in spec.fields:
+        by_source.setdefault(field.source, []).append(field)
+    out = []
+    for rec in records:
+        sums = rec.get("partition_summaries") or {}
+        keep = True
+        for col, op, value in predicates:
+            for field in by_source.get(col, ()):
+                raw = sums.get(field.name)
+                if not raw:
+                    continue
+                try:
+                    bounds = json.loads(raw)
+                except ValueError:
+                    continue
+                lo, hi = bounds.get("lo"), bounds.get("hi")
+                if lo is None or hi is None:
+                    continue
+                if op in ("=", "in"):
+                    vals = list(value) if op == "in" else [value]
+                    tvs = [field.apply_python(v) for v in vals]
+                    if (all(t is not None for t in tvs)
+                            and not any(lo <= t <= hi for t in tvs)):
+                        keep = False
+                        break
+                elif field.transform == "days" and op in ("<", "<=", ">", ">="):
+                    tv = field.apply_python(value)
+                    if tv is None:
+                        continue
+                    if op in ("<", "<=") and lo > tv:
+                        keep = False
+                        break
+                    if op in (">", ">=") and hi < tv:
+                        keep = False
+                        break
+            if not keep:
+                break
+        if keep:
+            out.append(rec)
+    return out
 
 
 def prune_files(

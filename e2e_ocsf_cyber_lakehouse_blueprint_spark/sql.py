@@ -221,6 +221,9 @@ _STATEMENTS: list[tuple[re.Pattern, str]] = [
     (re.compile(
         rf"MAINTAIN\s+(?P<tbl>{_ID})\s*;?\s*$", re.IGNORECASE), "maintain"),
     (re.compile(
+        rf"REWRITE\s+MANIFESTS\s+(?P<tbl>{_ID})\s*;?\s*$",
+        re.IGNORECASE), "rewrite_manifests"),
+    (re.compile(
         rf"TABLE\s+CHANGES\s+(?P<tbl>{_ID})\s+FROM\s+VERSION\s+(?P<from>\d+)"
         rf"(?:\s+TO\s+VERSION\s+(?P<to>\d+))?\s*;?\s*$",
         re.IGNORECASE), "table_changes"),
@@ -350,6 +353,9 @@ def _dispatch(action: str, table: Table, m: re.Match) -> Any:
     if action == "maintain":
         from .operators.maintain import run_maintenance
         return run_maintenance(table)
+    if action == "rewrite_manifests":
+        from .operators.manifests import RewriteManifestsJob
+        return RewriteManifestsJob(table).run()
     if action == "table_changes":
         from .operators.change_feed import change_feed
         to = m.group("to")

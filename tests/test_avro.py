@@ -98,7 +98,8 @@ def test_manifest_schema_shape(tmp_path):
     path = str(tmp_path / "m.avro")
     avro.write_ocf(path, MANIFEST_ENTRY_SCHEMA, [entry])
     _, back = avro.read_ocf(path)
-    assert back == [entry]
+    # pre-bloom entries encode via the schema default and decode with it
+    assert back == [{**entry, "blooms": {}}]
 
 
 def test_truncate_bounds():
