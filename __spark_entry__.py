@@ -35,6 +35,7 @@ from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.clustering import Cluste
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.delete import DeleteJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.update import UpdateJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.expire import ExpireSnapshotsJob
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.manifests import RewriteManifestsJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.merge import MergeIntoJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.sources.transcripts import (
     TRANSCRIPTS_FROM_EVENTS_SQL,
@@ -103,6 +104,19 @@ def q_maintain_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _make_transcript_table(spark, sf_dir, n_files=4, appends=2)
     CompactionJob(t, max_concurrency=8).run()
     ExpireSnapshotsJob(t, keep_last=1).run()
+    return t.scan(columns=_TCOLS)
+
+
+def q_maintain_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-layer compaction (operators/manifests.py): three append
+    commits leave three manifests; REWRITE MANIFESTS re-packs the live
+    entries partition-sorted into one, as a pure metadata commit. The scan
+    afterwards exercises manifest-level pruning (prune_manifest_records) on
+    the rewritten summaries. Rows are untouched: oracle = 3x the
+    events-derived transcripts."""
+    t = _make_transcript_table(spark, sf_dir, n_files=3, appends=3)
+    res = RewriteManifestsJob(t).run()
+    assert res.manifests_before == 3 and res.manifests_after == 1, res
     return t.scan(columns=_TCOLS)
 
 
@@ -244,6 +258,16 @@ SELECT conv_id || '-new' AS conv_id, turn_idx, role, text, tool, ts FROM t WHERE
 
 _EXPIRE_ORACLE = f"""
 WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+SELECT conv_id, turn_idx, role, text, tool, ts FROM t
+UNION ALL
+SELECT conv_id, turn_idx, role, text, tool, ts FROM t
+"""
+
+# manifest rewrite is pure metadata: 3 append commits -> 3x the rows, unchanged
+_MANIFESTS_ORACLE = f"""
+WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+SELECT conv_id, turn_idx, role, text, tool, ts FROM t
+UNION ALL
 SELECT conv_id, turn_idx, role, text, tool, ts FROM t
 UNION ALL
 SELECT conv_id, turn_idx, role, text, tool, ts FROM t
@@ -817,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintain_delete": q_maintain_delete,
         "maintain_update": q_maintain_update,
         "maintain_expire": q_maintain_expire,
+        "maintain_manifests": q_maintain_manifests,
         "time_travel": q_time_travel,
         "snapshot_changes": q_snapshot_changes,
         "partition_evolution": q_partition_evolution,
@@ -859,6 +884,7 @@ def oracle_sql() -> dict[str, str]:
         "maintain_delete": _DELETE_ORACLE,
         "maintain_update": _UPDATE_ORACLE,
         "maintain_expire": _EXPIRE_ORACLE,
+        "maintain_manifests": _MANIFESTS_ORACLE,
         "time_travel": _TIME_TRAVEL_ORACLE,
         "snapshot_changes": _SNAPSHOT_CHANGES_ORACLE,
         "partition_evolution": _MAINT_ORACLE,
