@@ -22,6 +22,11 @@ The retention half of the Delta ACID layer the reference gets for free
 
 Safety invariant (tested): GC never deletes a file referenced by ANY retained
 snapshot, and a reader pinned to a retained snapshot scans identically after GC.
+
+The job also garbage-collects the METADATA layer (``gc_metadata_files``):
+manifest and manifest-list Avro files referenced by no retained snapshot —
+what expiration and ``RewriteManifestsJob`` strand — guarded by the same
+mtime grace period so a concurrent commit's not-yet-published files survive.
 """
 
 from __future__ import annotations
@@ -45,6 +50,7 @@ class ExpireResult:
     deleted_files: int
     protected_inflight: int
     bytes_reclaimed: int
+    metadata_files_deleted: int = 0
 
 
 def _inflight_ledger_outputs(table: Table) -> set[str]:
@@ -77,6 +83,45 @@ def referenced_files(table: Table) -> set[str]:
             for e in mf.read_manifest(rec["path"]):
                 refs.add(e["path"])
     return refs
+
+
+def gc_metadata_files(table: Table, grace_period_sec: float = 0.0) -> int:
+    """Delete manifest / manifest-list Avro files no retained snapshot
+    references — the metadata-layer garbage that snapshot expiration and
+    ``RewriteManifestsJob`` leave behind (Iceberg's expireSnapshots does the
+    same cleanup). Driver-side: the metadata dir is O(manifests), not O(rows).
+
+    The mtime grace period protects a CONCURRENT committer: an in-flight
+    commit writes its manifests and manifest list *before* publishing the
+    metadata version, and those files are unreferenced until the publish —
+    but they are also fresh, so a nonzero grace skips them.
+    """
+    table.refresh()
+    keep: set[str] = set()
+    for s in table.meta.snapshots:
+        keep.add(s.manifest_list)
+        try:
+            for rec in mf.read_manifest_list(s.manifest_list):
+                keep.add(rec["path"])
+        except FileNotFoundError:
+            continue
+    mdir = os.path.join(table.location, "metadata")
+    cutoff = time.time() - grace_period_sec
+    deleted = 0
+    for name in os.listdir(mdir):
+        if not (name.startswith(("manifest-", "snap-")) and name.endswith(".avro")):
+            continue
+        path = os.path.join(mdir, name)
+        if path in keep:
+            continue
+        try:
+            if grace_period_sec and os.path.getmtime(path) >= cutoff:
+                continue
+            os.remove(path)
+            deleted += 1
+        except FileNotFoundError:
+            continue
+    return deleted
 
 
 def disk_listing(table: Table) -> DataFrame:
@@ -119,6 +164,7 @@ class ExpireSnapshotsJob:
         expired_ids, _dead = self.table.expire_snapshots(self.keep_last)
         if not self.delete_orphans:
             return ExpireResult(expired_ids, 0, 0, 0, 0)
+        meta_deleted = gc_metadata_files(self.table, self.grace_period_sec)
 
         spark = self.table.spark
         listing = self.listing_df if self.listing_df is not None else disk_listing(self.table)
@@ -155,4 +201,5 @@ class ExpireSnapshotsJob:
         deleted = sum(d for d, _ in stats)
         reclaimed = sum(b for _, b in stats)
         n_candidates = deleted  # exact listing-side candidates == delete attempts
-        return ExpireResult(expired_ids, n_candidates, deleted, n_protected, reclaimed)
+        return ExpireResult(expired_ids, n_candidates, deleted, n_protected,
+                            reclaimed, meta_deleted)

@@ -178,3 +178,47 @@ def test_rewrite_rebases_over_concurrent_append(spark, tmp_table_dir):
         f.path for f in t.live_data_files()
     }
     assert fresh.scan().count() == t.scan().count()
+
+
+def test_expire_gcs_stranded_metadata(spark, tmp_table_dir):
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.expire import (
+        ExpireSnapshotsJob,
+    )
+    import os
+
+    t, _ = _make(spark, tmp_table_dir, n_appends=5)
+    RewriteManifestsJob(t).run()  # strands the 5 per-append manifests
+    mdir = os.path.join(t.location, "metadata")
+
+    def avro_files():
+        return {n for n in os.listdir(mdir)
+                if n.startswith(("manifest-", "snap-")) and n.endswith(".avro")}
+
+    before = avro_files()
+    rows = sorted(t.scan().collect())
+    res = ExpireSnapshotsJob(t, keep_last=1, grace_period_sec=0.0).run()
+    assert res.metadata_files_deleted > 0
+    after = avro_files()
+    # fewer overall (the expire commit itself adds one fresh manifest list)
+    assert len(after) < len(before)
+    # every retained snapshot's manifest list + manifests still resolve
+    for s in t.meta.snapshots:
+        assert os.path.exists(s.manifest_list)
+        for rec in mf.read_manifest_list(s.manifest_list):
+            assert os.path.exists(rec["path"])
+    assert sorted(t.scan().collect()) == rows
+
+
+def test_metadata_gc_grace_protects_fresh_files(spark, tmp_table_dir):
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.expire import (
+        gc_metadata_files,
+    )
+    t, _ = _make(spark, tmp_table_dir, n_appends=4)
+    RewriteManifestsJob(t).run()
+    # old manifests stay referenced by old snapshots: nothing to GC yet
+    assert gc_metadata_files(t, grace_period_sec=0.0) == 0
+    t.expire_snapshots(keep_last=1)  # now the per-append manifests strand
+    # everything on disk is seconds old: a 1h grace deletes nothing ...
+    assert gc_metadata_files(t, grace_period_sec=3600.0) == 0
+    # ... but with no grace the stranded metadata goes
+    assert gc_metadata_files(t, grace_period_sec=0.0) > 0
