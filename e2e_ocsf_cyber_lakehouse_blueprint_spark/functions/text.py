@@ -106,31 +106,36 @@ def fingerprint(col: Column | str) -> Column:
 def shingles(col: Column | str, k: int = 3) -> Column:
     """Word k-gram shingle array (empty array when fewer than k tokens).
 
-    ONE aggregate pass with a sliding-window accumulator. The obvious
-    `transform(sequence(1, n-k+1), i -> slice(toks, i, k))` form inlines the
-    whole tokenizer subtree at every slice reference, so Catalyst re-splits
-    the text once PER SHINGLE — measured 6x slower on the documents table
-    (the same inlining trap as the per-hash minhash aggregates). Iterating
-    over ``toks`` itself evaluates the tokenizer exactly once; lambda
-    variables are values, never re-evaluated trees. NULL text coalesces to
-    an empty token array so the result stays [] (the pre-rewrite contract)
-    rather than NULL."""
+    Zip-of-shifted-slices: k length-aligned slices of the token array are
+    ``arrays_zip``ped so shingle i is the struct (t[i], .., t[i+k-1]), then
+    one ``transform`` joins each struct with spaces. Two traps this dodges,
+    both measured on the documents table:
+
+    - the obvious `transform(sequence(1, n-k+1), i -> slice(toks, i, k))`
+      inlines the whole tokenizer subtree at every slice reference, so
+      Catalyst re-splits the text once PER SHINGLE (~6x slower). Binding
+      ``toks`` as a lambda VARIABLE (via a 1-element ``transform`` wrapper)
+      evaluates it exactly once — lambda variables are values, never
+      re-evaluated trees;
+    - the previous sliding-window ``aggregate`` accumulator appended to an
+      immutable array per token — O(n^2) copying per document and a fully
+      interpreted inner lambda (~3x slower than this form).
+
+    NULL text coalesces to an empty token array so the result stays []
+    (the original contract) rather than NULL."""
     toks = F.coalesce(word_tokens(col), F.array().cast("array<string>"))
-    acc0 = F.struct(
-        F.array().cast("array<string>").alias("win"),
-        F.array().cast("array<string>").alias("out"),
-    )
+    empty = F.array().cast("array<string>")
 
-    def step(acc, w):
-        grown = F.concat(acc["win"], F.array(w))
-        win = F.when(F.size(grown) > k, F.slice(grown, 2, k)).otherwise(grown)
-        out = F.when(
-            F.size(win) == k,
-            F.concat(acc["out"], F.array(F.concat_ws(" ", win))),
-        ).otherwise(acc["out"])
-        return F.struct(win.alias("win"), out.alias("out"))
+    def body(t):
+        n_sh = F.size(t) - (k - 1)
+        zipped = F.arrays_zip(*[F.slice(t, i + 1, n_sh) for i in range(k)])
+        return F.when(F.size(t) < k, empty).otherwise(
+            F.transform(
+                zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)])
+            )
+        )
 
-    return F.aggregate(toks, acc0, step, lambda acc: acc["out"])
+    return F.transform(F.array(toks), body)[0]
 
 
 def rolling_fingerprint(col: Column | str, k: int = 5) -> Column:
