@@ -120,6 +120,30 @@ def q_maintain_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan(columns=_TCOLS)
 
 
+def q_meta_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitions metadata table (sql.partitions — Iceberg tbl.partitions
+    analogue): per-partition record census computed DISTRIBUTED over the
+    manifest layer (manifest_entries_df fan-out; the driver never holds the
+    file list). Two appends of the events-derived transcripts into a
+    days(ts)-partitioned table: census = 2x rows per day."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.sql import partitions as meta_partitions
+
+    tune_session(spark)
+    df = transcripts_from_events(spark, sf_dir)
+    loc = tempfile.mkdtemp(prefix="mtbl-")
+    t = Table.create(
+        spark, os.path.join(loc, "transcripts"),
+        T.StructType.fromDDL(TRANSCRIPT_DDL_NTZ),
+        PartitionSpec.of(days("ts_day", "ts")),
+    )
+    t.append(df, n_files=4)
+    t.append(df, n_files=4)
+    return meta_partitions(t).select(
+        F.col("partition")["ts_day"].alias("ts_day"),
+        F.col("record_count").cast("long").alias("n_rows"),
+    )
+
+
 def q_maintain_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _make_transcript_table(spark, sf_dir, n_files=6)
     base = transcripts_from_events(spark, sf_dir)
@@ -261,6 +285,14 @@ WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
 SELECT conv_id, turn_idx, role, text, tool, ts FROM t
 UNION ALL
 SELECT conv_id, turn_idx, role, text, tool, ts FROM t
+"""
+
+# the partitions metadata table after 2 appends: per-day census, 2x rows
+_META_PARTITIONS_ORACLE = f"""
+WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS ts_day,
+       2 * COUNT(*) AS n_rows
+FROM t GROUP BY 1
 """
 
 # manifest rewrite is pure metadata: 3 append commits -> 3x the rows, unchanged
@@ -531,6 +563,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return DD.minhash_lsh_candidates(docs, n_hashes=32, bands=8,
                                      verify_threshold=0.5)
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup REMOVAL (functions/dedup.py:dedup_survivors): corpus minus
+    minhash-LSH losers under the keep-lowest-id policy — the step a training
+    pipeline actually applies after candidate generation."""
+    docs = _read(spark, sf_dir, "documents")
+    return DD.dedup_survivors(docs, n_hashes=32, bands=8,
+                              verify_threshold=0.5).select("doc_id")
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -842,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintain_update": q_maintain_update,
         "maintain_expire": q_maintain_expire,
         "maintain_manifests": q_maintain_manifests,
+        "meta_partitions": q_meta_partitions,
         "time_travel": q_time_travel,
         "snapshot_changes": q_snapshot_changes,
         "partition_evolution": q_partition_evolution,
@@ -867,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pairs_lsh": q_sim_pairs_lsh,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_survivors": q_dedup_survivors,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
         "multimodal_features": q_multimodal_features,
@@ -885,6 +928,7 @@ def oracle_sql() -> dict[str, str]:
         "maintain_update": _UPDATE_ORACLE,
         "maintain_expire": _EXPIRE_ORACLE,
         "maintain_manifests": _MANIFESTS_ORACLE,
+        "meta_partitions": _META_PARTITIONS_ORACLE,
         "time_travel": _TIME_TRAVEL_ORACLE,
         "snapshot_changes": _SNAPSHOT_CHANGES_ORACLE,
         "partition_evolution": _MAINT_ORACLE,
@@ -1108,6 +1152,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sim_pairs_lsh": _lsh_pairs_oracle(0.3, 4, 11, 64),
         "dedup_minhash_lsh": _minhash_oracle(32, 8, 3, 7, 0.5),
+        "dedup_survivors": (
+            f"WITH pairs AS ({_minhash_oracle(32, 8, 3, 7, 0.5)})\n"
+            "SELECT doc_id FROM documents\n"
+            "WHERE doc_id NOT IN (SELECT id_b FROM pairs)"
+        ),
         "dedup_simhash": _simhash_oracle(10),
         "sim_lsh_topk": _lsh_topk_oracle(10, 4, 11, 64),
         "sim_ivf_topk": _ivf_topk_oracle(10, 16, 6, 13, 64),

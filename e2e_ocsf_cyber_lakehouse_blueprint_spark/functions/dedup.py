@@ -183,6 +183,36 @@ def minhash_lsh_candidates(
     )
 
 
+def dedup_survivors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    seed: int = 7,
+    max_bucket: int = 10_000,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """The REMOVE step of near-dup dedup: the corpus minus near-duplicate
+    losers, keep-lowest-id policy.
+
+    Verified minhash-LSH pairs (id_a < id_b) mark every ``id_b`` a loser; a
+    left-anti join keeps the rest. Deterministic and one-pass (no iterative
+    connected components): a doc survives iff no smaller-id doc is jaccard-
+    similar to it, the standard greedy canonicalization for training-data
+    pipelines. Scale shape = the pair pipeline's (banded self-join, never
+    all-pairs) + one broadcast-sized anti-join of distinct loser ids."""
+    pairs = minhash_lsh_candidates(
+        df, id_col, text_col,
+        n_hashes=n_hashes, bands=bands, shingle_k=shingle_k, seed=seed,
+        max_bucket=max_bucket, verify_threshold=verify_threshold,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -54,6 +54,7 @@ import re
 from typing import Any
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .format.catalog import Catalog
@@ -219,6 +220,15 @@ _STATEMENTS: list[tuple[re.Pattern, str]] = [
         rf"DESCRIBE\s+HISTORY\s+(?P<tbl>{_ID})\s*;?\s*$", re.IGNORECASE),
      "history"),
     (re.compile(
+        rf"DESCRIBE\s+FILES\s+(?P<tbl>{_ID})\s*;?\s*$", re.IGNORECASE),
+     "files"),
+    (re.compile(
+        rf"DESCRIBE\s+PARTITIONS\s+(?P<tbl>{_ID})\s*;?\s*$", re.IGNORECASE),
+     "partitions"),
+    (re.compile(
+        rf"DESCRIBE\s+MANIFESTS\s+(?P<tbl>{_ID})\s*;?\s*$", re.IGNORECASE),
+     "manifests"),
+    (re.compile(
         rf"MAINTAIN\s+(?P<tbl>{_ID})\s*;?\s*$", re.IGNORECASE), "maintain"),
     (re.compile(
         rf"REWRITE\s+MANIFESTS\s+(?P<tbl>{_ID})\s*;?\s*$",
@@ -350,6 +360,12 @@ def _dispatch(action: str, table: Table, m: re.Match) -> Any:
         return table.restore(target.snapshot_id)
     if action == "history":
         return history(table)
+    if action == "files":
+        return files(table)
+    if action == "partitions":
+        return partitions(table)
+    if action == "manifests":
+        return manifests(table)
     if action == "maintain":
         from .operators.maintain import run_maintenance
         return run_maintenance(table)
@@ -374,6 +390,61 @@ def _dispatch(action: str, table: Table, m: re.Match) -> Any:
         table.set_partition_spec(PartitionSpec.of(*fields))
         return None
     raise AssertionError(action)
+
+
+def files(table: Table, snapshot_id: int | None = None) -> DataFrame:
+    """``tbl.files`` metadata table (Iceberg analogue): one row per live data
+    file — (path, partition, record_count, file_size_bytes). DISTRIBUTED: the
+    driver ships only manifest paths; entry decode fans out executor-side
+    (`format/manifest.py:manifest_entries_df`), so introspecting a 10^9-file
+    table never materializes the file list on the driver."""
+    from .format import manifest as mf
+
+    s = (table.meta.snapshot_by_id(snapshot_id) if snapshot_id is not None
+         else table.current_snapshot())
+    if s is None:
+        return mf.manifest_entries_df(table.spark, [])
+    paths = [r["path"] for r in mf.read_manifest_list(s.manifest_list)]
+    return mf.manifest_entries_df(table.spark, paths)
+
+
+def partitions(table: Table) -> DataFrame:
+    """``tbl.partitions`` metadata table: per-partition census
+    (partition, file_count, record_count, total_bytes) — one distributed
+    aggregation over the files metadata table."""
+    return (
+        files(table)
+        .groupBy("partition")
+        .agg(
+            F.count("*").alias("file_count"),
+            F.sum("record_count").alias("record_count"),
+            F.sum("file_size_bytes").alias("total_bytes"),
+        )
+    )
+
+
+def manifests(table: Table) -> DataFrame:
+    """``tbl.manifests`` metadata table: one row per manifest of the current
+    snapshot (driver-side — the manifest LIST is O(manifests), tiny)."""
+    from .format import manifest as mf
+
+    s = table.current_snapshot()
+    recs = mf.read_manifest_list(s.manifest_list) if s else []
+    rows = [
+        (
+            r["path"], r["manifest_length"], r["added_snapshot_id"],
+            r["added_files_count"], r["existing_files_count"],
+            r["deleted_files_count"],
+            {k: str(v) for k, v in (r.get("partition_summaries") or {}).items()},
+        )
+        for r in recs
+    ]
+    return table.spark.createDataFrame(
+        rows,
+        "path string, manifest_length long, added_snapshot_id long, "
+        "added_files_count int, existing_files_count int, "
+        "deleted_files_count int, partition_summaries map<string,string>",
+    )
 
 
 def history(table: Table) -> DataFrame:

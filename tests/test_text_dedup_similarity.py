@@ -109,6 +109,22 @@ def test_minhash_lsh_finds_near_dups(dup_docs):
     assert len(got) < 100
 
 
+def test_dedup_survivors_drops_losers(dup_docs):
+    surv = {r[0] for r in
+            D.dedup_survivors(dup_docs, n_hashes=32, bands=16,
+                              verify_threshold=0.5)
+            .select("doc_id").collect()}
+    all_ids = {r[0] for r in dup_docs.select("doc_id").collect()}
+    # keep-lowest-id: the canonical doc 3 survives, its dups 100/101 do not
+    assert 3 in surv
+    assert 100 not in surv and 101 not in surv
+    # every non-survivor is a loser id_b of some verified pair
+    pairs = D.minhash_lsh_candidates(dup_docs, n_hashes=32, bands=16,
+                                     verify_threshold=0.5).collect()
+    losers = {r["id_b"] for r in pairs}
+    assert all_ids - surv == losers
+
+
 def test_ngram_jaccard_pairs(dup_docs):
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
              for r in D.ngram_jaccard_pairs(dup_docs, threshold=0.5).collect()}
