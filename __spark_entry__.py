@@ -144,6 +144,22 @@ def q_meta_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (Table.stage_append / publish_snapshot): stage an
+    append invisibly, AUDIT it against the staged snapshot, publish it as a
+    cherry-pick onto current. Final scan = base + staged subset; the
+    mid-audit invariant (plain readers see only the base) is asserted
+    inline."""
+    t = _make_transcript_table(spark, sf_dir, n_files=4)
+    base_count = t.scan().count()
+    extra = transcripts_from_events(spark, sf_dir).filter(
+        F.col("turn_idx") % 2 == 0)
+    staged = t.stage_append(extra, n_files=2)
+    assert t.scan().count() == base_count  # audit: stage is invisible
+    t.publish_snapshot(staged.snapshot_id)
+    return t.scan(columns=_TCOLS)
+
+
 def q_maintain_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _make_transcript_table(spark, sf_dir, n_files=6)
     base = transcripts_from_events(spark, sf_dir)
@@ -285,6 +301,14 @@ WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
 SELECT conv_id, turn_idx, role, text, tool, ts FROM t
 UNION ALL
 SELECT conv_id, turn_idx, role, text, tool, ts FROM t
+"""
+
+# write-audit-publish: base append + published staged subset (even turns)
+_WAP_ORACLE = f"""
+WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+SELECT conv_id, turn_idx, role, text, tool, ts FROM t
+UNION ALL
+SELECT conv_id, turn_idx, role, text, tool, ts FROM t WHERE turn_idx % 2 = 0
 """
 
 # the partitions metadata table after 2 appends: per-day census, 2x rows
@@ -884,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintain_expire": q_maintain_expire,
         "maintain_manifests": q_maintain_manifests,
         "meta_partitions": q_meta_partitions,
+        "wap_publish": q_wap_publish,
         "time_travel": q_time_travel,
         "snapshot_changes": q_snapshot_changes,
         "partition_evolution": q_partition_evolution,
@@ -929,6 +954,7 @@ def oracle_sql() -> dict[str, str]:
         "maintain_expire": _EXPIRE_ORACLE,
         "maintain_manifests": _MANIFESTS_ORACLE,
         "meta_partitions": _META_PARTITIONS_ORACLE,
+        "wap_publish": _WAP_ORACLE,
         "time_travel": _TIME_TRAVEL_ORACLE,
         "snapshot_changes": _SNAPSHOT_CHANGES_ORACLE,
         "partition_evolution": _MAINT_ORACLE,

@@ -112,8 +112,13 @@ class Table:
     def snapshot_as_of(self, timestamp_ms: int) -> snap.Snapshot:
         """Time travel by timestamp (``FOR TIMESTAMP AS OF``): the latest
         snapshot committed at or before ``timestamp_ms``. Pure metadata —
-        resolution walks the (small) snapshot log, never data files."""
-        eligible = [s for s in self.snapshots if s.timestamp_ms <= timestamp_ms]
+        resolution walks the (small) snapshot log, never data files.
+
+        Staged (write-audit-publish) snapshots are skipped: they were never
+        the table's current state, so time travel must not surface them."""
+        eligible = [s for s in self.snapshots
+                    if s.timestamp_ms <= timestamp_ms
+                    and s.operation != "staged-append"]
         if not eligible:
             raise ValueError(
                 f"no snapshot at or before {timestamp_ms} "
@@ -307,7 +312,10 @@ class Table:
             s for s in self.snapshots
             if lo < s.snapshot_id <= to_snap.snapshot_id
         ]
-        bad = [s for s in in_range if s.operation not in ("append", "expire")]
+        # staged-append never changes a live file set (its files only become
+        # visible via a later publish APPEND), so the diff stays row-accurate
+        bad = [s for s in in_range
+               if s.operation not in ("append", "expire", "staged-append")]
         if bad:
             ops = ", ".join(f"{s.snapshot_id}:{s.operation}" for s in bad)
             raise ValueError(
@@ -473,6 +481,97 @@ class Table:
         self._maybe_auto_compact(files)
         return snapshot
 
+    # ------------------------------------------------- write-audit-publish
+
+    def stage_append(
+        self,
+        df: DataFrame,
+        *,
+        n_files: int | None = None,
+        sort_within: Sequence[str] | None = None,
+    ) -> snap.Snapshot:
+        """Write-audit-publish STAGE: commit the append into the snapshot log
+        WITHOUT advancing the current pointer (Iceberg WAP / Delta shadow
+        branch analogue). Readers of the table see nothing; auditors read the
+        staged snapshot explicitly via ``scan(snapshot_id=...)``; a passing
+        audit calls :meth:`publish_snapshot`. Staged files are refcounted by
+        the snapshot log, so expire/GC protects them while the staged
+        snapshot is retained — an abandoned stage ages out with normal
+        snapshot retention. Staged appends never evolve the schema (audit
+        first, evolve at publish-by-append if needed)."""
+        aligned, _ = self._align_to_schema(df, merge_schema=False)
+        files = self.write_data_files(
+            aligned, n_files=n_files, sort_within=sort_within, job_tag="wap")
+
+        def build(meta: snap.TableMetadata):
+            sid, parent_id, seq = self._next_ids(meta)
+            mpath = self._new_manifest_path()
+            record = mf.write_manifest(mpath, files, sid, mf.STATUS_ADDED)
+            parent = meta.current_snapshot()
+            records = (
+                mf.read_manifest_list(parent.manifest_list) if parent else []
+            ) + [record]
+            mlist = self._manifest_list_path(sid)
+            mf.write_manifest_list(mlist, records)
+            summary = {
+                "job": "wap-stage",
+                "added-data-files": len(files),
+                "added-records": sum(f.record_count for f in files),
+            }
+            s = snap.Snapshot(sid, parent_id, seq, snap.now_ms(),
+                              "staged-append", mlist, summary)
+            return s, None
+
+        return self._commit(build, advance=False)
+
+    def publish_snapshot(self, snapshot_id: int) -> snap.Snapshot:
+        """Write-audit-publish PUBLISH: cherry-pick a staged append onto the
+        CURRENT snapshot. Pure metadata — the staged data files are re-homed
+        into a fresh manifest attributed to the publish snapshot (so the
+        change feed reports the rows as inserted at publish time, when they
+        became visible) and appended to the current manifest list. Commits
+        that landed between stage and publish are preserved: the rebase is
+        just list concatenation, the only-appends-compose property the
+        reference's 15 append flows rely on."""
+        def build(meta: snap.TableMetadata):
+            staged = meta.snapshot_by_id(snapshot_id)
+            if staged is None or staged.operation != "staged-append":
+                raise ValueError(
+                    f"snapshot {snapshot_id} is not a staged append")
+            for s in meta.snapshots:
+                if s.summary.get("wap.published") == str(snapshot_id):
+                    raise ValueError(
+                        f"staged snapshot {snapshot_id} already published "
+                        f"by snapshot {s.snapshot_id}")
+            files = [
+                DataFile.from_entry(e)
+                for rec in mf.read_manifest_list(staged.manifest_list)
+                if rec.get("added_snapshot_id") == staged.snapshot_id
+                for e in mf.read_manifest(rec["path"])
+                if (e["status"] == mf.STATUS_ADDED
+                    and e["snapshot_id"] == staged.snapshot_id)
+            ]
+            sid, parent_id, seq = self._next_ids(meta)
+            mpath = self._new_manifest_path()
+            record = mf.write_manifest(mpath, files, sid, mf.STATUS_ADDED)
+            cur = meta.current_snapshot()
+            records = (
+                mf.read_manifest_list(cur.manifest_list) if cur else []
+            ) + [record]
+            mlist = self._manifest_list_path(sid)
+            mf.write_manifest_list(mlist, records)
+            summary = {
+                "job": "wap-publish",
+                "wap.published": str(snapshot_id),
+                "added-data-files": len(files),
+                "added-records": sum(f.record_count for f in files),
+            }
+            s = snap.Snapshot(sid, parent_id, seq, snap.now_ms(),
+                              "append", mlist, summary)
+            return s, None
+
+        return self._commit(build)
+
     def _maybe_auto_compact(self, appended: list[DataFile]) -> None:
         """Post-commit auto-compaction (``delta.autoOptimize.autoCompact``
         analogue, `utilities/utils.py:87`): when enabled via the
@@ -507,8 +606,11 @@ class Table:
             f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro",
         )
 
-    def _commit(self, build) -> snap.Snapshot:
-        """Optimistic commit loop: build(meta) -> (snapshot, schema_json|None)."""
+    def _commit(self, build, advance: bool = True) -> snap.Snapshot:
+        """Optimistic commit loop: build(meta) -> (snapshot, schema_json|None).
+
+        ``advance=False`` records the snapshot in the log WITHOUT moving the
+        current pointer — the write-audit-publish staging half."""
         for _ in range(20):
             self.refresh()
             snapshot, schema_json = build(self.meta)
@@ -525,7 +627,8 @@ class Table:
                 partition_spec=self.meta.partition_spec,
                 properties=self.meta.properties,
                 snapshots=self.meta.snapshots + [snapshot],
-                current_snapshot_id=snapshot.snapshot_id,
+                current_snapshot_id=(snapshot.snapshot_id if advance
+                                     else self.meta.current_snapshot_id),
                 version=self.meta.version + 1,
                 cluster_keys=self.meta.cluster_keys,
             )

@@ -103,8 +103,11 @@ def change_feed(
             sl = (spark.read.schema(schema).parquet(*added)
                   .withColumn(CHANGE_TYPE_COL, F.lit("insert"))
                   .withColumn(COMMIT_COL, F.lit(s.snapshot_id)))
-        elif s.operation in ("replace", "expire"):
-            continue  # layout/metadata only: no logical row change
+        elif s.operation in ("replace", "expire", "staged-append"):
+            # layout/metadata only — no VISIBLE row change (a staged append's
+            # rows enter the feed at their publish snapshot, when readers can
+            # first see them)
+            continue
         else:
             raise ValueError(
                 f"snapshot {s.snapshot_id} ({s.operation}) changed rows but "
