@@ -28,6 +28,9 @@ from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.compaction import Compac
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.expire import ExpireSnapshotsJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.delete import DeleteJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.maintain import run_maintenance
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.manifests import (
+    RewriteManifestsJob,
+)
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.merge import MergeIntoJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.update import UpdateJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.sources.transcripts import (
@@ -78,7 +81,8 @@ def test_op_sequence_conformance(spark, tmp_path, seed):
     ]
 
     ops = ["append", "compact", "cluster", "merge", "expire", "restore",
-           "evolve", "delete", "update", "delete_mor", "maintain"]
+           "evolve", "delete", "update", "delete_mor", "maintain",
+           "rewrite_manifests", "wap"]
     seq = [rng.choice(ops) for _ in range(8)]
     for step, op in enumerate(seq):
         if op == "append":
@@ -106,6 +110,19 @@ def test_op_sequence_conformance(spark, tmp_path, seed):
             ExpireSnapshotsJob(t, keep_last=2).run()
         elif op == "maintain":
             run_maintenance(t, max_concurrency=4)
+        elif op == "rewrite_manifests":
+            RewriteManifestsJob(t).run()  # pure metadata: oracle unchanged
+        elif op == "wap":
+            extra = generate_transcripts(
+                spark, n_convs=10, hot_convs=0, span_days=6,
+                seed=seed * 100 + step + 59,
+            ).withColumn(
+                "conv_id", F.concat(F.col("conv_id"), F.lit(f"-w{step}"))
+            ).cache()
+            staged = t.stage_append(extra, n_files=1)
+            assert rows(t.scan()) == rows(oracle), "stage must be invisible"
+            t.publish_snapshot(staged.snapshot_id)
+            oracle = oracle.unionByName(extra)
         elif op == "restore":
             candidates = [
                 s.snapshot_id for s in t.snapshots
