@@ -583,6 +583,14 @@ def q_sim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.lsh_pairs(embs, dim=64, threshold=0.3, n_planes=4)
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup removal (similarity.embedding_dedup_survivors):
+    embeddings minus keep-lowest-id losers among cosine >= 0.3 LSH pairs."""
+    embs = _read(spark, sf_dir, "embeddings")
+    return SS.embedding_dedup_survivors(
+        embs, dim=64, threshold=0.3, n_planes=4).select("vec_id")
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     return DD.minhash_lsh_candidates(docs, n_hashes=32, bands=8,
@@ -932,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": q_sim_topk,
         "sim_pairs": q_sim_pairs,
         "sim_pairs_lsh": q_sim_pairs_lsh,
+        "dedup_embedding": q_dedup_embedding,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_survivors": q_dedup_survivors,
@@ -1177,6 +1186,11 @@ def oracle_sql() -> dict[str, str]:
             FROM sh
         """,
         "sim_pairs_lsh": _lsh_pairs_oracle(0.3, 4, 11, 64),
+        "dedup_embedding": (
+            f"WITH pairs AS ({_lsh_pairs_oracle(0.3, 4, 11, 64)})\n"
+            "SELECT vec_id FROM embeddings\n"
+            "WHERE vec_id NOT IN (SELECT id_b FROM pairs)"
+        ),
         "dedup_minhash_lsh": _minhash_oracle(32, 8, 3, 7, 0.5),
         "dedup_survivors": (
             f"WITH pairs AS ({_minhash_oracle(32, 8, 3, 7, 0.5)})\n"

@@ -195,6 +195,28 @@ def lsh_pairs(
     )
 
 
+def embedding_dedup_survivors(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    seed: int = 11,
+) -> DataFrame:
+    """Embedding-cosine near-dup REMOVAL, keep-lowest-id policy: the corpus
+    minus every vector that is cosine >= threshold to a smaller-id vector
+    (per ``lsh_pairs`` — bucket equi-join candidates, exact verify, never a
+    cross product). The embedding-space twin of
+    ``dedup.dedup_survivors``: same greedy one-pass canonicalization a
+    training pipeline applies after near-dup detection."""
+    pairs = lsh_pairs(df, id_col=id_col, vec_col=vec_col, dim=dim,
+                      threshold=threshold, n_planes=n_planes, seed=seed)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 # ------------------------------------------------------------------ IVF
 
 def _ivf_centroids(n_cells: int, dim: int, seed: int) -> np.ndarray:

@@ -109,6 +109,23 @@ def test_minhash_lsh_finds_near_dups(dup_docs):
     assert len(got) < 100
 
 
+def test_embedding_dedup_survivors(spark):
+    # two exact-duplicate vectors + two distinct ones: the duplicate with the
+    # larger id loses, everything else survives
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),   # dup of 1 -> loser
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    embs = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    surv = {r[0] for r in
+            S.embedding_dedup_survivors(embs, dim=4, threshold=0.99,
+                                        n_planes=4)
+            .select("vec_id").collect()}
+    assert surv == {1, 3, 4}
+
+
 def test_dedup_survivors_drops_losers(dup_docs):
     surv = {r[0] for r in
             D.dedup_survivors(dup_docs, n_hashes=32, bands=16,
