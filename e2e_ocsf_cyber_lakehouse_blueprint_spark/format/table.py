@@ -42,6 +42,13 @@ class CommitConflict(Exception):
 
 _WIDEN = {("integer", "long"), ("float", "double"), ("int", "bigint"), ("date", "timestamp")}
 
+# (old table type, wider incoming type) promotions that evolve the TABLE
+# schema on merge-schema appends (Delta/Iceberg type widening). Restricted to
+# promotions Spark's parquet reader applies when reading OLD files with the
+# widened schema (int32->int64, float->double — verified; date->timestamp is
+# a write-side cast only, the parquet reader will not upcast it).
+_WIDEN_TABLE = {("integer", "long"), ("int", "bigint"), ("float", "double")}
+
 
 class Table:
     def __init__(self, spark: SparkSession, meta: snap.TableMetadata):
@@ -366,7 +373,11 @@ class Table:
     # --------------------------------------------------------------- append
 
     def _align_to_schema(self, df: DataFrame, merge_schema: bool) -> tuple[DataFrame, T.StructType]:
-        """unionByName(allowMissingColumns=True) semantics against the table schema."""
+        """unionByName(allowMissingColumns=True) semantics against the table
+        schema, plus numeric TYPE WIDENING on merge-schema appends: an
+        incoming int64 into an int32 column promotes the table column to
+        int64 (existing files stay as written — the parquet reader upcasts
+        them under the evolved read schema)."""
         table_schema = self.schema
         existing = {f.name: f for f in table_schema.fields}
         incoming = {f.name: f for f in df.schema.fields}
@@ -374,8 +385,17 @@ class Table:
         if new_fields and not merge_schema:
             raise ValueError(f"schema mismatch, new columns {[f.name for f in new_fields]} "
                              "and merge_schema=False")
+        base_fields = []
+        for f in table_schema.fields:
+            inc = incoming.get(f.name)
+            if (merge_schema and inc is not None and inc.dataType != f.dataType
+                    and (f.dataType.simpleString(),
+                         inc.dataType.simpleString()) in _WIDEN_TABLE):
+                base_fields.append(T.StructField(f.name, inc.dataType, True))
+            else:
+                base_fields.append(f)
         merged = T.StructType(
-            list(table_schema.fields)
+            base_fields
             + [T.StructField(f.name, f.dataType, True) for f in new_fields]
         )
         cols = []

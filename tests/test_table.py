@@ -413,3 +413,35 @@ def test_threaded_concurrent_appends_all_commit(spark, tmp_table_dir, small_df):
     t.refresh()
     assert t.scan().count() == 5 * small_df.count()
     assert len(t.snapshots) == 5
+
+
+def test_merge_schema_widens_numeric_types(spark, tmp_table_dir):
+    from pyspark.sql import functions as F
+
+    df = generate_transcripts(spark, n_convs=10, span_days=2)
+    t = Table.create(
+        spark, tmp_table_dir, T.StructType.fromDDL(SCHEMA_DDL),
+        PartitionSpec.of(days("ts_day", "ts"))
+    )
+    t.append(df, n_files=1)
+    assert t.schema["turn_idx"].dataType.simpleString() == "int"
+
+    wide = df.withColumn("turn_idx", F.col("turn_idx").cast("long"))
+    t.append(wide, n_files=1)
+    # the TABLE column widened; old int32 files still read under the new schema
+    assert t.schema["turn_idx"].dataType.simpleString() == "bigint"
+    assert t.scan().count() == 2 * df.count()
+    assert t.scan().schema["turn_idx"].dataType.simpleString() == "bigint"
+    # pruning on the widened column still plans correctly
+    got = t.scan(predicates=[("turn_idx", "=", 0)]).count()
+    want = 2 * df.filter(F.col("turn_idx") == 0).count()
+    assert got == want
+    # merge_schema=False still rejects the widening
+    import pytest as _pytest
+    t2 = Table.create(
+        spark, tmp_table_dir + "2", T.StructType.fromDDL(SCHEMA_DDL),
+        PartitionSpec.of(days("ts_day", "ts"))
+    )
+    t2.append(df, n_files=1)
+    with _pytest.raises(ValueError, match="incompatible type"):
+        t2.append(wide, n_files=1, merge_schema=False)
