@@ -313,6 +313,20 @@ class CompactionResult:
     spill_bytes: int = 0
 
 
+def deleted_rows_by_file(table: Table) -> dict[str, int]:
+    """Per-data-file masked-row counts from the live positional-delete files.
+
+    One distributed groupBy over the DV parquet only — never the data files.
+    Still census-scale at 10^9 data files: DV volume is bounded by delete
+    activity since the last rewrite, not by table size."""
+    dels = table.live_delete_files()
+    if not dels:
+        return {}
+    rows = (table.spark.read.parquet(*[d.path for d in dels])
+            .groupBy("file_path").count().collect())
+    return {r["file_path"]: r["count"] for r in rows}
+
+
 def plan_compaction(
     table: Table,
     *,
@@ -320,12 +334,27 @@ def plan_compaction(
     small_file_ratio: float = 0.75,
     min_input_files: int = 2,
     only_partitions: set[str] | None = None,
+    delete_ratio_threshold: float = 0.1,
 ) -> list[PartitionCompactionPlan]:
-    """Census + FFD pack per partition. Pure metadata — no data read.
+    """Census + FFD pack per partition. Pure metadata — no data read (the
+    delete-debt census reads only the metadata-sized DV parquet).
 
     ``only_partitions`` restricts the census to the given partition keys —
     the auto-compact path scopes work to partitions the triggering append
-    actually touched, so a hot table never re-plans its cold history."""
+    actually touched, so a hot table never re-plans its cold history.
+
+    Two kinds of candidate per partition (Iceberg ``rewrite_data_files``'s
+    ``delete-file-threshold`` analogue, Delta ``OPTIMIZE`` DV purge):
+
+    - *small* files under ``small_file_ratio * target_file_size`` — packed
+      together when at least ``min_input_files`` exist;
+    - *delete-dirty* files of ANY size whose positional-delete mask covers
+      ≥ ``delete_ratio_threshold`` of their rows — rewritten even alone,
+      since the rewrite both reclaims dead bytes and lets the commit retire
+      the now-stale DV files (merge-on-read debt has a bounded lifetime).
+
+    Packing sizes use the LIVE-byte estimate (file size scaled by the
+    surviving-row fraction) so post-rewrite outputs still land on target."""
     by_partition: dict[str, list[DataFile]] = {}
     parts: dict[str, dict] = {}
     for f in table.live_data_files():
@@ -334,16 +363,31 @@ def plan_compaction(
             continue
         by_partition.setdefault(k, []).append(f)
         parts[k] = f.partition
+    masked = deleted_rows_by_file(table) if delete_ratio_threshold < 1.0 else {}
+
+    def live_size(f: DataFile) -> int:
+        dead = masked.get(f.path, 0)
+        if not dead or not f.record_count:
+            return f.file_size_bytes
+        return max(1, int(f.file_size_bytes * (1 - dead / f.record_count)))
+
     plans = []
     threshold = int(target_file_size * small_file_ratio)
     for k, files in sorted(by_partition.items()):
         small = [f for f in files if f.file_size_bytes < threshold]
-        if len(small) < min_input_files:
+        small_paths = {f.path for f in small}
+        dirty = [
+            f for f in files
+            if f.path not in small_paths and f.record_count
+            and masked.get(f.path, 0) >= delete_ratio_threshold * f.record_count
+        ]
+        if not dirty and len(small) < min_input_files:
             continue
-        bins = ffd_pack([(f.path, f.file_size_bytes) for f in small], target_file_size)
-        if len(bins) >= len(small):
+        cand = small + dirty
+        bins = ffd_pack([(f.path, live_size(f)) for f in cand], target_file_size)
+        if not dirty and len(bins) >= len(small):
             continue  # nothing to gain: every file already ~target-sized
-        plans.append(PartitionCompactionPlan(parts[k], small, len(bins)))
+        plans.append(PartitionCompactionPlan(parts[k], cand, len(bins)))
     return plans
 
 
@@ -366,6 +410,7 @@ class CompactionJob:
         min_input_files: int = 2,
         max_concurrency: int = 8,
         only_partitions: set[str] | None = None,
+        delete_ratio_threshold: float | None = None,
     ):
         self.table = table
         self.target_file_size = target_file_size or table.property_int(
@@ -376,6 +421,10 @@ class CompactionJob:
         self.min_input_files = min_input_files
         self.max_concurrency = max_concurrency
         self.only_partitions = only_partitions
+        if delete_ratio_threshold is None:
+            delete_ratio_threshold = float(table.meta.properties.get(
+                "maintenance.compact.delete-ratio-threshold", "0.1"))
+        self.delete_ratio_threshold = delete_ratio_threshold
 
     def _group_writer(self, group: RewriteGroup, job_tag: str) -> str:
         return write_group_binpack(self.table, group, self.sort_keys, job_tag)
@@ -397,6 +446,7 @@ class CompactionJob:
             small_file_ratio=self.small_file_ratio,
             min_input_files=self.min_input_files,
             only_partitions=self.only_partitions,
+            delete_ratio_threshold=self.delete_ratio_threshold,
         )
         if dry_run or not plans:
             return CompactionResult(

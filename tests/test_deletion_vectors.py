@@ -178,3 +178,52 @@ def test_gc_never_deletes_live_dv_files(spark, dv_table):
     ExpireSnapshotsJob(t, keep_last=1).run()
     assert all(os.path.exists(p) for p in dv_paths)
     assert turns(t.scan()) == turns(df.filter(F.col("role") != "user"))
+
+
+def test_compaction_rewrites_delete_dirty_large_files(spark, tmp_table_dir):
+    """Iceberg rewrite_data_files delete-file-threshold analogue: a file of
+    ANY size whose DV mask covers >= delete_ratio_threshold of its rows is
+    rewritten (even alone), which folds the deletes in and lets the commit
+    retire the stale DV files. Light debt stays merge-on-read."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.compaction import (
+        plan_compaction,
+    )
+
+    df = generate_transcripts(spark, n_convs=200, hot_convs=1, hot_turns=100,
+                              span_days=2)
+    # clip the spillover day so every partition's files land "large"
+    df = df.filter(F.col("ts") < F.lit("2025-01-03").cast("timestamp")).cache()
+    target = 8 * 1024  # every data file lands well above 0.75*8KB -> "large"
+    t = Table.create(
+        spark, tmp_table_dir, T.StructType.fromDDL(SCHEMA_DDL),
+        PartitionSpec.of(days("ts_day", "ts")),
+        properties={"write.target-file-size-bytes": str(target),
+                    "stats.columns": "conv_id,turn_idx,role,ts"},
+    )
+    t.append(df, n_files=2, sort_within=("conv_id", "turn_idx"))
+    assert all(f.file_size_bytes >= int(target * 0.75)
+               for f in t.live_data_files())
+    # no DVs yet: nothing small, nothing dirty -> no plans
+    assert plan_compaction(t, target_file_size=target) == []
+
+    # role='user' is exactly every 4th turn -> ~25% of EVERY file
+    DeleteJob(t, [("role", "=", "user")], mode="merge-on-read").run()
+    assert t.live_delete_files()
+
+    # light-debt guard: 25% masked < 50% threshold -> still no rewrite
+    assert plan_compaction(t, target_file_size=target,
+                           delete_ratio_threshold=0.5) == []
+    # heavy-debt: 25% masked >= 10% threshold -> every file is a candidate
+    plans = plan_compaction(t, target_file_size=target,
+                            delete_ratio_threshold=0.1)
+    assert {f.path for p in plans for f in p.input_files} == {
+        f.path for f in t.live_data_files()}
+
+    want = turns(df.filter(F.col("role") != "user"))
+    res = CompactionJob(t, target_file_size=target,
+                        delete_ratio_threshold=0.1).run()
+    assert res.files_in > 0
+    t.refresh()
+    # DVs folded into the rewritten files and retired from the manifest
+    assert t.live_delete_files() == []
+    assert turns(t.scan()) == want
