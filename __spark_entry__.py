@@ -519,6 +519,17 @@ def q_stats_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization (gaps-and-islands; streaming twin is
+    ``streaming/sessionize.sessionize_stream`` via applyInPandasWithState)."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.streaming.sessionize import (
+        sessionize_batch,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return sessionize_batch(ev, key_col="user_id", ts_col="ts", gap_sec=1800)
+
+
 # ------------------------------------------------------- training-data ops
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -932,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_gc": q_anti_join_gc,
         "stats_census": q_stats_census,
         "stats_census_approx": q_stats_census_approx,
+        "sessionize": q_sessionize,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_stats": q_text_stats,
@@ -1059,6 +1071,28 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT user_id) AS n_users,
                    TRUE AS approx_within_5pct
             FROM events GROUP BY event_type
+        """,
+        "sessionize": """
+            WITH d AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR CAST(floor(epoch(ts)) AS BIGINT)
+                             - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT user_id, ts,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+              FROM d
+            )
+            SELECT user_id, session_idx,
+                   COUNT(*) AS n_events,
+                   MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+                   CAST(floor(epoch(MAX(ts))) AS BIGINT)
+                   - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_sec
+            FROM s GROUP BY user_id, session_idx
         """,
         "dedup_exact": """
             SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
