@@ -519,6 +519,30 @@ def q_stats_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase->latest-prior-click attribution via the as-of join operator
+    (union + window trick, one shuffle; `operators/asof.py`). Right side is
+    pre-aggregated to unique (user_id, ts) so tie-breaks are deterministic
+    in both engines (DuckDB oracle uses native ASOF LEFT JOIN)."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    j = asof_join(purchases, clicks, on="user_id")
+    return j.select(
+        "event_id", "user_id", "ts", "click_id",
+        F.col("ts_right").alias("click_ts"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_right"))
+        .alias("secs_since_click"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inactivity-gap sessionization (gaps-and-islands; streaming twin is
     ``streaming/sessionize.sessionize_stream`` via applyInPandasWithState)."""
@@ -944,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_census": q_stats_census,
         "stats_census_approx": q_stats_census_approx,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_stats": q_text_stats,
@@ -1071,6 +1096,20 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT user_id) AS n_users,
                    TRUE AS approx_within_5pct
             FROM events GROUP BY event_type
+        """,
+        "asof_join": """
+            WITH clicks AS (
+              SELECT user_id, ts, MAX(event_id) AS click_id
+              FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+            ), p AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'
+            )
+            SELECT p.event_id, p.user_id, p.ts, c.click_id, c.ts AS click_ts,
+                   CAST(floor(epoch(p.ts)) AS BIGINT)
+                   - CAST(floor(epoch(c.ts)) AS BIGINT) AS secs_since_click
+            FROM p ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "sessionize": """
             WITH d AS (
