@@ -519,6 +519,43 @@ def q_stats_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy aggregation (§2.4 breadth): per (event_type, day),
+    per event_type subtotal, and grand total in ONE pass — Spark's Expand
+    operator feeds a single shuffle instead of 3 scans+unions. Value sums
+    accumulate in DECIMAL (exact) with a final DOUBLE cast, per the entry
+    file's float discipline; grouping levels are disambiguated with
+    grouping_id so NULL group keys are unambiguous."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.to_date("ts"))
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            .alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+def q_stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (§2.4): Spark `percentile`
+    == DuckDB `quantile_cont` (both linear interpolation on the sorted set);
+    rounded to 6dp on both sides for cross-engine hash equality."""
+    ev = _read(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.transform(pct, lambda x: F.round(x, 6)).alias("pcts"),
+            F.round(F.min("value"), 6).alias("v_min"),
+            F.round(F.max("value"), 6).alias("v_max"),
+        )
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purchase->latest-prior-click attribution via the as-of join operator
     (union + window trick, one shuffle; `operators/asof.py`). Right side is
@@ -969,6 +1006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_census_approx": q_stats_census_approx,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        "agg_rollup": q_agg_rollup,
+        "stats_percentiles": q_stats_percentiles,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "text_stats": q_text_stats,
@@ -1095,6 +1134,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n_rows,
                    COUNT(DISTINCT user_id) AS n_users,
                    TRUE AS approx_within_5pct
+            FROM events GROUP BY event_type
+        """,
+        "agg_rollup": """
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+                   COUNT(DISTINCT user_id) AS n_users,
+                   GROUPING(event_type, CAST(ts AS DATE)) AS gid
+            FROM events
+            GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+        """,
+        "stats_percentiles": """
+            SELECT event_type,
+                   list_transform(quantile_cont(value, [0.5, 0.9, 0.99]),
+                                  x -> round(x, 6)) AS pcts,
+                   round(MIN(value), 6) AS v_min,
+                   round(MAX(value), 6) AS v_max
             FROM events GROUP BY event_type
         """,
         "asof_join": """
