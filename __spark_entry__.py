@@ -160,6 +160,25 @@ def q_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.scan(columns=_TCOLS)
 
 
+def q_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branches/tags (Table.create_branch / append_to_branch /
+    fast_forward_main): cut a dev branch, append to it invisibly (asserted
+    inline: main count unchanged, tag frozen), then fast-forward main to the
+    branch head. Final scan = base + branch subset — same shape as the WAP
+    oracle, exercised through the refs machinery instead."""
+    t = _make_transcript_table(spark, sf_dir, n_files=4)
+    base_count = t.scan().count()
+    t.create_tag("base")
+    t.create_branch("dev")
+    extra = transcripts_from_events(spark, sf_dir).filter(
+        F.col("turn_idx") % 3 == 1)
+    t.append_to_branch("dev", extra, n_files=2)
+    assert t.scan().count() == base_count       # branch is invisible on main
+    assert t.scan(ref="base").count() == base_count  # tag frozen
+    t.fast_forward_main("dev")
+    return t.scan(columns=_TCOLS)
+
+
 def q_maintain_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _make_transcript_table(spark, sf_dir, n_files=6)
     base = transcripts_from_events(spark, sf_dir)
@@ -309,6 +328,13 @@ WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
 SELECT conv_id, turn_idx, role, text, tool, ts FROM t
 UNION ALL
 SELECT conv_id, turn_idx, role, text, tool, ts FROM t WHERE turn_idx % 2 = 0
+"""
+
+_BRANCH_ORACLE = f"""
+WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+SELECT conv_id, turn_idx, role, text, tool, ts FROM t
+UNION ALL
+SELECT conv_id, turn_idx, role, text, tool, ts FROM t WHERE turn_idx % 3 = 1
 """
 
 # the partitions metadata table after 2 appends: per-day census, 2x rows
@@ -989,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintain_manifests": q_maintain_manifests,
         "meta_partitions": q_meta_partitions,
         "wap_publish": q_wap_publish,
+        "branch_publish": q_branch_publish,
         "time_travel": q_time_travel,
         "snapshot_changes": q_snapshot_changes,
         "partition_evolution": q_partition_evolution,
@@ -1040,6 +1067,7 @@ def oracle_sql() -> dict[str, str]:
         "maintain_manifests": _MANIFESTS_ORACLE,
         "meta_partitions": _META_PARTITIONS_ORACLE,
         "wap_publish": _WAP_ORACLE,
+        "branch_publish": _BRANCH_ORACLE,
         "time_travel": _TIME_TRAVEL_ORACLE,
         "snapshot_changes": _SNAPSHOT_CHANGES_ORACLE,
         "partition_evolution": _MAINT_ORACLE,

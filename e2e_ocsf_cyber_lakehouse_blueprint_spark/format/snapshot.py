@@ -61,6 +61,9 @@ class TableMetadata:
     current_snapshot_id: int | None
     version: int
     cluster_keys: list[str] = field(default_factory=list)
+    # named refs (Iceberg branches/tags): {name: {"snapshot_id": int,
+    # "type": "branch"|"tag"}}. "main" is implicit (current_snapshot_id).
+    refs: dict[str, dict] = field(default_factory=dict)
 
     def to_dict(self) -> dict:
         return {
@@ -74,6 +77,7 @@ class TableMetadata:
             "current_snapshot_id": self.current_snapshot_id,
             "version": self.version,
             "cluster_keys": self.cluster_keys,
+            "refs": self.refs,
         }
 
     @staticmethod
@@ -88,6 +92,7 @@ class TableMetadata:
             current_snapshot_id=d.get("current_snapshot_id"),
             version=d["version"],
             cluster_keys=d.get("cluster_keys", []),
+            refs=d.get("refs", {}),
         )
 
     def snapshot_by_id(self, snapshot_id: int) -> Snapshot:

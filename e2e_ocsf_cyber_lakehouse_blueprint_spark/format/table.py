@@ -209,10 +209,14 @@ class Table:
         columns: Sequence[str] | None = None,
         snapshot_id: int | None = None,
         as_of_timestamp_ms: int | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
+        if sum(x is not None for x in (snapshot_id, as_of_timestamp_ms, ref)) > 1:
+            raise ValueError(
+                "pass at most one of snapshot_id / as_of_timestamp_ms / ref")
+        if ref is not None:
+            snapshot_id = self.ref_snapshot(ref).snapshot_id
         if as_of_timestamp_ms is not None:
-            if snapshot_id is not None:
-                raise ValueError("pass snapshot_id or as_of_timestamp_ms, not both")
             snapshot_id = self.snapshot_as_of(as_of_timestamp_ms).snapshot_id
         files = self.plan_scan(predicates, snapshot_id)
         df = self.read_data_files(files, snapshot_id=snapshot_id)
@@ -626,11 +630,13 @@ class Table:
             f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro",
         )
 
-    def _commit(self, build, advance: bool = True) -> snap.Snapshot:
+    def _commit(self, build, advance: bool = True, refs_update=None) -> snap.Snapshot:
         """Optimistic commit loop: build(meta) -> (snapshot, schema_json|None).
 
         ``advance=False`` records the snapshot in the log WITHOUT moving the
-        current pointer — the write-audit-publish staging half."""
+        current pointer — the write-audit-publish staging half.
+        ``refs_update(meta, snapshot) -> refs dict`` atomically moves named
+        refs in the SAME metadata version (branch appends)."""
         for _ in range(20):
             self.refresh()
             snapshot, schema_json = build(self.meta)
@@ -640,17 +646,15 @@ class Table:
             prev_max = max((s.timestamp_ms for s in self.meta.snapshots), default=0)
             if snapshot.timestamp_ms <= prev_max:
                 snapshot = dataclasses.replace(snapshot, timestamp_ms=prev_max + 1)
-            new_meta = snap.TableMetadata(
-                table_uuid=self.meta.table_uuid,
-                location=self.meta.location,
+            new_meta = dataclasses.replace(
+                self.meta,
                 schema_json=schema_json or self.meta.schema_json,
-                partition_spec=self.meta.partition_spec,
-                properties=self.meta.properties,
                 snapshots=self.meta.snapshots + [snapshot],
                 current_snapshot_id=(snapshot.snapshot_id if advance
                                      else self.meta.current_snapshot_id),
                 version=self.meta.version + 1,
-                cluster_keys=self.meta.cluster_keys,
+                refs=(refs_update(self.meta, snapshot) if refs_update
+                      else self.meta.refs),
             )
             try:
                 snap.commit_metadata(new_meta)
@@ -659,6 +663,21 @@ class Table:
             except FileExistsError:
                 continue  # lost the race: rebase on fresh metadata and retry
         raise CommitConflict("gave up after 20 optimistic-commit retries")
+
+    def _commit_meta(self, mutate, what: str) -> None:
+        """Optimistic retry loop for metadata-only commits (no new snapshot).
+        ``mutate(meta) -> TableMetadata`` builds the next version from fresh
+        metadata (use ``dataclasses.replace``, bumping ``version``)."""
+        for _ in range(20):
+            self.refresh()
+            new_meta = mutate(self.meta)
+            try:
+                snap.commit_metadata(new_meta)
+                self.meta = new_meta
+                return
+            except FileExistsError:
+                continue
+        raise CommitConflict(f"{what}: gave up after 20 retries")
 
     def _next_ids(self, meta: snap.TableMetadata) -> tuple[int, int | None, int]:
         parent = meta.current_snapshot()
@@ -801,6 +820,148 @@ class Table:
 
         return self._commit(build)
 
+    # ----------------------------------------------------- branches / tags
+
+    @property
+    def refs(self) -> dict[str, dict]:
+        """Named refs: {name: {"snapshot_id", "type": "branch"|"tag"}}.
+        "main" is implicit (the current pointer)."""
+        return dict(self.meta.refs)
+
+    def ref_snapshot(self, name: str) -> snap.Snapshot:
+        if name == "main":
+            cur = self.current_snapshot()
+            if cur is None:
+                raise KeyError("table has no snapshots yet")
+            return cur
+        r = self.meta.refs.get(name)
+        if r is None:
+            raise KeyError(f"unknown ref {name!r}")
+        return self.meta.snapshot_by_id(int(r["snapshot_id"]))
+
+    def _set_ref(self, name: str, ref_type: str,
+                 snapshot_id: int | None, *, replace: bool) -> None:
+        if name == "main":
+            raise ValueError("'main' is reserved for the current pointer")
+
+        def mutate(meta: snap.TableMetadata) -> snap.TableMetadata:
+            sid = snapshot_id if snapshot_id is not None else meta.current_snapshot_id
+            if sid is None:
+                raise ValueError("table has no snapshot to reference")
+            meta.snapshot_by_id(sid)  # KeyError on dangling target
+            existing = meta.refs.get(name)
+            if existing is not None and not replace:
+                raise ValueError(f"ref {name!r} already exists ({existing['type']})")
+            refs = dict(meta.refs)
+            refs[name] = {"snapshot_id": int(sid), "type": ref_type}
+            return dataclasses.replace(meta, refs=refs, version=meta.version + 1)
+
+        self._commit_meta(mutate, f"create_{ref_type}")
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Immutable named pointer (Iceberg tag). Pins its snapshot against
+        expiration until :meth:`drop_ref`."""
+        self._set_ref(name, "tag", snapshot_id, replace=False)
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
+        """Mutable named pointer (Iceberg branch): advance it with
+        :meth:`append_to_branch`, merge with :meth:`fast_forward_main`."""
+        self._set_ref(name, "branch", snapshot_id, replace=False)
+
+    def drop_ref(self, name: str) -> None:
+        def mutate(meta: snap.TableMetadata) -> snap.TableMetadata:
+            if name not in meta.refs:
+                raise KeyError(f"unknown ref {name!r}")
+            refs = {k: v for k, v in meta.refs.items() if k != name}
+            return dataclasses.replace(meta, refs=refs, version=meta.version + 1)
+
+        self._commit_meta(mutate, "drop_ref")
+
+    def append_to_branch(
+        self,
+        name: str,
+        df: DataFrame,
+        *,
+        n_files: int | None = None,
+        sort_within: Sequence[str] | None = None,
+    ) -> snap.Snapshot:
+        """Append committed onto a branch head: the new snapshot's parent is
+        the branch head (not main), and the branch ref advances in the SAME
+        metadata version — main readers see nothing. Like staged appends,
+        branch writes never evolve the table schema (evolve on main, then
+        branch). The snapshot log refcounts the branch's files, so GC
+        protects them while the branch exists."""
+        aligned, _ = self._align_to_schema(df, merge_schema=False)
+        files = self.write_data_files(
+            aligned, n_files=n_files, sort_within=sort_within,
+            job_tag=f"branch-{name}")
+
+        def build(meta: snap.TableMetadata):
+            r = meta.refs.get(name)
+            if r is None or r["type"] != "branch":
+                raise ValueError(f"{name!r} is not a branch")
+            head = meta.snapshot_by_id(int(r["snapshot_id"]))
+            sid = max((s.snapshot_id for s in meta.snapshots), default=0) + 1
+            seq = max((s.sequence_number for s in meta.snapshots), default=0) + 1
+            mpath = self._new_manifest_path()
+            record = mf.write_manifest(mpath, files, sid, mf.STATUS_ADDED)
+            records = mf.read_manifest_list(head.manifest_list) + [record]
+            mlist = self._manifest_list_path(sid)
+            mf.write_manifest_list(mlist, records)
+            summary = {
+                "job": "branch-append",
+                "branch": name,
+                "added-data-files": len(files),
+                "added-records": sum(f.record_count for f in files),
+            }
+            s = snap.Snapshot(sid, head.snapshot_id, seq, snap.now_ms(),
+                              "append", mlist, summary)
+            return s, None
+
+        def refs_update(meta: snap.TableMetadata, snapshot: snap.Snapshot):
+            refs = dict(meta.refs)
+            refs[name] = {"snapshot_id": snapshot.snapshot_id, "type": "branch"}
+            return refs
+
+        return self._commit(build, advance=False, refs_update=refs_update)
+
+    def fast_forward_main(self, name: str) -> snap.Snapshot:
+        """Move main to the branch head, iff main's snapshot is an ancestor
+        of the head (pure pointer move, Iceberg ``fast_forward``). If main
+        advanced since the branch was cut, the merge is not a fast-forward —
+        raise, and let the caller replay the branch (e.g. re-append its
+        added files) instead of silently dropping main's commits."""
+        head_holder: list[snap.Snapshot] = []
+
+        def mutate(meta: snap.TableMetadata) -> snap.TableMetadata:
+            r = meta.refs.get(name)
+            if r is None or r["type"] != "branch":
+                raise ValueError(f"{name!r} is not a branch")
+            head = meta.snapshot_by_id(int(r["snapshot_id"]))
+            cur = meta.current_snapshot()
+            node, ok = head, cur is None
+            while node is not None and not ok:
+                if node.snapshot_id == cur.snapshot_id:
+                    ok = True
+                    break
+                if node.parent_snapshot_id is None:
+                    break
+                try:
+                    node = meta.snapshot_by_id(node.parent_snapshot_id)
+                except KeyError:  # ancestry truncated by expiration
+                    break
+            if not ok:
+                raise ValueError(
+                    f"cannot fast-forward: main ({cur.snapshot_id}) is not an "
+                    f"ancestor of branch {name!r} head ({head.snapshot_id})")
+            head_holder.append(head)
+            return dataclasses.replace(
+                meta, current_snapshot_id=head.snapshot_id,
+                version=meta.version + 1)
+
+        self._commit_meta(mutate, "fast_forward")
+        return head_holder[-1]
+
     # ----------------------------------------------------- snapshot expiry
 
     def expire_snapshots(self, keep_last: int = 3) -> tuple[list[int], list[str]]:
@@ -818,6 +979,12 @@ class Table:
         cur = self.current_snapshot()
         if cur and cur not in keep:
             keep.append(cur)
+        # named refs (branches/tags) pin their target snapshot for as long
+        # as the ref exists — drop_ref() is how a tag ages out
+        ref_ids = {int(r["snapshot_id"]) for r in self.meta.refs.values()}
+        keep += [s for s in ordered
+                 if s.snapshot_id in ref_ids
+                 and s.snapshot_id not in {k.snapshot_id for k in keep}]
         keep_ids = {s.snapshot_id for s in keep}
         expired = [s for s in ordered if s.snapshot_id not in keep_ids]
 
@@ -850,16 +1017,11 @@ class Table:
             prev_max = max((s.timestamp_ms for s in meta.snapshots), default=0)
             if new_snap.timestamp_ms <= prev_max:
                 new_snap = dataclasses.replace(new_snap, timestamp_ms=prev_max + 1)
-            new_meta = snap.TableMetadata(
-                table_uuid=meta.table_uuid,
-                location=meta.location,
-                schema_json=meta.schema_json,
-                partition_spec=meta.partition_spec,
-                properties=meta.properties,
+            new_meta = dataclasses.replace(
+                meta,
                 snapshots=retained + [new_snap],
                 current_snapshot_id=new_snap.snapshot_id,
                 version=meta.version + 1,
-                cluster_keys=meta.cluster_keys,
             )
             try:
                 snap.commit_metadata(new_meta)
@@ -879,23 +1041,11 @@ class Table:
         for k in keys:
             if k not in {f.name for f in self.schema.fields}:
                 raise ValueError(f"unknown cluster column {k!r}")
-        for _ in range(20):
-            self.refresh()
-            meta = self.meta
-            new_meta = snap.TableMetadata(
-                table_uuid=meta.table_uuid, location=meta.location,
-                schema_json=meta.schema_json, partition_spec=meta.partition_spec,
-                properties=meta.properties, snapshots=meta.snapshots,
-                current_snapshot_id=meta.current_snapshot_id,
-                version=meta.version + 1, cluster_keys=list(keys),
-            )
-            try:
-                snap.commit_metadata(new_meta)
-                self.meta = new_meta
-                return
-            except FileExistsError:
-                continue
-        raise CommitConflict("set_cluster_keys: gave up after 20 retries")
+        self._commit_meta(
+            lambda meta: dataclasses.replace(
+                meta, cluster_keys=list(keys), version=meta.version + 1),
+            "set_cluster_keys",
+        )
 
     def set_partition_spec(self, spec: PartitionSpec) -> None:
         """ALTER TABLE ... PARTITIONED BY analogue (Iceberg partition-spec
@@ -935,48 +1085,26 @@ class Table:
                 )
         new_names = {f.name for f in spec.fields}
         retired.update({n: d for n, d in current.items() if n not in new_names})
-        for _ in range(20):
-            self.refresh()
-            meta = self.meta
+
+        def mutate(meta: snap.TableMetadata) -> snap.TableMetadata:
             props = dict(meta.properties)
             props["partition.retired-fields"] = json.dumps(retired, sort_keys=True)
-            new_meta = snap.TableMetadata(
-                table_uuid=meta.table_uuid, location=meta.location,
-                schema_json=meta.schema_json, partition_spec=spec.to_list(),
-                properties=props, snapshots=meta.snapshots,
-                current_snapshot_id=meta.current_snapshot_id,
-                version=meta.version + 1, cluster_keys=meta.cluster_keys,
-            )
-            try:
-                snap.commit_metadata(new_meta)
-                self.meta = new_meta
-                return
-            except FileExistsError:
-                continue
-        raise CommitConflict("set_partition_spec: gave up after 20 retries")
+            return dataclasses.replace(
+                meta, partition_spec=spec.to_list(), properties=props,
+                version=meta.version + 1)
+
+        self._commit_meta(mutate, "set_partition_spec")
 
     def set_property(self, key: str, value: str) -> None:
         """ALTER TABLE SET TBLPROPERTIES analogue (table_properties,
         `utilities/utils.py:85-96`)."""
-        for _ in range(20):
-            self.refresh()
-            meta = self.meta
+        def mutate(meta: snap.TableMetadata) -> snap.TableMetadata:
             props = dict(meta.properties)
             props[key] = value
-            new_meta = snap.TableMetadata(
-                table_uuid=meta.table_uuid, location=meta.location,
-                schema_json=meta.schema_json, partition_spec=meta.partition_spec,
-                properties=props, snapshots=meta.snapshots,
-                current_snapshot_id=meta.current_snapshot_id,
-                version=meta.version + 1, cluster_keys=meta.cluster_keys,
-            )
-            try:
-                snap.commit_metadata(new_meta)
-                self.meta = new_meta
-                return
-            except FileExistsError:
-                continue
-        raise CommitConflict("set_property: gave up after 20 retries")
+            return dataclasses.replace(
+                meta, properties=props, version=meta.version + 1)
+
+        self._commit_meta(mutate, "set_property")
 
     # ------------------------------------------------------------- utility
 
