@@ -26,6 +26,10 @@ table-maintenance statements the engine owns:
     TABLE CHANGES <tbl> FROM VERSION <n> [TO VERSION <m>]
         row-level change feed (_change_type/_commit_snapshot_id) after
         snapshot n (exclusive) up to m (inclusive; default current)
+    ALTER TABLE <tbl> CREATE BRANCH|TAG <name> [AS OF VERSION <n>]
+    ALTER TABLE <tbl> DROP BRANCH|TAG <name>
+    ALTER TABLE <tbl> FAST FORWARD TO <branch>
+    DESCRIBE REFS <tbl>
     ALTER TABLE <tbl> CLUSTER BY (c1[, ...])
     ALTER TABLE <tbl> SET TBLPROPERTIES ('k'='v'[, ...])
     ALTER TABLE <tbl> PARTITIONED BY (transform[, ...])
@@ -238,6 +242,21 @@ _STATEMENTS: list[tuple[re.Pattern, str]] = [
         rf"(?:\s+TO\s+VERSION\s+(?P<to>\d+))?\s*;?\s*$",
         re.IGNORECASE), "table_changes"),
     (re.compile(
+        rf"ALTER\s+TABLE\s+(?P<tbl>{_ID})\s+CREATE\s+(?P<kind>BRANCH|TAG)\s+"
+        rf"(?P<name>[\w$-]+)(?:\s+AS\s+OF\s+VERSION\s+(?P<version>\d+))?\s*;?\s*$",
+        re.IGNORECASE), "create_ref"),
+    (re.compile(
+        rf"ALTER\s+TABLE\s+(?P<tbl>{_ID})\s+DROP\s+(?:BRANCH|TAG)\s+"
+        rf"(?P<name>[\w$-]+)\s*;?\s*$",
+        re.IGNORECASE), "drop_ref"),
+    (re.compile(
+        rf"ALTER\s+TABLE\s+(?P<tbl>{_ID})\s+FAST\s+FORWARD\s+TO\s+"
+        rf"(?P<name>[\w$-]+)\s*;?\s*$",
+        re.IGNORECASE), "fast_forward"),
+    (re.compile(
+        rf"DESCRIBE\s+REFS\s+(?P<tbl>{_ID})\s*;?\s*$", re.IGNORECASE),
+     "refs"),
+    (re.compile(
         rf"ALTER\s+TABLE\s+(?P<tbl>{_ID})\s+CLUSTER\s+BY\s*\((?P<cols>[^)]+)\)\s*;?\s*$",
         re.IGNORECASE), "cluster_by"),
     (re.compile(
@@ -377,6 +396,21 @@ def _dispatch(action: str, table: Table, m: re.Match) -> Any:
         to = m.group("to")
         return change_feed(table, int(m.group("from")),
                            int(to) if to else None)
+    if action == "create_ref":
+        sid = m.group("version")
+        sid = int(sid) if sid is not None else None
+        if m.group("kind").upper() == "BRANCH":
+            table.create_branch(m.group("name"), sid)
+        else:
+            table.create_tag(m.group("name"), sid)
+        return None
+    if action == "drop_ref":
+        table.drop_ref(m.group("name"))
+        return None
+    if action == "fast_forward":
+        return table.fast_forward_main(m.group("name"))
+    if action == "refs":
+        return refs_table(table)
     if action == "cluster_by":
         table.set_cluster_keys(_cols(m.group("cols")))
         return None
@@ -445,6 +479,16 @@ def manifests(table: Table) -> DataFrame:
         "added_files_count int, existing_files_count int, "
         "deleted_files_count int, partition_summaries map<string,string>",
     )
+
+
+def refs_table(table: Table) -> DataFrame:
+    """DESCRIBE REFS: one row per named ref, plus the implicit main."""
+    rows = [("main", "branch", table.current_snapshot().snapshot_id
+             if table.current_snapshot() else None)]
+    rows += [(name, r["type"], int(r["snapshot_id"]))
+             for name, r in sorted(table.refs.items())]
+    return table.spark.createDataFrame(
+        rows, "name string, type string, snapshot_id long")
 
 
 def history(table: Table) -> DataFrame:

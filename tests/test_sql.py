@@ -260,3 +260,28 @@ def test_create_database_table_show_describe(spark, tmp_path):
     detail = run_sql(c, "DESCRIBE DETAIL audit.events")
     assert detail["record_count"] == df.count()
     assert detail["file_count"] >= 1
+
+
+def test_branch_tag_statements(cat, spark):
+    """ALTER TABLE CREATE/DROP BRANCH|TAG, FAST FORWARD TO, DESCRIBE REFS."""
+    c, df = cat
+    t = c.load_table("ops.transcripts")
+    n0 = t.scan().count()
+    run_sql(c, "ALTER TABLE ops.transcripts CREATE TAG v1")
+    run_sql(c, "ALTER TABLE ops.transcripts CREATE BRANCH dev")
+    refs = {r["name"]: (r["type"], r["snapshot_id"])
+            for r in run_sql(c, "DESCRIBE REFS ops.transcripts").collect()}
+    assert refs["v1"][0] == "tag" and refs["dev"][0] == "branch"
+    assert refs["main"][1] == refs["dev"][1]
+
+    extra = df.limit(50).withColumn("conv_id", F.concat(F.lit("x-"), "conv_id"))
+    t.refresh()
+    t.append_to_branch("dev", extra, n_files=1)
+    assert t.scan().count() == n0
+    run_sql(c, "ALTER TABLE ops.transcripts FAST FORWARD TO dev")
+    t.refresh()
+    assert t.scan().count() == n0 + extra.count()
+    assert t.scan(ref="v1").count() == n0  # tag still frozen
+    run_sql(c, "ALTER TABLE ops.transcripts DROP TAG v1")
+    t.refresh()
+    assert "v1" not in t.refs
