@@ -198,7 +198,17 @@ class MergeIntoJob:
         source = self._dedup_source(source.select(*cols))
 
         files_all = table.live_data_files()
-        affected, _untouched = _scope_files(table, source, self.key_cols[0])
+        # scoping strategy by table size: the driver-side bounds join is
+        # cheapest to ~10^5 files; past the threshold the manifest decode and
+        # bounds join run executor-side and only the HIT paths (bounded by
+        # the merge's blast radius) return to the driver
+        scope_threshold = table.property_int(
+            "merge.scope.distributed-min-files", 100_000)
+        if len(files_all) > scope_threshold:
+            hit_paths = scope_paths_distributed(table, source, self.key_cols[0])
+            affected = [f for f in files_all if f.path in hit_paths]
+        else:
+            affected, _untouched = _scope_files(table, source, self.key_cols[0])
         spark = table.spark
 
         # read through the table so outstanding deletion vectors are applied

@@ -148,3 +148,19 @@ def test_distributed_scoping_matches_driver(spark, merge_table):
     assert got == {f.path for f in affected}
     assert got.isdisjoint({f.path for f in untouched})
     assert 0 < len(got) < len(affected) + len(untouched)
+
+
+def test_merge_uses_distributed_scoping_past_threshold(spark, merge_table):
+    """With merge.scope.distributed-min-files=0 the job takes the
+    executor-side scoping path; results are identical to the oracle."""
+    t, df = merge_table
+    t.set_property("merge.scope.distributed-min-files", "0")
+    convs = [r["conv_id"]
+             for r in df.select("conv_id").distinct().limit(3).collect()]
+    src = (df.filter(F.col("conv_id").isin(convs))
+           .withColumn("text", F.concat(F.lit("d:"), "text")))
+    want = rows(oracle_merge(df, src))
+    res = MergeIntoJob(t).run(src)
+    assert res.files_scoped < res.files_total  # scoping still pruned
+    t.refresh()
+    assert rows(t.scan()) == want
