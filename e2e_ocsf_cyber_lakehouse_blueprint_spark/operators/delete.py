@@ -97,6 +97,45 @@ def _all_rows_match(f: DataFile, col: str, op: str, value,
     return False
 
 
+def write_posdel_files(table: Table, marks: DataFrame,
+                       n_dv_files: int) -> list[DataFile]:
+    """Write (file_path, pos) delete rows as positional-delete parquet and
+    return their manifest entries. Range-partitioned by (file_path, pos) so
+    each DV file covers a contiguous slice of data files (localized
+    covered_paths, prunable scans); one batched harvest builds the per-file
+    bounds/coverage — never a per-file job."""
+    import os
+    import uuid
+
+    from ..format.manifest import encode_bound
+
+    spark = table.spark
+    staging = os.path.join(table.location, "data",
+                           f"posdel-{uuid.uuid4().hex[:12]}")
+    marks.select("file_path", "pos") \
+         .repartitionByRange(max(1, n_dv_files), "file_path", "pos") \
+         .write.mode("error").parquet(staging)
+    info = (
+        spark.read.parquet(staging)
+        .groupBy(F.regexp_replace(F.col("_metadata.file_path"),
+                                  "^file:(//)?", "").alias("_dv"))
+        .agg(F.count("*").alias("n"),
+             F.collect_set("file_path").alias("covered"),
+             F.min("file_path").alias("lo"),
+             F.max("file_path").alias("hi"))
+    ).collect()
+    return [
+        DataFile(
+            path=r["_dv"], partition={}, record_count=r["n"],
+            file_size_bytes=os.path.getsize(r["_dv"]),
+            lower_bounds={"file_path": encode_bound(r["lo"])},
+            upper_bounds={"file_path": encode_bound(r["hi"])},
+            content="posdel", covered_paths=sorted(r["covered"]),
+        )
+        for r in info
+    ]
+
+
 def record_rewrite_lineage(table: Table, job_type: str, snap,
                            removed: list[DataFile], outs: list[DataFile]) -> None:
     """Per-partition input->output lineage for a copy-on-write rewrite commit
@@ -256,9 +295,6 @@ class DeleteJob:
         than marking every row). A 100 TB predicate delete therefore moves
         only the DV bytes; compaction later folds DVs into rewritten files
         and the commit path retires DVs whose covered files are all gone."""
-        import os
-        import uuid
-
         table = self.table
         spark = table.spark
         n_total = len(untouched) + len(dropped) + len(straddling)
@@ -286,32 +322,9 @@ class DeleteJob:
                             .select("file_path", "pos"))
                 marks = marks.join(F.broadcast(existing),
                                    ["file_path", "pos"], "left_anti")
-            staging = os.path.join(table.location, "data",
-                                   f"posdel-{uuid.uuid4().hex[:12]}")
-            # range-partition by file_path so each DV file covers a contiguous
-            # slice of data files (localized covered_paths, prunable scans)
-            n_dv_files = max(1, len(straddling) // 64)
-            marks.repartitionByRange(n_dv_files, "file_path", "pos") \
-                 .write.mode("error").parquet(staging)
-            info = (
-                spark.read.parquet(staging)
-                .groupBy(F.regexp_replace(F.col("_metadata.file_path"),
-                                          "^file:(//)?", "").alias("_dv"))
-                .agg(F.count("*").alias("n"),
-                     F.collect_set("file_path").alias("covered"),
-                     F.min("file_path").alias("lo"),
-                     F.max("file_path").alias("hi"))
-            ).collect()
-            from ..format.manifest import encode_bound
-            for r in info:
-                outs.append(DataFile(
-                    path=r["_dv"], partition={}, record_count=r["n"],
-                    file_size_bytes=os.path.getsize(r["_dv"]),
-                    lower_bounds={"file_path": encode_bound(r["lo"])},
-                    upper_bounds={"file_path": encode_bound(r["hi"])},
-                    content="posdel", covered_paths=sorted(r["covered"]),
-                ))
-                n_marked += r["n"]
+            outs = write_posdel_files(
+                self.table, marks, max(1, len(straddling) // 64))
+            n_marked = sum(f.record_count for f in outs)
 
         n_dropped_live = (sum(f.record_count for f in dropped)
                           - table.deleted_row_count(dropped, dels))

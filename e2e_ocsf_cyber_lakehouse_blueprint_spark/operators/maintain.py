@@ -48,6 +48,7 @@ class MaintenanceResult:
     clustering: ClusteringResult | None
     expiration: ExpireResult | None
     manifests: RewriteManifestsResult | None = None
+    rewrite_deletes: "object | None" = None  # RewriteDeletesResult
     elapsed_sec: float = 0.0
 
 
@@ -110,10 +111,19 @@ def run_maintenance(
         if len(mf.read_manifest_list(cur.manifest_list)) > max_manifests:
             manifests = RewriteManifestsJob(table).run()
 
+    # DV-file debt: each MOR delete commit adds a batch of positional-delete
+    # files; past the threshold, coalesce them and drop dangling rows
+    rewrite_deletes = None
+    max_dv = table.property_int("maintenance.rewrite-deletes.max-count", 4)
+    if max_dv > 0 and len(table.live_delete_files()) > max_dv:
+        from .rewrite_deletes import RewriteDeletesJob
+        rewrite_deletes = RewriteDeletesJob(table).run()
+
     return MaintenanceResult(
         compaction=compaction,
         clustering=clustering,
         expiration=expiration,
         manifests=manifests,
+        rewrite_deletes=rewrite_deletes,
         elapsed_sec=time.time() - t0,
     )

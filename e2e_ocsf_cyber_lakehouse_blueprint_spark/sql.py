@@ -26,6 +26,8 @@ table-maintenance statements the engine owns:
     TABLE CHANGES <tbl> FROM VERSION <n> [TO VERSION <m>]
         row-level change feed (_change_type/_commit_snapshot_id) after
         snapshot n (exclusive) up to m (inclusive; default current)
+    REWRITE DELETES <tbl>
+        coalesce positional-delete (DV) files + drop dangling delete rows
     ALTER TABLE <tbl> CREATE BRANCH|TAG <name> [AS OF VERSION <n>]
     ALTER TABLE <tbl> DROP BRANCH|TAG <name>
     ALTER TABLE <tbl> FAST FORWARD TO <branch>
@@ -238,6 +240,9 @@ _STATEMENTS: list[tuple[re.Pattern, str]] = [
         rf"REWRITE\s+MANIFESTS\s+(?P<tbl>{_ID})\s*;?\s*$",
         re.IGNORECASE), "rewrite_manifests"),
     (re.compile(
+        rf"REWRITE\s+DELETES\s+(?P<tbl>{_ID})\s*;?\s*$",
+        re.IGNORECASE), "rewrite_deletes"),
+    (re.compile(
         rf"TABLE\s+CHANGES\s+(?P<tbl>{_ID})\s+FROM\s+VERSION\s+(?P<from>\d+)"
         rf"(?:\s+TO\s+VERSION\s+(?P<to>\d+))?\s*;?\s*$",
         re.IGNORECASE), "table_changes"),
@@ -391,6 +396,9 @@ def _dispatch(action: str, table: Table, m: re.Match) -> Any:
     if action == "rewrite_manifests":
         from .operators.manifests import RewriteManifestsJob
         return RewriteManifestsJob(table).run()
+    if action == "rewrite_deletes":
+        from .operators.rewrite_deletes import RewriteDeletesJob
+        return RewriteDeletesJob(table).run()
     if action == "table_changes":
         from .operators.change_feed import change_feed
         to = m.group("to")

@@ -227,3 +227,62 @@ def test_compaction_rewrites_delete_dirty_large_files(spark, tmp_table_dir):
     # DVs folded into the rewritten files and retired from the manifest
     assert t.live_delete_files() == []
     assert turns(t.scan()) == want
+
+
+def test_rewrite_deletes_coalesces_and_prunes(spark, tmp_table_dir):
+    """REWRITE DELETES: many small DV files -> few; delete rows pointing at
+    since-removed data files are dropped; scans unchanged throughout."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.rewrite_deletes import (
+        RewriteDeletesJob,
+    )
+
+    df = generate_transcripts(spark, n_convs=60, hot_convs=1, hot_turns=100,
+                              span_days=5)
+    t = make_table(spark, tmp_table_dir, df)
+    # three separate MOR deletes -> three DV batches
+    DeleteJob(t, [("role", "=", "user")], mode="merge-on-read").run()
+    DeleteJob(t, [("role", "=", "system")], mode="merge-on-read").run()
+    DeleteJob(t, [("turn_idx", "=", 3)], mode="merge-on-read").run()
+    dels0 = t.live_delete_files()
+    assert len(dels0) >= 3
+    rows0 = sum(d.record_count for d in dels0)
+    want = turns(t.scan())
+
+    res = RewriteDeletesJob(t).run()
+    t.refresh()
+    assert res.dv_files_in == len(dels0)
+    assert res.dv_files_out < res.dv_files_in
+    assert res.rows_out == rows0  # nothing dangling yet
+    assert turns(t.scan()) == want
+
+    # drop a whole day's files metadata-only: DV rows covering them dangle
+    cutoff = "2025-01-02 00:00:00"
+    DeleteJob(t, [("ts", "<", cutoff)], mode="copy-on-write").run()
+    t.refresh()
+    if not t.live_delete_files():
+        return  # every DV happened to be fully retired by the drop
+    want2 = turns(t.scan())
+    res2 = RewriteDeletesJob(t, min_input_files=1).run()
+    t.refresh()
+    assert res2.rows_out < res2.rows_in  # dangling rows pruned
+    assert turns(t.scan()) == want2
+
+
+def test_maintain_triggers_rewrite_deletes(spark, tmp_table_dir):
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.maintain import (
+        run_maintenance,
+    )
+
+    df = generate_transcripts(spark, n_convs=40, hot_convs=0, span_days=3)
+    t = make_table(spark, tmp_table_dir, df,
+                   **{"maintenance.rewrite-deletes.max-count": "2",
+                      "maintenance.expire.keep-last": "0"})
+    for role in ("user", "system", "tool"):
+        DeleteJob(t, [("role", "=", role)], mode="merge-on-read").run()
+    assert len(t.live_delete_files()) > 2
+    want = turns(t.scan())
+    res = run_maintenance(t)
+    t.refresh()
+    assert res.rewrite_deletes is not None
+    assert len(t.live_delete_files()) <= 2
+    assert turns(t.scan()) == want
