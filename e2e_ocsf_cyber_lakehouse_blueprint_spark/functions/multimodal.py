@@ -111,6 +111,55 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     return flat.mapInPandas(_sample, out_schema)
 
 
+def _pseudo_pixels(payload: bytes, w: int, h: int) -> np.ndarray:
+    """STUB pixel decode: tile the payload bytes into an (h, w) uint8 grid.
+    Deterministic so the resample kernel below is exactly testable."""
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    reps = -(-(w * h) // max(1, len(buf)))
+    return np.tile(buf, reps)[: w * h].reshape(h, w)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing for image rows: stub-decode to pseudo-pixels, then a
+    REAL vectorized nearest-neighbor resample (numpy fancy indexing — this
+    is the production kernel; only the pixel origin is stubbed), re-encoded
+    as raw row-major bytes with the metadata struct updated. Payloads never
+    leave the mapInPandas batch un-downsized, so a shuffle after resize
+    moves the small image, not the original."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", MEDIA_SCHEMA["meta"].dataType),
+    ])
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                raw = bytes(payload) if payload is not None else b""
+                w0 = int(meta["width"] or 1)
+                h0 = int(meta["height"] or 1)
+                px = _pseudo_pixels(raw, w0, h0)
+                ys = (np.arange(height) * h0 // height)
+                xs = (np.arange(width) * w0 // width)
+                resized = px[ys[:, None], xs[None, :]]
+                payloads.append(bytearray(resized.tobytes()))
+                metas.append({
+                    "width": width, "height": height,
+                    "duration_ms": meta["duration_ms"],
+                    "codec": "raw-u8",
+                })
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "payload": payloads,
+                "meta": metas,
+            })
+
+    return df.filter(F.col("kind") == "image").mapInPandas(_resize, out_schema)
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
     """Deterministic fake media table (payload = seeded bytes)."""
     rows = []

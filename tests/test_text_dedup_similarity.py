@@ -234,6 +234,34 @@ def test_multimodal_frame_sampling(spark):
         assert r["count"] == durations[r["media_id"]] // 1000
 
 
+def test_multimodal_resize_nearest_neighbor(spark):
+    """resize_images: the numpy resample kernel is exact — verify against an
+    independently computed nearest-neighbor reference per row."""
+    import numpy as np
+
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.functions.multimodal import (
+        _pseudo_pixels, resize_images,
+    )
+
+    media = synthetic_media(spark, n=12)
+    W, H = 8, 6
+    out = {r["media_id"]: r for r in resize_images(media, W, H).collect()}
+    src_rows = {r["media_id"]: r for r in media.collect()
+                if r["kind"] == "image"}
+    assert set(out) == set(src_rows)
+    for mid, r in out.items():
+        assert (r["meta"]["width"], r["meta"]["height"]) == (W, H)
+        assert r["meta"]["codec"] == "raw-u8"
+        assert len(bytes(r["payload"])) == W * H
+        s = src_rows[mid]
+        px = _pseudo_pixels(bytes(s["payload"]), s["meta"]["width"],
+                            s["meta"]["height"])
+        ys = (np.arange(H) * s["meta"]["height"] // H)
+        xs = (np.arange(W) * s["meta"]["width"] // W)
+        want = px[ys[:, None], xs[None, :]].tobytes()
+        assert bytes(r["payload"]) == want
+
+
 # ------------------------------------------- round-2 guards + completeness
 
 def test_simhash_banding_complete_vs_bruteforce(docs):
