@@ -419,6 +419,52 @@ class Table:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         return df.select(*cols), merged
 
+    def constraints(self) -> tuple[list[str], dict[str, str]]:
+        """(not-null columns, {name: check expr}) from table properties
+        (Delta CHECK-constraint / NOT NULL analogue): properties
+        ``constraints.not-null`` (csv) and ``constraints.check.<name>``."""
+        props = self.meta.properties
+        nn = [c.strip() for c in
+              props.get("constraints.not-null", "").split(",") if c.strip()]
+        checks = {k[len("constraints.check."):]: v
+                  for k, v in props.items()
+                  if k.startswith("constraints.check.")}
+        return nn, checks
+
+    def check_constraints(self, df: DataFrame) -> None:
+        """Reject an ingest batch violating any declared constraint (Delta
+        write-path enforcement). One probe job with ``limit(1)`` — the scan
+        short-circuits on the first violating row, and a clean batch costs
+        one extra pass over the input (cache upstream if it is expensive to
+        recompute). A check expr evaluating to NULL counts as a violation,
+        like Delta's ``CHECK``."""
+        nn, checks = self.constraints()
+        conds: list[tuple[str, object]] = []
+        for c in nn:
+            if c in df.columns:
+                conds.append((f"NOT NULL {c}", F.col(c).isNull()))
+        for name, expr in sorted(checks.items()):
+            conds.append((f"CHECK {name} ({expr})",
+                          ~F.coalesce(F.expr(expr), F.lit(False))))
+        if not conds:
+            return
+        flags = [c.cast("boolean").alias(f"_viol_{i}")
+                 for i, (_, c) in enumerate(conds)]
+        any_viol = None
+        for _, c in conds:
+            any_viol = c if any_viol is None else (any_viol | c)
+        bad = (
+            df.select(F.struct(*df.columns).alias("_row"), *flags)
+            .filter(any_viol).limit(1).collect()
+        )
+        if bad:
+            row = bad[0]
+            names = [conds[i][0] for i in range(len(conds))
+                     if row[f"_viol_{i}"]]
+            raise ValueError(
+                f"constraint violation ({', '.join(names)}): "
+                f"{row['_row'].asDict()}")
+
     def _optimized_write_n_files(self, df: DataFrame) -> int | None:
         """Pick an output file count from Catalyst's size estimate of the
         input plan (``optimizeWrite`` analogue, `utilities/utils.py:86`).
@@ -495,6 +541,7 @@ class Table:
         summary_extra: dict | None = None,
     ) -> snap.Snapshot:
         aligned, merged_schema = self._align_to_schema(df, merge_schema)
+        self.check_constraints(aligned)
         schema_changed = merged_schema.jsonValue() != self.meta.schema_json
         if schema_changed:
             self.meta.schema_json = merged_schema.jsonValue()
@@ -524,6 +571,7 @@ class Table:
         snapshot retention. Staged appends never evolve the schema (audit
         first, evolve at publish-by-append if needed)."""
         aligned, _ = self._align_to_schema(df, merge_schema=False)
+        self.check_constraints(aligned)
         files = self.write_data_files(
             aligned, n_files=n_files, sort_within=sort_within, job_tag="wap")
 
@@ -892,6 +940,7 @@ class Table:
         branch). The snapshot log refcounts the branch's files, so GC
         protects them while the branch exists."""
         aligned, _ = self._align_to_schema(df, merge_schema=False)
+        self.check_constraints(aligned)
         files = self.write_data_files(
             aligned, n_files=n_files, sort_within=sort_within,
             job_tag=f"branch-{name}")
@@ -1105,6 +1154,14 @@ class Table:
                 meta, properties=props, version=meta.version + 1)
 
         self._commit_meta(mutate, "set_property")
+
+    def unset_property(self, key: str) -> None:
+        def mutate(meta: snap.TableMetadata) -> snap.TableMetadata:
+            props = {k: v for k, v in meta.properties.items() if k != key}
+            return dataclasses.replace(
+                meta, properties=props, version=meta.version + 1)
+
+        self._commit_meta(mutate, "unset_property")
 
     # ------------------------------------------------------------- utility
 

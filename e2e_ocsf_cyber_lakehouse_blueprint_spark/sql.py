@@ -28,6 +28,8 @@ table-maintenance statements the engine owns:
         snapshot n (exclusive) up to m (inclusive; default current)
     REWRITE DELETES <tbl>
         coalesce positional-delete (DV) files + drop dangling delete rows
+    ALTER TABLE <tbl> ADD CONSTRAINT <name> CHECK (<expr>)
+    ALTER TABLE <tbl> DROP CONSTRAINT <name>
     ALTER TABLE <tbl> CREATE BRANCH|TAG <name> [AS OF VERSION <n>]
     ALTER TABLE <tbl> DROP BRANCH|TAG <name>
     ALTER TABLE <tbl> FAST FORWARD TO <branch>
@@ -247,6 +249,14 @@ _STATEMENTS: list[tuple[re.Pattern, str]] = [
         rf"(?:\s+TO\s+VERSION\s+(?P<to>\d+))?\s*;?\s*$",
         re.IGNORECASE), "table_changes"),
     (re.compile(
+        rf"ALTER\s+TABLE\s+(?P<tbl>{_ID})\s+ADD\s+CONSTRAINT\s+"
+        rf"(?P<name>[\w$-]+)\s+CHECK\s*\((?P<expr>.+)\)\s*;?\s*$",
+        re.IGNORECASE), "add_constraint"),
+    (re.compile(
+        rf"ALTER\s+TABLE\s+(?P<tbl>{_ID})\s+DROP\s+CONSTRAINT\s+"
+        rf"(?P<name>[\w$-]+)\s*;?\s*$",
+        re.IGNORECASE), "drop_constraint"),
+    (re.compile(
         rf"ALTER\s+TABLE\s+(?P<tbl>{_ID})\s+CREATE\s+(?P<kind>BRANCH|TAG)\s+"
         rf"(?P<name>[\w$-]+)(?:\s+AS\s+OF\s+VERSION\s+(?P<version>\d+))?\s*;?\s*$",
         re.IGNORECASE), "create_ref"),
@@ -404,6 +414,17 @@ def _dispatch(action: str, table: Table, m: re.Match) -> Any:
         to = m.group("to")
         return change_feed(table, int(m.group("from")),
                            int(to) if to else None)
+    if action == "add_constraint":
+        table.set_property(f"constraints.check.{m.group('name')}",
+                           m.group("expr").strip())
+        return None
+    if action == "drop_constraint":
+        name = m.group("name")
+        key = f"constraints.check.{name}"
+        if key not in table.meta.properties:
+            raise ValueError(f"unknown constraint {name!r}")
+        table.unset_property(key)
+        return None
     if action == "create_ref":
         sid = m.group("version")
         sid = int(sid) if sid is not None else None

@@ -136,3 +136,4 @@ def test_xxh64_known_vectors():
 def test_xxh64_range(data):
     h = xxh64(data)
     assert 0 <= h < 1 << 64
+
