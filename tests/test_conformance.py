@@ -82,7 +82,7 @@ def test_op_sequence_conformance(spark, tmp_path, seed):
 
     ops = ["append", "compact", "cluster", "merge", "expire", "restore",
            "evolve", "delete", "update", "delete_mor", "maintain",
-           "rewrite_manifests", "wap"]
+           "rewrite_manifests", "wap", "branch", "rewrite_deletes"]
     seq = [rng.choice(ops) for _ in range(8)]
     for step, op in enumerate(seq):
         if op == "append":
@@ -123,6 +123,28 @@ def test_op_sequence_conformance(spark, tmp_path, seed):
             assert rows(t.scan()) == rows(oracle), "stage must be invisible"
             t.publish_snapshot(staged.snapshot_id)
             oracle = oracle.unionByName(extra)
+        elif op == "branch":
+            # cut a branch, append to it (must be invisible on main), then
+            # fast-forward main to the head — ff cannot be refused here
+            # because main does not move between cut and publish
+            name = f"dev{step}"
+            extra = generate_transcripts(
+                spark, n_convs=8, hot_convs=0, span_days=6,
+                seed=seed * 100 + step + 83,
+            ).withColumn(
+                "conv_id", F.concat(F.col("conv_id"), F.lit(f"-b{step}"))
+            ).cache()
+            t.create_branch(name)
+            t.append_to_branch(name, extra, n_files=1)
+            assert rows(t.scan()) == rows(oracle), "branch must be invisible"
+            t.fast_forward_main(name)
+            t.drop_ref(name)
+            oracle = oracle.unionByName(extra)
+        elif op == "rewrite_deletes":
+            from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.rewrite_deletes import (
+                RewriteDeletesJob,
+            )
+            RewriteDeletesJob(t, min_input_files=1).run()  # oracle unchanged
         elif op == "restore":
             candidates = [
                 s.snapshot_id for s in t.snapshots
