@@ -32,7 +32,12 @@ from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.partition import PartitionS
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.table import Table
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.compaction import CompactionJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.clustering import ClusteringJob
-from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.delete import DeleteJob
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.delete import (
+    DeleteJob, equality_delete,
+)
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.rewrite_deletes import (
+    RewriteDeletesJob,
+)
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.update import UpdateJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.expire import ExpireSnapshotsJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.manifests import RewriteManifestsJob
@@ -203,6 +208,34 @@ def q_maintain_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert r1.files_rewritten == 0 and r1.files_dropped > 0
     DeleteJob(t, [("role", "=", "tool"), ("tool", "=", "search")]).run()
     return t.scan(columns=_TCOLS)
+
+
+def q_maintain_delete_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality deletes (Iceberg v2 eqdel; operators/delete.py:equality_delete):
+    an O(keys) DELETE BY KEY that never reads data at write time, the
+    sequence rule sparing a post-delete re-append of the same keys, and the
+    eqdel->posdel conversion (operators/rewrite_deletes.py) — the returned
+    scan must be identical across all three states."""
+    t = _make_transcript_table(spark, sf_dir, n_files=6)
+    victims = (t.scan(columns=["conv_id"])
+               .filter(F.col("conv_id").like("%7")).distinct())
+    equality_delete(t, victims)
+    post = (transcripts_from_events(spark, sf_dir)
+            .filter(F.col("conv_id").like("%7") & (F.col("turn_idx") % 3 == 0))
+            .withColumn("text", F.concat(F.lit("post:"), F.col("text"))))
+    t.append(post, n_files=2)  # same keys, later sequence: must survive
+    RewriteDeletesJob(t, min_input_files=1).run()  # eqdel -> positional marks
+    assert t.live_eq_delete_files() == []
+    return t.scan(columns=_TCOLS)
+
+
+_DELETE_EQ_ORACLE = f"""
+WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+SELECT conv_id, turn_idx, role, text, tool, ts FROM t WHERE conv_id NOT LIKE '%7'
+UNION ALL
+SELECT conv_id, turn_idx, role, 'post:' || text AS text, tool, ts FROM t
+WHERE conv_id LIKE '%7' AND turn_idx % 3 = 0
+"""
 
 
 def q_maintain_update(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1010,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintain_hilbert": q_maintain_hilbert,
         "maintain_merge": q_maintain_merge,
         "maintain_delete": q_maintain_delete,
+        "maintain_delete_eq": q_maintain_delete_eq,
         "maintain_update": q_maintain_update,
         "maintain_expire": q_maintain_expire,
         "maintain_manifests": q_maintain_manifests,
@@ -1062,6 +1096,7 @@ def oracle_sql() -> dict[str, str]:
         "maintain_hilbert": _MAINT_ORACLE,
         "maintain_merge": _MERGE_ORACLE,
         "maintain_delete": _DELETE_ORACLE,
+        "maintain_delete_eq": _DELETE_EQ_ORACLE,
         "maintain_update": _UPDATE_ORACLE,
         "maintain_expire": _EXPIRE_ORACLE,
         "maintain_manifests": _MANIFESTS_ORACLE,

@@ -39,12 +39,27 @@ MANIFEST_ENTRY_SCHEMA = {
         {"name": "lower_bounds", "type": {"type": "map", "values": "string"}},
         {"name": "upper_bounds", "type": {"type": "map", "values": "string"}},
         {"name": "null_counts", "type": {"type": "map", "values": "long"}},
-        # content: "data" | "posdel" (positional-delete file: rows of
-        # (file_path, pos) marking deleted row positions — Iceberg v2 /
-        # Delta deletion-vector analogue). covered_paths lists the data files
-        # a posdel file references, for scan scoping and staleness cleanup.
+        # content: "data" | "posdel" | "eqdel".
+        #   posdel: positional-delete file — rows of (file_path, pos) marking
+        #     deleted row positions (Iceberg v2 / Delta deletion-vector
+        #     analogue). covered_paths lists the data files it references,
+        #     for scan scoping and staleness cleanup.
+        #   eqdel: equality-delete file — rows of key tuples (columns named
+        #     by eq_columns); deletes any matching row in data files whose
+        #     data_sequence is STRICTLY LESS than the delete's data_sequence
+        #     (Iceberg v2 equality deletes). Written without scanning data —
+        #     the O(keys) write path streaming upserts need at 10^12 rows.
         {"name": "content", "type": "string"},
         {"name": "covered_paths", "type": {"type": "array", "items": "string"}},
+        # data_sequence: the sequence number this file's rows were committed
+        # under. Rewrite products (compaction/clustering/merge) read through
+        # the delete-applying scan, so they FOLD outstanding deletes and are
+        # correctly stamped with the NEW sequence — prior eqdels no longer
+        # apply to them. 0 = pre-feature entry (treated as oldest).
+        {"name": "data_sequence", "type": "long", "default": 0},
+        # eq_columns: equality key columns (eqdel files only)
+        {"name": "eq_columns", "type": {"type": "array", "items": "string"},
+         "default": []},
         # blooms: per-column encoded bloom bitsets keyed "bloom(col)"
         # (format/bloom.py) — point-lookup skipping where min/max cannot help
         {"name": "blooms", "type": {"type": "map", "values": "string"},
@@ -113,6 +128,8 @@ class DataFile:
     content: str = "data"
     covered_paths: list[str] = field(default_factory=list)
     blooms: dict[str, str] = field(default_factory=dict)
+    data_sequence: int = 0
+    eq_columns: list[str] = field(default_factory=list)
 
     def to_entry(self, status: int, snapshot_id: int) -> dict:
         return {
@@ -129,6 +146,8 @@ class DataFile:
             "content": self.content,
             "covered_paths": self.covered_paths,
             "blooms": self.blooms,
+            "data_sequence": self.data_sequence,
+            "eq_columns": self.eq_columns,
         }
 
     @staticmethod
@@ -145,12 +164,24 @@ class DataFile:
             content=e.get("content", "data"),
             covered_paths=list(e.get("covered_paths") or []),
             blooms=dict(e.get("blooms") or {}),
+            data_sequence=int(e.get("data_sequence") or 0),
+            eq_columns=list(e.get("eq_columns") or []),
         )
 
 
 def write_manifest(path: str, files: list[DataFile], snapshot_id: int,
-                   status: int = STATUS_ADDED) -> dict:
-    """Write one manifest; return its manifest_file record (for the manifest list)."""
+                   status: int = STATUS_ADDED,
+                   sequence_number: int | None = None) -> dict:
+    """Write one manifest; return its manifest_file record (for the manifest list).
+
+    ``sequence_number`` stamps freshly-added files (``data_sequence == 0``)
+    with the committing snapshot's sequence; survivors re-written as
+    STATUS_EXISTING keep the sequence they were loaded with, so equality
+    deletes keep applying to them across manifest rewrites."""
+    if sequence_number is not None:
+        for f in files:
+            if f.data_sequence == 0:
+                f.data_sequence = sequence_number
     entries = [f.to_entry(status, snapshot_id) for f in files]
     avro.write_ocf(path, MANIFEST_ENTRY_SCHEMA, entries)
     import os

@@ -171,6 +171,10 @@ class Table:
         """Positional-delete (deletion-vector) files live in the snapshot."""
         return self._live_files(snapshot_id, "posdel")
 
+    def live_eq_delete_files(self, snapshot_id: int | None = None) -> list[DataFile]:
+        """Equality-delete files live in the snapshot (Iceberg v2 eqdels)."""
+        return self._live_files(snapshot_id, "eqdel")
+
     def _live_files(self, snapshot_id: int | None, content: str | None) -> list[DataFile]:
         s = (
             self.meta.snapshot_by_id(snapshot_id)
@@ -232,8 +236,10 @@ class Table:
         *,
         snapshot_id: int | None = None,
         delete_files: Sequence[DataFile] | None = None,
+        eq_delete_files: Sequence[DataFile] | None = None,
     ) -> DataFrame:
-        """Read data files with the snapshot's positional deletes applied.
+        """Read data files with the snapshot's positional AND equality deletes
+        applied.
 
         Files with no outstanding deletes take the plain parquet scan (the hot
         path costs nothing when the table has no deletion vectors). Covered
@@ -248,29 +254,68 @@ class Table:
             return self.spark.createDataFrame([], schema)
         dels = (list(delete_files) if delete_files is not None
                 else self.live_delete_files(snapshot_id))
+        eqdels = (list(eq_delete_files) if eq_delete_files is not None
+                  else self.live_eq_delete_files(snapshot_id))
         scanned = {f.path for f in files}
         hit = [d for d in dels if scanned.intersection(d.covered_paths)]
-        if not hit:
+        # an eqdel applies to a data file iff the file's rows were committed
+        # STRICTLY BEFORE the delete (Iceberg v2 sequence rule); rewrites fold
+        # deletes and carry the new sequence, so they pass here untouched
+        min_seq = min((f.data_sequence for f in files), default=0)
+        eq_hit = [d for d in eqdels if d.data_sequence > min_seq]
+        if not hit and not eq_hit:
             return self.spark.read.schema(schema).parquet(*[f.path for f in files])
         covered = set()
         for d in hit:
             covered.update(d.covered_paths)
-        clean = [f.path for f in files if f.path not in covered]
-        dirty = [f.path for f in files if f.path in covered]
+        max_eq_seq = max((d.data_sequence for d in eq_hit), default=0)
+        dirty_files = [f for f in files
+                       if f.path in covered or f.data_sequence < max_eq_seq]
+        clean = [f.path for f in files if f.path not in {x.path for x in dirty_files}]
         raw = (
-            self.spark.read.schema(schema).parquet(*dirty)
+            self.spark.read.schema(schema).parquet(*[f.path for f in dirty_files])
             .withColumn("_fp", F.regexp_replace(F.col("_metadata.file_path"),
                                                 "^file:(//)?", ""))
             .withColumn("_pos", F.col("_metadata.row_index"))
         )
-        ddf = (
-            self.spark.read.parquet(*[d.path for d in hit])
-            .select(F.col("file_path").alias("_fp"), F.col("pos").alias("_pos"))
-        )
-        out = (
-            raw.join(F.broadcast(ddf), ["_fp", "_pos"], "left_anti")
-            .drop("_fp", "_pos")
-        )
+        out = raw
+        if hit:
+            ddf = (
+                self.spark.read.parquet(*[d.path for d in hit])
+                .select(F.col("file_path").alias("_fp"),
+                        F.col("pos").alias("_pos"))
+            )
+            out = out.join(F.broadcast(ddf), ["_fp", "_pos"], "left_anti")
+        if eq_hit:
+            # per-row commit sequence via a broadcast (path -> seq) join:
+            # metadata-sized build side, hash join with a non-equi residual —
+            # narrow, shuffle-free, scan partitioning survives (the same
+            # contract the posdel anti-join keeps)
+            seq_df = self.spark.createDataFrame(
+                [(f.path, f.data_sequence) for f in dirty_files],
+                "path string, _seq long",
+            )
+            out = out.join(F.broadcast(seq_df), out["_fp"] == seq_df["path"],
+                           "left").drop("path")
+            by_keys: dict[tuple[str, ...], list[DataFile]] = {}
+            for d in eq_hit:
+                by_keys.setdefault(tuple(d.eq_columns), []).append(d)
+            for keys, group in by_keys.items():
+                kdf = None
+                for d in group:
+                    one = (
+                        self.spark.read.parquet(d.path)
+                        .select(*[F.col(k).alias(f"_ek_{i}")
+                                  for i, k in enumerate(keys)])
+                        .withColumn("_delseq", F.lit(d.data_sequence))
+                    )
+                    kdf = one if kdf is None else kdf.unionByName(one)
+                cond = F.col("_seq") < F.col("_delseq")
+                for i, k in enumerate(keys):
+                    cond = cond & (out[k] == F.col(f"_ek_{i}"))
+                out = out.join(F.broadcast(kdf), cond, "left_anti")
+            out = out.drop("_seq")
+        out = out.drop("_fp", "_pos")
         if clean:
             out = self.spark.read.schema(schema).parquet(*clean).unionByName(out)
         return out
@@ -578,7 +623,8 @@ class Table:
         def build(meta: snap.TableMetadata):
             sid, parent_id, seq = self._next_ids(meta)
             mpath = self._new_manifest_path()
-            record = mf.write_manifest(mpath, files, sid, mf.STATUS_ADDED)
+            record = mf.write_manifest(mpath, files, sid, mf.STATUS_ADDED,
+                                        sequence_number=seq)
             parent = meta.current_snapshot()
             records = (
                 mf.read_manifest_list(parent.manifest_list) if parent else []
@@ -625,7 +671,13 @@ class Table:
             ]
             sid, parent_id, seq = self._next_ids(meta)
             mpath = self._new_manifest_path()
-            record = mf.write_manifest(mpath, files, sid, mf.STATUS_ADDED)
+            # rows become VISIBLE at publish: re-stamp to the publish sequence
+            # so an equality delete committed between stage and publish does
+            # not retroactively erase rows that logically appear after it
+            for f in files:
+                f.data_sequence = 0
+            record = mf.write_manifest(mpath, files, sid, mf.STATUS_ADDED,
+                                        sequence_number=seq)
             cur = meta.current_snapshot()
             records = (
                 mf.read_manifest_list(cur.manifest_list) if cur else []
@@ -735,11 +787,13 @@ class Table:
 
     def _commit_append(self, files: list[DataFile],
                        schema_json: dict | None = None,
-                       summary_extra: dict | None = None) -> snap.Snapshot:
+                       summary_extra: dict | None = None,
+                       operation: str = "append") -> snap.Snapshot:
         def build(meta: snap.TableMetadata):
             sid, parent_id, seq = self._next_ids(meta)
             mpath = self._new_manifest_path()
-            record = mf.write_manifest(mpath, files, sid, mf.STATUS_ADDED)
+            record = mf.write_manifest(mpath, files, sid, mf.STATUS_ADDED,
+                                        sequence_number=seq)
             parent = meta.current_snapshot()
             records = (
                 mf.read_manifest_list(parent.manifest_list) if parent else []
@@ -752,7 +806,8 @@ class Table:
                 "added-bytes": sum(f.file_size_bytes for f in files),
             }
             summary.update(summary_extra or {})
-            s = snap.Snapshot(sid, parent_id, seq, snap.now_ms(), "append", mlist, summary)
+            s = snap.Snapshot(sid, parent_id, seq, snap.now_ms(), operation,
+                              mlist, summary)
             return s, schema_json
         return self._commit(build)
 
@@ -809,7 +864,29 @@ class Table:
                 and e["path"] not in deleted
                 and not live_data_after.intersection(e.get("covered_paths") or [])
             }
-            drop = deleted | stale_posdel
+            # an eqdel is dead once NO live data file predates it: rewrites
+            # fold the delete and re-stamp outputs with the new sequence, so
+            # after the last pre-delete file is rewritten away the key list
+            # can never match a scanned row again
+            min_live_seq = min(
+                (int(e.get("data_sequence") or 0)
+                 for _, entries in loaded for e in entries
+                 if e["status"] != mf.STATUS_DELETED
+                 and e.get("content", "data") == "data"
+                 and e["path"] not in deleted),
+                default=None,
+            )
+            stale_eqdel = {
+                e["path"]
+                for _, entries in loaded
+                for e in entries
+                if e["status"] != mf.STATUS_DELETED
+                and e.get("content", "data") == "eqdel"
+                and e["path"] not in deleted
+                and (min_live_seq is None
+                     or min_live_seq >= int(e.get("data_sequence") or 0))
+            }
+            drop = deleted | stale_posdel | stale_eqdel
             new_records = []
             for rec, entries in loaded:
                 paths = {e["path"] for e in entries if e["status"] != mf.STATUS_DELETED}
@@ -829,7 +906,8 @@ class Table:
             if added_files:
                 mpath = self._new_manifest_path()
                 new_records.append(
-                    mf.write_manifest(mpath, added_files, sid, mf.STATUS_ADDED)
+                    mf.write_manifest(mpath, added_files, sid, mf.STATUS_ADDED,
+                                      sequence_number=seq)
                 )
             mlist = self._manifest_list_path(sid)
             mf.write_manifest_list(mlist, new_records)
@@ -953,7 +1031,8 @@ class Table:
             sid = max((s.snapshot_id for s in meta.snapshots), default=0) + 1
             seq = max((s.sequence_number for s in meta.snapshots), default=0) + 1
             mpath = self._new_manifest_path()
-            record = mf.write_manifest(mpath, files, sid, mf.STATUS_ADDED)
+            record = mf.write_manifest(mpath, files, sid, mf.STATUS_ADDED,
+                                        sequence_number=seq)
             records = mf.read_manifest_list(head.manifest_list) + [record]
             mlist = self._manifest_list_path(sid)
             mf.write_manifest_list(mlist, records)

@@ -136,6 +136,67 @@ def write_posdel_files(table: Table, marks: DataFrame,
     ]
 
 
+def equality_delete(table: Table, keys: "DataFrame") -> DeleteResult:
+    """DELETE BY KEY without reading or writing any data file (Iceberg v2
+    equality deletes): the distinct key tuples are written as one small
+    parquet and committed as an ``eqdel`` manifest entry stamped with the
+    commit's sequence number. Scans drop matching rows from data files whose
+    ``data_sequence`` strictly predates the delete; rows appended later with
+    the same key are untouched.
+
+    This is the O(keys) write path a streaming upsert needs at 10^12 rows —
+    the deferred read cost is paid down by ``RewriteDeletesJob`` (eqdel ->
+    posdel conversion) and folded away entirely by any rewrite (compaction /
+    clustering / MERGE), after which ``commit_rewrite`` retires dead eqdels.
+
+    Caveats (documented, matching Iceberg): eqdel-masked rows are invisible
+    to the change feed (no data scan happens at write time) and are not
+    reflected in manifest ``record_count`` sums until converted or folded.
+    """
+    import os
+    import uuid
+
+    t0 = time.time()
+    cols = list(keys.columns)
+    if not cols:
+        raise ValueError("equality delete needs at least one key column")
+    staging = os.path.join(table.location, "data",
+                           f"eqdel-{uuid.uuid4().hex[:12]}")
+    keys.distinct().coalesce(1).write.mode("error").parquet(staging)
+    paths = sorted(
+        os.path.join(staging, n) for n in os.listdir(staging)
+        if n.endswith(".parquet")
+    )
+    n = table.spark.read.parquet(*paths).count()
+    outs = [
+        DataFile(
+            path=p, partition={}, record_count=n,
+            file_size_bytes=os.path.getsize(p),
+            content="eqdel", eq_columns=cols,
+        )
+        for p in paths
+    ]
+    snap = table._commit_append(
+        outs,
+        summary_extra={
+            "job": "delete",
+            "mode": "equality",
+            "eq-columns": ",".join(cols),
+            "eq-deleted-keys": n,
+        },
+        operation="delete",
+    )
+    return DeleteResult(
+        snapshot_id=snap.snapshot_id,
+        files_total=0, files_untouched=0, files_dropped=0,
+        files_rewritten=0, files_written=0,
+        rows_deleted=0,  # unknown by design: no data scan happened
+        elapsed_sec=time.time() - t0,
+        mode="equality",
+        delete_files_written=len(outs),
+    )
+
+
 def record_rewrite_lineage(table: Table, job_type: str, snap,
                            removed: list[DataFile], outs: list[DataFile]) -> None:
     """Per-partition input->output lineage for a copy-on-write rewrite commit

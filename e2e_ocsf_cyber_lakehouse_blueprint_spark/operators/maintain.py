@@ -111,11 +111,15 @@ def run_maintenance(
         if len(mf.read_manifest_list(cur.manifest_list)) > max_manifests:
             manifests = RewriteManifestsJob(table).run()
 
-    # DV-file debt: each MOR delete commit adds a batch of positional-delete
-    # files; past the threshold, coalesce them and drop dangling rows
+    # delete-file debt: each MOR delete commit adds positional-delete files
+    # and each equality delete adds a key-list file that taxes EVERY scan of
+    # pre-delete data; past the threshold, coalesce DVs, convert eqdels to
+    # positional marks, and drop dangling rows
     rewrite_deletes = None
     max_dv = table.property_int("maintenance.rewrite-deletes.max-count", 4)
-    if max_dv > 0 and len(table.live_delete_files()) > max_dv:
+    n_delete_files = (len(table.live_delete_files())
+                      + len(table.live_eq_delete_files()))
+    if max_dv > 0 and n_delete_files > max_dv:
         from .rewrite_deletes import RewriteDeletesJob
         rewrite_deletes = RewriteDeletesJob(table).run()
 

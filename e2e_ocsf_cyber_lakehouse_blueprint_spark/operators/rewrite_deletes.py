@@ -43,6 +43,8 @@ class RewriteDeletesResult:
     rows_out: int
     elapsed_sec: float = 0.0
     spill_bytes: int = 0
+    eq_files_converted: int = 0
+    eq_rows_materialized: int = 0
 
 
 class RewriteDeletesJob:
@@ -63,19 +65,35 @@ class RewriteDeletesJob:
         table = self.table
         table.refresh()
         dels = table.live_delete_files()
+        eqdels = table.live_eq_delete_files()
         rows_in = sum(d.record_count for d in dels)
-        if not dels:
+        if not dels and not eqdels:
             return RewriteDeletesResult(None, 0, 0, 0, 0, time.time() - t0)
 
         spark = table.spark
-        live = sorted(f.path for f in table.live_data_files())
-        marks = spark.read.parquet(*[d.path for d in dels])
+        data_files = table.live_data_files()
+        live = sorted(f.path for f in data_files)
         live_df = spark.createDataFrame([(p,) for p in live] or [("",)],
                                         "file_path string")
-        pruned = marks.join(F.broadcast(live_df), "file_path", "left_semi")
-        rows_out = pruned.count()
+        pruned = None
+        if dels:
+            marks = spark.read.parquet(*[d.path for d in dels])
+            pruned = marks.join(F.broadcast(live_df), "file_path", "left_semi")
 
-        if rows_out == rows_in and len(dels) < self.min_input_files:
+        eq_marks, n_eq_rows = self._materialize_eqdels(eqdels, data_files)
+        if eq_marks is not None:
+            # keep DV row sets disjoint (counts add, scans union blindly):
+            # drop eq marks an existing DV already masks
+            if pruned is not None:
+                eq_marks = eq_marks.join(F.broadcast(pruned),
+                                         ["file_path", "pos"], "left_anti")
+            pruned = (eq_marks if pruned is None
+                      else pruned.unionByName(eq_marks))
+
+        rows_out = pruned.count() if pruned is not None else 0
+
+        if (not eqdels and rows_out == rows_in
+                and len(dels) < self.min_input_files):
             return RewriteDeletesResult(None, len(dels), len(dels),
                                         rows_in, rows_in, time.time() - t0)
 
@@ -84,15 +102,18 @@ class RewriteDeletesJob:
             n_out = max(1, -(-rows_out // self.target_rows_per_file))
             outs = write_posdel_files(table, pruned, n_out)
         snap = table.commit_rewrite(
-            [d.path for d in dels], outs, operation="replace",
+            [d.path for d in dels] + [d.path for d in eqdels], outs,
+            operation="replace",
             summary_extra={
                 "job": "rewrite-deletes",
                 "dv-files-in": len(dels),
                 "dv-files-out": len(outs),
                 "dv-rows-pruned": rows_in - rows_out,
+                "eq-files-converted": len(eqdels),
             },
         )
-        record_rewrite_lineage(table, "rewrite-deletes", snap, dels, outs)
+        record_rewrite_lineage(table, "rewrite-deletes", snap,
+                               dels + eqdels, outs)
         return RewriteDeletesResult(
             snapshot_id=snap.snapshot_id,
             dv_files_in=len(dels),
@@ -101,4 +122,61 @@ class RewriteDeletesJob:
             rows_out=rows_out,
             elapsed_sec=time.time() - t0,
             spill_bytes=spill_metrics(spark),
+            eq_files_converted=len(eqdels),
+            eq_rows_materialized=n_eq_rows,
         )
+
+    def _materialize_eqdels(self, eqdels, data_files):
+        """Convert equality deletes to positional marks (Iceberg
+        ``convert_equality_deletes`` analogue): scan ONLY the data files that
+        predate at least one eqdel, semi-join their rows against the
+        broadcast key lists under the sequence rule, and emit
+        ``(file_path, pos)``. This is where the deferred read cost of the
+        O(keys) delete write path is paid — once, here, instead of on every
+        subsequent scan."""
+        table = self.table
+        spark = table.spark
+        if not eqdels:
+            return None, 0
+        max_eq = max(d.data_sequence for d in eqdels)
+        cand = [f for f in data_files if f.data_sequence < max_eq]
+        if not cand:
+            return None, 0
+        raw = (
+            spark.read.schema(table.schema)
+            .parquet(*[f.path for f in cand])
+            .withColumn("file_path",
+                        F.regexp_replace(F.col("_metadata.file_path"),
+                                         "^file:(//)?", ""))
+            .withColumn("pos", F.col("_metadata.row_index"))
+        )
+        seq_df = spark.createDataFrame(
+            [(f.path, f.data_sequence) for f in cand], "path string, _seq long")
+        raw = raw.join(F.broadcast(seq_df),
+                       raw["file_path"] == seq_df["path"], "left").drop("path")
+        by_keys = {}
+        for d in eqdels:
+            by_keys.setdefault(tuple(d.eq_columns), []).append(d)
+        marks = None
+        for keys, group in by_keys.items():
+            kdf = None
+            for d in group:
+                one = (
+                    spark.read.parquet(d.path)
+                    .select(*[F.col(k).alias(f"_ek_{i}")
+                              for i, k in enumerate(keys)])
+                    .withColumn("_delseq", F.lit(d.data_sequence))
+                )
+                kdf = one if kdf is None else kdf.unionByName(one)
+            cond = F.col("_seq") < F.col("_delseq")
+            for i, k in enumerate(keys):
+                cond = cond & (raw[k] == F.col(f"_ek_{i}"))
+            part = (raw.join(F.broadcast(kdf), cond, "left_semi")
+                       .select("file_path", "pos"))
+            marks = part if marks is None else marks.unionByName(part)
+        if len(by_keys) > 1:
+            # a row matching eqdels with DIFFERENT key sets appears once per
+            # set; DV disjointness requires exactly-once marks
+            marks = marks.distinct()
+        n = marks.count()
+        return (marks if n else None), n

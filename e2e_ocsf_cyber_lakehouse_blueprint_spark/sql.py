@@ -13,6 +13,10 @@ table-maintenance statements the engine owns:
         where each term is col {=|<|<=|>|>=} literal | col IN (lit, ...)
         | col IS [NOT] NULL; literals are 'str', numbers, TIMESTAMP '<iso>'
         or DATE '<iso>'
+    DELETE FROM <tbl> BY KEYS (<select-query>)
+        Iceberg v2 equality delete: the Spark SQL subquery's result columns
+        are the key; matching pre-delete rows disappear without any data
+        file being read or written (O(keys) commit)
     UPDATE <tbl> SET col = <sql-expr>[, ...] [WHERE <conjunction>]
         right-hand sides are Spark SQL expressions over the OLD row values
     VACUUM <tbl> [RETAIN <n> HOURS]
@@ -204,6 +208,9 @@ def parse_set(body: str) -> dict[str, str]:
 
 _STATEMENTS: list[tuple[re.Pattern, str]] = [
     (re.compile(
+        rf"DELETE\s+FROM\s+(?P<tbl>{_ID})\s+BY\s+KEYS\s*\((?P<query>.+)\)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL), "delete_eq"),
+    (re.compile(
         rf"DELETE\s+FROM\s+(?P<tbl>{_ID})\s+WHERE\s+(?P<where>.+?)\s*;?\s*$",
         re.IGNORECASE), "delete"),
     (re.compile(
@@ -366,6 +373,11 @@ def run_sql(catalog: Catalog, statement: str) -> Any:
 def _dispatch(action: str, table: Table, m: re.Match) -> Any:
     if action == "delete":
         return DeleteJob(table, parse_where(m.group("where"))).run()
+    if action == "delete_eq":
+        # DELETE FROM t BY KEYS (SELECT conv_id, turn_idx FROM staged_keys):
+        # Iceberg v2 equality delete — the subquery's columns ARE the key
+        from .operators.delete import equality_delete
+        return equality_delete(table, table.spark.sql(m.group("query")))
     if action == "update":
         where = m.group("where")
         return UpdateJob(

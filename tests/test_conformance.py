@@ -82,7 +82,8 @@ def test_op_sequence_conformance(spark, tmp_path, seed):
 
     ops = ["append", "compact", "cluster", "merge", "expire", "restore",
            "evolve", "delete", "update", "delete_mor", "maintain",
-           "rewrite_manifests", "wap", "branch", "rewrite_deletes"]
+           "rewrite_manifests", "wap", "branch", "rewrite_deletes",
+           "delete_eq"]
     seq = [rng.choice(ops) for _ in range(8)]
     for step, op in enumerate(seq):
         if op == "append":
@@ -167,6 +168,14 @@ def test_op_sequence_conformance(spark, tmp_path, seed):
                       mode=mode).run()
             oracle = oracle.filter(
                 ~((F.col("turn_idx") < m) & (F.col("role") == "user"))).cache()
+        elif op == "delete_eq":
+            from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.delete import (
+                equality_delete,
+            )
+            keys = (oracle.select("conv_id").distinct()
+                    .orderBy("conv_id").limit(2 + step % 3)).cache()
+            equality_delete(t, keys)
+            oracle = oracle.join(keys, "conv_id", "left_anti").cache()
         elif op == "update":
             m = step % 4
             UpdateJob(

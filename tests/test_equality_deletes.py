@@ -1,0 +1,171 @@
+"""Equality deletes (Iceberg v2 ``eqdel``): O(keys) delete writes with no
+data scan, sequence-rule scan application, interplay with positional DVs,
+conversion to positional marks via RewriteDeletesJob, fold + retirement
+through rewrites, snapshot isolation, and WAP re-stamping."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.partition import (
+    PartitionSpec, bucket, days,
+)
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.table import Table
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.clustering import ClusteringJob
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.compaction import CompactionJob
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.delete import (
+    DeleteJob, equality_delete,
+)
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.maintain import run_maintenance
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.rewrite_deletes import (
+    RewriteDeletesJob,
+)
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.sources.transcripts import (
+    SCHEMA_DDL, generate_transcripts,
+)
+
+
+def make_table(spark, loc, df, **props):
+    t = Table.create(
+        spark, loc, T.StructType.fromDDL(SCHEMA_DDL),
+        PartitionSpec.of(days("ts_day", "ts"), bucket("cb", "conv_id", 2)),
+        properties={
+            "write.target-file-size-bytes": str(512 * 1024),
+            "stats.columns": "conv_id,turn_idx,role,tool,ts",
+            **props,
+        },
+    )
+    t.append(df, n_files=2, sort_within=("conv_id", "turn_idx"))
+    return t
+
+
+def rows(df):
+    return sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in df.select("conv_id", "turn_idx", "text").collect()
+    )
+
+
+@pytest.fixture()
+def base(spark):
+    return generate_transcripts(
+        spark, n_convs=40, hot_convs=2, span_days=4, seed=31).cache()
+
+
+def test_eqdel_hides_matching_rows_without_touching_data(spark, tmp_path, base):
+    t = make_table(spark, str(tmp_path / "t"), base)
+    files_before = {f.path for f in t.live_data_files()}
+    victims = [r["conv_id"] for r in
+               base.select("conv_id").distinct().limit(3).collect()]
+    res = equality_delete(
+        t, spark.createDataFrame([(c,) for c in victims], "conv_id string"))
+    assert res.mode == "equality"
+    assert res.delete_files_written == 1
+    # zero data files moved or removed
+    assert {f.path for f in t.live_data_files()} == files_before
+    expected = rows(base.filter(~F.col("conv_id").isin(victims)))
+    assert rows(t.scan()) == expected
+    # per-row text equality preserved for survivors (BASELINE invariant)
+    assert rows(t.scan(predicates=[("conv_id", "=", victims[0])])) == []
+
+
+def test_eqdel_sequence_rule_spares_later_appends(spark, tmp_path, base):
+    t = make_table(spark, str(tmp_path / "t"), base)
+    equality_delete(t, spark.createDataFrame([("conv-0000000001",)],
+                                             "conv_id string"))
+    late = base.filter(F.col("conv_id") == "conv-0000000001") \
+               .withColumn("text", F.concat(F.lit("v2:"), F.col("text")))
+    t.append(late, n_files=1)
+    got = rows(t.scan().filter(F.col("conv_id") == "conv-0000000001"))
+    want = rows(late)
+    assert got == want  # only the re-appended rows, all of them
+
+
+def test_eqdel_composite_key(spark, tmp_path, base):
+    t = make_table(spark, str(tmp_path / "t"), base)
+    keys = base.select("conv_id", "turn_idx").limit(7)
+    equality_delete(t, keys)
+    expected = rows(base.join(keys, ["conv_id", "turn_idx"], "left_anti"))
+    assert rows(t.scan()) == expected
+
+
+def test_eqdel_snapshot_isolation_and_time_travel(spark, tmp_path, base):
+    t = make_table(spark, str(tmp_path / "t"), base)
+    pre = t.current_snapshot().snapshot_id
+    equality_delete(t, spark.createDataFrame([("conv-0000000002",)],
+                                             "conv_id string"))
+    assert rows(t.scan(snapshot_id=pre)) == rows(base)
+    assert len(rows(t.scan())) < len(rows(base))
+
+
+def test_rewrite_deletes_converts_eqdels_to_posdels(spark, tmp_path, base):
+    t = make_table(spark, str(tmp_path / "t"), base)
+    # mix: a positional MOR delete AND two equality deletes
+    DeleteJob(t, [("turn_idx", "=", 0)], mode="merge-on-read").run()
+    equality_delete(t, spark.createDataFrame([("conv-0000000003",)],
+                                             "conv_id string"))
+    equality_delete(t, base.select("conv_id", "turn_idx").limit(5))
+    before = rows(t.scan())
+    res = RewriteDeletesJob(t, min_input_files=1).run()
+    assert res.eq_files_converted == 2
+    assert res.eq_rows_materialized > 0
+    assert t.live_eq_delete_files() == []
+    assert rows(t.scan()) == before  # scan-equivalence across the conversion
+    # converted DVs stay disjoint: masked row count equals the live delta
+    masked = t.deleted_row_count(t.live_data_files())
+    assert masked == base.count() - len(before)
+
+
+def test_rewrites_fold_and_retire_eqdels(spark, tmp_path, base):
+    t = make_table(spark, str(tmp_path / "t"), base)
+    equality_delete(t, spark.createDataFrame([("conv-0000000004",)],
+                                             "conv_id string"))
+    before = rows(t.scan())
+    # compaction folds the delete into whatever it rewrites; the eqdel stays
+    # live while any pre-delete file survives (partitions already at target
+    # size are skipped) — scan equivalence must hold either way
+    CompactionJob(t, min_input_files=1).run()
+    assert rows(t.scan()) == before
+    # clustering rewrites EVERY partition -> no pre-delete file survives ->
+    # commit_rewrite retires the dead eqdel in the same commit
+    ClusteringJob(t, curve="zorder", max_concurrency=4).run()
+    assert rows(t.scan()) == before
+    assert t.live_eq_delete_files() == []
+
+
+def test_maintain_triggers_eqdel_conversion(spark, tmp_path, base):
+    t = make_table(spark, str(tmp_path / "t"), base,
+                   **{"maintenance.rewrite-deletes.max-count": "2"})
+    for i in range(3):
+        equality_delete(
+            t, spark.createDataFrame([(f"conv-{i:010d}",)], "conv_id string"))
+    res = run_maintenance(t)
+    assert res.rewrite_deletes is not None
+    assert t.live_eq_delete_files() == []
+
+
+def test_wap_publish_restamps_past_eqdel(spark, tmp_path, base):
+    """Rows staged BEFORE an equality delete but published AFTER logically
+    appear at publish time — the delete must not erase them."""
+    t = make_table(spark, str(tmp_path / "t"), base)
+    staged_rows = base.filter(F.col("conv_id") == "conv-0000000005") \
+                      .withColumn("text", F.concat(F.lit("wap:"), F.col("text")))
+    staged = t.stage_append(staged_rows, n_files=1)
+    equality_delete(t, spark.createDataFrame([("conv-0000000005",)],
+                                             "conv_id string"))
+    t.publish_snapshot(staged.snapshot_id)
+    got = rows(t.scan().filter(F.col("conv_id") == "conv-0000000005"))
+    assert got == rows(staged_rows)
+
+
+def test_eqdel_file_entry_shape(spark, tmp_path, base):
+    t = make_table(spark, str(tmp_path / "t"), base)
+    equality_delete(t, base.select("conv_id", "turn_idx").limit(4))
+    (e,) = t.live_eq_delete_files()
+    assert e.content == "eqdel"
+    assert e.eq_columns == ["conv_id", "turn_idx"]
+    assert e.record_count == 4
+    assert e.data_sequence > max(f.data_sequence
+                                 for f in t.live_data_files())

@@ -285,3 +285,20 @@ def test_branch_tag_statements(cat, spark):
     run_sql(c, "ALTER TABLE ops.transcripts DROP TAG v1")
     t.refresh()
     assert "v1" not in t.refs
+
+
+def test_delete_by_keys_equality(cat):
+    c, df = cat
+    t = c.load_table("ops.transcripts")
+    total = t.scan().count()
+    victim = df.select("conv_id").first()["conv_id"]
+    gone = t.scan().filter(F.col("conv_id") == victim).count()
+    t.scan().select("conv_id").filter(F.col("conv_id") == victim) \
+        .distinct().createOrReplaceTempView("eq_victims")
+    res = run_sql(
+        c, "DELETE FROM ops.transcripts BY KEYS (SELECT conv_id FROM eq_victims)")
+    assert res.mode == "equality"
+    t.refresh()
+    assert t.scan().count() == total - gone
+    assert t.current_snapshot().operation == "delete"
+    assert len(t.live_eq_delete_files()) == 1
