@@ -38,6 +38,7 @@ from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.delete import (
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.rewrite_deletes import (
     RewriteDeletesJob,
 )
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.upsert import upsert
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.update import UpdateJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.expire import ExpireSnapshotsJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.manifests import RewriteManifestsJob
@@ -235,6 +236,29 @@ SELECT conv_id, turn_idx, role, text, tool, ts FROM t WHERE conv_id NOT LIKE '%7
 UNION ALL
 SELECT conv_id, turn_idx, role, 'post:' || text AS text, tool, ts FROM t
 WHERE conv_id LIKE '%7' AND turn_idx % 3 = 0
+"""
+
+
+def q_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic row-delta UPSERT (operators/upsert.py): the streaming
+    CDC-apply pattern — a corrected batch replaces matching (conv_id,
+    turn_idx) rows in ONE snapshot (data files + equality delete share the
+    commit sequence), no target row read. The scan must show last-writer-wins
+    without any maintenance pass having run."""
+    t = _make_transcript_table(spark, sf_dir, n_files=6)
+    batch = (transcripts_from_events(spark, sf_dir)
+             .filter(F.col("turn_idx") % 4 == 1)
+             .withColumn("text", F.concat(F.lit("u:"), F.col("text"))))
+    upsert(t, batch, ["conv_id", "turn_idx"], n_files=2)
+    return t.scan(columns=_TCOLS)
+
+
+_UPSERT_ORACLE = f"""
+WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+SELECT conv_id, turn_idx, role, text, tool, ts FROM t WHERE turn_idx % 4 <> 1
+UNION ALL
+SELECT conv_id, turn_idx, role, 'u:' || text AS text, tool, ts FROM t
+WHERE turn_idx % 4 = 1
 """
 
 
@@ -1044,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintain_merge": q_maintain_merge,
         "maintain_delete": q_maintain_delete,
         "maintain_delete_eq": q_maintain_delete_eq,
+        "streaming_upsert": q_streaming_upsert,
         "maintain_update": q_maintain_update,
         "maintain_expire": q_maintain_expire,
         "maintain_manifests": q_maintain_manifests,
@@ -1097,6 +1122,7 @@ def oracle_sql() -> dict[str, str]:
         "maintain_merge": _MERGE_ORACLE,
         "maintain_delete": _DELETE_ORACLE,
         "maintain_delete_eq": _DELETE_EQ_ORACLE,
+        "streaming_upsert": _UPSERT_ORACLE,
         "maintain_update": _UPDATE_ORACLE,
         "maintain_expire": _EXPIRE_ORACLE,
         "maintain_manifests": _MANIFESTS_ORACLE,

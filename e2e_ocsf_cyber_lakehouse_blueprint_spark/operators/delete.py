@@ -136,6 +136,33 @@ def write_posdel_files(table: Table, marks: DataFrame,
     ]
 
 
+def write_eqdel_file(table: Table, keys: "DataFrame") -> list[DataFile]:
+    """Write distinct key tuples as one small parquet and return the
+    ``eqdel`` manifest entries (``data_sequence`` stamped at commit)."""
+    import os
+    import uuid
+
+    cols = list(keys.columns)
+    if not cols:
+        raise ValueError("equality delete needs at least one key column")
+    staging = os.path.join(table.location, "data",
+                           f"eqdel-{uuid.uuid4().hex[:12]}")
+    keys.distinct().coalesce(1).write.mode("error").parquet(staging)
+    paths = sorted(
+        os.path.join(staging, n) for n in os.listdir(staging)
+        if n.endswith(".parquet")
+    )
+    n = table.spark.read.parquet(*paths).count()
+    return [
+        DataFile(
+            path=p, partition={}, record_count=n,
+            file_size_bytes=os.path.getsize(p),
+            content="eqdel", eq_columns=cols,
+        )
+        for p in paths
+    ]
+
+
 def equality_delete(table: Table, keys: "DataFrame") -> DeleteResult:
     """DELETE BY KEY without reading or writing any data file (Iceberg v2
     equality deletes): the distinct key tuples are written as one small
@@ -153,36 +180,15 @@ def equality_delete(table: Table, keys: "DataFrame") -> DeleteResult:
     to the change feed (no data scan happens at write time) and are not
     reflected in manifest ``record_count`` sums until converted or folded.
     """
-    import os
-    import uuid
-
     t0 = time.time()
-    cols = list(keys.columns)
-    if not cols:
-        raise ValueError("equality delete needs at least one key column")
-    staging = os.path.join(table.location, "data",
-                           f"eqdel-{uuid.uuid4().hex[:12]}")
-    keys.distinct().coalesce(1).write.mode("error").parquet(staging)
-    paths = sorted(
-        os.path.join(staging, n) for n in os.listdir(staging)
-        if n.endswith(".parquet")
-    )
-    n = table.spark.read.parquet(*paths).count()
-    outs = [
-        DataFile(
-            path=p, partition={}, record_count=n,
-            file_size_bytes=os.path.getsize(p),
-            content="eqdel", eq_columns=cols,
-        )
-        for p in paths
-    ]
+    outs = write_eqdel_file(table, keys)
     snap = table._commit_append(
         outs,
         summary_extra={
             "job": "delete",
             "mode": "equality",
-            "eq-columns": ",".join(cols),
-            "eq-deleted-keys": n,
+            "eq-columns": ",".join(outs[0].eq_columns),
+            "eq-deleted-keys": sum(f.record_count for f in outs),
         },
         operation="delete",
     )

@@ -24,7 +24,7 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass
-from typing import Callable
+from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -197,10 +197,17 @@ def run_micro_batches(
     *,
     max_batches: int = 100,
     n_files: int | None = None,
+    upsert_keys: Sequence[str] | None = None,
 ) -> int:
     """Drain a source into a table; returns batches processed. Exactly-once:
     skip-if-applied via batch-id markers in snapshot summaries, checkpoint
-    committed only after the table append commits."""
+    committed only after the table commit lands.
+
+    ``upsert_keys`` switches each batch from append to the atomic row-delta
+    upsert (operators/upsert.py): last-writer-wins by key across batches —
+    the streaming CDC-apply pattern — still O(batch) per commit, no target
+    rows read. Idempotence is unchanged: the upsert is one snapshot, so the
+    batch-id marker covers the delete and the append together."""
     applied = {
         s.summary.get("batch-id")
         for s in target.snapshots
@@ -215,8 +222,13 @@ def run_micro_batches(
             source.commit(batch)  # crash happened between append and checkpoint
             continue
         out = transform(batch.df)
-        target.append(out, n_files=n_files,
-                      summary_extra={"batch-id": batch.batch_id})
+        if upsert_keys is not None:
+            from ..operators.upsert import upsert
+            upsert(target, out, upsert_keys, n_files=n_files,
+                   summary_extra={"batch-id": batch.batch_id})
+        else:
+            target.append(out, n_files=n_files,
+                          summary_extra={"batch-id": batch.batch_id})
         source.commit(batch)
         n += 1
     return n

@@ -83,7 +83,7 @@ def test_op_sequence_conformance(spark, tmp_path, seed):
     ops = ["append", "compact", "cluster", "merge", "expire", "restore",
            "evolve", "delete", "update", "delete_mor", "maintain",
            "rewrite_manifests", "wap", "branch", "rewrite_deletes",
-           "delete_eq"]
+           "delete_eq", "upsert"]
     seq = [rng.choice(ops) for _ in range(8)]
     for step, op in enumerate(seq):
         if op == "append":
@@ -176,6 +176,20 @@ def test_op_sequence_conformance(spark, tmp_path, seed):
                     .orderBy("conv_id").limit(2 + step % 3)).cache()
             equality_delete(t, keys)
             oracle = oracle.join(keys, "conv_id", "left_anti").cache()
+        elif op == "upsert":
+            from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.upsert import (
+                upsert,
+            )
+            batch = oracle.filter(
+                F.col("turn_idx") % 5 == step % 5
+            ).withColumn(
+                "text", F.concat(F.lit(f"up{step}:"), F.col("text"))
+            ).cache()
+            upsert(t, batch, ["conv_id", "turn_idx"], n_files=1)
+            oracle = oracle.join(
+                batch.select("conv_id", "turn_idx").distinct(),
+                ["conv_id", "turn_idx"], "left_anti",
+            ).unionByName(batch).cache()
         elif op == "update":
             m = step % 4
             UpdateJob(
