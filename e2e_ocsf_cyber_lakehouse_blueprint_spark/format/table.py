@@ -36,6 +36,29 @@ from .stats import harvest_file_stats
 from ..plans.pruning import Predicate, prune_files, prune_manifest_records
 
 
+def _eq_bounds_may_match(f: DataFile, d: DataFile) -> bool:
+    """Conservative overlap test between a data file's column stats and an
+    equality delete's key bounds: False only when the stats PROVE no deleted
+    key tuple can exist in the file (disjoint range on ANY key column).
+    Missing bounds or cross-type comparisons -> True (the anti-join decides).
+    Safe under Iceberg-style truncated string bounds: a data file's stored
+    lower bound is <= its true min and upper >= its true max, so a proven
+    disjointness only gets HARDER, never wrong."""
+    for c in d.eq_columns:
+        flo_s, fhi_s = f.lower_bounds.get(c), f.upper_bounds.get(c)
+        dlo_s, dhi_s = d.lower_bounds.get(c), d.upper_bounds.get(c)
+        if None in (flo_s, fhi_s, dlo_s, dhi_s):
+            continue
+        try:
+            flo, fhi = mf.decode_bound(flo_s), mf.decode_bound(fhi_s)
+            dlo, dhi = mf.decode_bound(dlo_s), mf.decode_bound(dhi_s)
+            if flo > dhi or fhi < dlo:
+                return False
+        except TypeError:
+            continue
+    return True
+
+
 class CommitConflict(Exception):
     """A concurrent commit invalidated this one (deleted files no longer live)."""
 
@@ -260,7 +283,9 @@ class Table:
         hit = [d for d in dels if scanned.intersection(d.covered_paths)]
         # an eqdel applies to a data file iff the file's rows were committed
         # STRICTLY BEFORE the delete (Iceberg v2 sequence rule); rewrites fold
-        # deletes and carry the new sequence, so they pass here untouched
+        # deletes and carry the new sequence, so they pass here untouched.
+        # Key-bounds overlap narrows it further: files provably outside the
+        # deleted key range skip the anti-join entirely (clean hot path).
         min_seq = min((f.data_sequence for f in files), default=0)
         eq_hit = [d for d in eqdels if d.data_sequence > min_seq]
         if not hit and not eq_hit:
@@ -268,9 +293,12 @@ class Table:
         covered = set()
         for d in hit:
             covered.update(d.covered_paths)
-        max_eq_seq = max((d.data_sequence for d in eq_hit), default=0)
-        dirty_files = [f for f in files
-                       if f.path in covered or f.data_sequence < max_eq_seq]
+        dirty_files = [
+            f for f in files
+            if f.path in covered
+            or any(d.data_sequence > f.data_sequence
+                   and _eq_bounds_may_match(f, d) for d in eq_hit)
+        ]
         clean = [f.path for f in files if f.path not in {x.path for x in dirty_files}]
         raw = (
             self.spark.read.schema(schema).parquet(*[f.path for f in dirty_files])

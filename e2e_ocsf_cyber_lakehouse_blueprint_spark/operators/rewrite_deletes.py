@@ -138,8 +138,12 @@ class RewriteDeletesJob:
         spark = table.spark
         if not eqdels:
             return None, 0
-        max_eq = max(d.data_sequence for d in eqdels)
-        cand = [f for f in data_files if f.data_sequence < max_eq]
+        from ..format.table import _eq_bounds_may_match
+        cand = [
+            f for f in data_files
+            if any(d.data_sequence > f.data_sequence
+                   and _eq_bounds_may_match(f, d) for d in eqdels)
+        ]
         if not cand:
             return None, 0
         raw = (

@@ -169,3 +169,50 @@ def test_eqdel_file_entry_shape(spark, tmp_path, base):
     assert e.record_count == 4
     assert e.data_sequence > max(f.data_sequence
                                  for f in t.live_data_files())
+
+
+def test_eqdel_bounds_prune_skips_disjoint_files(spark, tmp_path, base):
+    """A delete whose key bounds are disjoint from a data file's stats must
+    leave that file on the clean (no-anti-join) path; results stay exact."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.table import (
+        _eq_bounds_may_match,
+    )
+    t = make_table(spark, str(tmp_path / "t"), base)
+    # keys far outside the fixture's conv id range
+    equality_delete(t, spark.createDataFrame([("zzz-1",), ("zzz-2",)],
+                                             "conv_id string"))
+    (e,) = t.live_eq_delete_files()
+    assert e.lower_bounds["conv_id"] and e.upper_bounds["conv_id"]
+    # every live data file is provably disjoint from the deleted key range
+    assert all(not _eq_bounds_may_match(f, e) for f in t.live_data_files())
+    assert rows(t.scan()) == rows(base)
+    # and a real victim still gets masked (bounds overlap -> anti-join runs)
+    equality_delete(t, spark.createDataFrame([("conv-0000000006",)],
+                                             "conv_id string"))
+    assert rows(t.scan()) == rows(
+        base.filter(F.col("conv_id") != "conv-0000000006"))
+
+
+def test_eqdel_bounds_helper_is_conservative(spark):
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.manifest import (
+        DataFile, encode_bound,
+    )
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.table import (
+        _eq_bounds_may_match,
+    )
+    def df_(lo, hi, **kw):
+        return DataFile(path="x", partition={}, record_count=1,
+                        file_size_bytes=1,
+                        lower_bounds={"k": encode_bound(lo)} if lo is not None else {},
+                        upper_bounds={"k": encode_bound(hi)} if hi is not None else {},
+                        **kw)
+    d = df_("c", "f", content="eqdel", eq_columns=["k"])
+    assert not _eq_bounds_may_match(df_("a", "b"), d)   # disjoint below
+    assert not _eq_bounds_may_match(df_("g", "z"), d)   # disjoint above
+    assert _eq_bounds_may_match(df_("b", "d"), d)       # overlap
+    assert _eq_bounds_may_match(df_(None, None), d)     # missing stats
+    d2 = df_(None, None, content="eqdel", eq_columns=["k"])
+    assert _eq_bounds_may_match(df_("a", "b"), d2)      # missing delete bounds
+    # mixed types never prove disjointness
+    d3 = df_(1, 5, content="eqdel", eq_columns=["k"])
+    assert _eq_bounds_may_match(df_("a", "b"), d3)
