@@ -165,6 +165,28 @@ def write_group_global_range(table: Table, group: RewriteGroup, key_col_name: st
     return out_dir
 
 
+def _dir_has_parquet(d: str) -> bool:
+    for root, _, names in os.walk(d):
+        if any(n.endswith(".parquet") for n in names):
+            return True
+    return False
+
+
+def _masks_explain_empty(table: Table, plan) -> bool:
+    """True when outstanding delete files can legitimately mask EVERY row of
+    the plan's inputs (an all-deleted partition rewrites to zero files)."""
+    paths = {f.path for f in plan.input_files}
+    if any(paths.intersection(d.covered_paths)
+           for d in table.live_delete_files()):
+        return True
+    from ..format.table import _eq_bounds_may_match
+    eqdels = table.live_eq_delete_files()
+    return any(
+        d.data_sequence > f.data_sequence and _eq_bounds_may_match(f, d)
+        for f in plan.input_files for d in eqdels
+    )
+
+
 def run_grouped_rewrites(
     table: Table,
     plans: list,
@@ -254,11 +276,16 @@ def run_grouped_rewrites(
 
     staged = resumed_staged + fresh
     if staged:
+        # a staging dir can hold ZERO parquet files when delete masks erase
+        # every row of its group (all-deleted partition rewrite) — skip such
+        # dirs so the harvest's schema read never sees an empty relation
+        harvest_dirs = [d for d in sorted({d for _, d, _ in staged})
+                        if _dir_has_parquet(d)]
         files = harvest_file_stats(
-            spark, sorted({d for _, d, _ in staged}), table.schema,
+            spark, harvest_dirs, table.schema,
             pcol_names, table.hash_stat_columns(), table.stat_columns(),
             table.bloom_stat_columns(), table.bloom_bits(),
-        )
+        ) if harvest_dirs else []
         by_part: dict[str, list[DataFile]] = {}
         for f in files:
             by_part.setdefault(partition_key(f.partition), []).append(f)
@@ -275,7 +302,10 @@ def run_grouped_rewrites(
             else:
                 outs = [f for f in by_part.get(plan.key, [])
                         if f.path.startswith(d + os.sep)]
-            if not outs:
+            if not outs and not _masks_explain_empty(table, plan):
+                # zero outputs with no delete mask in play would mean the
+                # writer LOST a partition (key-formatting drift between the
+                # planner and the harvest) — never commit that silently
                 raise RuntimeError(
                     f"rewrite produced no files for partition {plan.key}")
             ledger.record_partition(

@@ -286,3 +286,18 @@ def test_maintain_triggers_rewrite_deletes(spark, tmp_table_dir):
     assert res.rewrite_deletes is not None
     assert len(t.live_delete_files()) <= 2
     assert turns(t.scan()) == want
+
+
+def test_cluster_after_mor_delete_masks_entire_partition(spark, tmp_path):
+    """A MOR delete that masks EVERY row of a partition must let a later
+    full rewrite commit zero output files for it (regression: the rewrite
+    harvest used to raise 'produced no files')."""
+    df = generate_transcripts(spark, n_convs=12, hot_convs=1, hot_turns=60,
+                              span_days=3, seed=91).cache()
+    t = make_table(spark, str(tmp_path / "t"), df)
+    hot = df.select("conv_id").first()["conv_id"]
+    DeleteJob(t, [("conv_id", "=", hot)], mode="merge-on-read").run()
+    before = sorted(tuple(r) for r in t.scan().collect())
+    ClusteringJob(t, curve="zorder", max_concurrency=4).run()
+    assert sorted(tuple(r) for r in t.scan().collect()) == before
+    assert t.scan().filter(F.col("conv_id") == hot).count() == 0

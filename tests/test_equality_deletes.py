@@ -216,3 +216,23 @@ def test_eqdel_bounds_helper_is_conservative(spark):
     # mixed types never prove disjointness
     d3 = df_(1, 5, content="eqdel", eq_columns=["k"])
     assert _eq_bounds_may_match(df_("a", "b"), d3)
+
+
+def test_eqdel_gc_lifecycle(spark, tmp_path, base):
+    """A live eqdel survives orphan GC; once retired by a full rewrite and
+    aged out of the snapshot log, the key parquet is collected."""
+    import os
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.expire import (
+        ExpireSnapshotsJob,
+    )
+    t = make_table(spark, str(tmp_path / "t"), base)
+    equality_delete(t, spark.createDataFrame([("conv-0000000001",)],
+                                             "conv_id string"))
+    (e,) = t.live_eq_delete_files()
+    ExpireSnapshotsJob(t, keep_last=1).run()
+    assert os.path.exists(e.path)  # live: must never be GC'd
+    expected = rows(t.scan())
+    ClusteringJob(t, curve="zorder", max_concurrency=4).run()  # retires eqdel
+    ExpireSnapshotsJob(t, keep_last=1).run()
+    assert not os.path.exists(e.path)  # unreferenced now: collected
+    assert rows(t.scan()) == expected
