@@ -152,8 +152,13 @@ class ClusteringJob:
             turn_range=turn_range, ts_us_range=ts_range,
         )
 
+        dels = self.table.live_delete_files()      # pinned once per job
+        eqdels = self.table.live_eq_delete_files()
+
         def writer(group, job_tag):
-            return write_group_global_range(self.table, group, _KEY_COL, key, job_tag)
+            return write_group_global_range(
+                self.table, group, _KEY_COL, key, job_tag,
+                delete_files=dels, eq_delete_files=eqdels)
 
         return writer
 

@@ -115,12 +115,16 @@ def write_group_binpack(table: Table, group: RewriteGroup,
     Union of single-partition children into ONE partition, serializing the
     whole group (measured: 47 bins -> 1 task)."""
     spec = table.spec
+    # pin BOTH delete-file kinds once per job: a per-child live lookup would
+    # re-read the manifest list O(groups) times
     dels = table.live_delete_files()
+    eqdels = table.live_eq_delete_files()
 
     def child(plan):
         # broadcast-anti DV application is narrow: scan-task partitioning (the
         # bins) and per-task ordering survive, so the zero-shuffle contract holds
-        df = table.read_data_files(plan.input_files, delete_files=dels)
+        df = table.read_data_files(plan.input_files, delete_files=dels,
+                                   eq_delete_files=eqdels)
         return df.sortWithinPartitions(*sort_keys)
 
     # DataFrame construction costs a driver round trip per child (file-index
@@ -136,7 +140,8 @@ def write_group_binpack(table: Table, group: RewriteGroup,
 
 
 def write_group_global_range(table: Table, group: RewriteGroup, key_col_name: str,
-                             key_expr, job_tag: str) -> str:
+                             key_expr, job_tag: str,
+                             delete_files=None, eq_delete_files=None) -> str:
     """Clustering rewrite for a group of partitions in ONE Spark job with ONE
     range exchange: scan all group files as a single relation, compute the
     layout key, ``repartitionByRange(total_bins, partition_cols + key)``,
@@ -150,7 +155,14 @@ def write_group_global_range(table: Table, group: RewriteGroup, key_col_name: st
     compaction pass folds in."""
     spec = table.spec
     files = [f for p in group.plans for f in p.input_files]
-    df = table.read_data_files(files)
+    # callers pin the delete lists once per JOB (a live lookup here would
+    # re-read the manifest list per group)
+    dels = (delete_files if delete_files is not None
+            else table.live_delete_files())
+    eqdels = (eq_delete_files if eq_delete_files is not None
+              else table.live_eq_delete_files())
+    df = table.read_data_files(files, delete_files=dels,
+                               eq_delete_files=eqdels)
     df = df.withColumn(key_col_name, key_expr)
     df = spec.with_partition_columns(df)
     keys = spec.column_names + [key_col_name]
