@@ -120,6 +120,19 @@ def _maintenance_bench(spark, sf: float, workdir: str, *, cpus: int = DEFAULT_CP
         timings["merge_files_scoped_frac"] = round(
             res.files_scoped / max(1, res.files_total), 3)
 
+        # same correction shape through the atomic row-delta UPSERT: one
+        # snapshot (batch files + equality delete), NO target rows read —
+        # contrast with merge_scoped, which rewrites the matched files
+        from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.upsert import upsert
+
+        t0 = time.time()
+        batch = (
+            table.scan([("conv_id", "in", convs)])
+            .withColumn("text", F.concat(F.lit("upserted:"), F.col("text")))
+        )
+        upsert(table, batch, ["conv_id", "turn_idx"], n_files=1)
+        timings["upsert_rowdelta"] = time.time() - t0
+
         # predicate delete both ways on the same-shape stripe: merge-on-read
         # moves only the DV bytes, copy-on-write rewrites the neighborhood
         from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.delete import DeleteJob

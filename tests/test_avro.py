@@ -99,7 +99,8 @@ def test_manifest_schema_shape(tmp_path):
     avro.write_ocf(path, MANIFEST_ENTRY_SCHEMA, [entry])
     _, back = avro.read_ocf(path)
     # pre-bloom entries encode via the schema default and decode with it
-    assert back == [{**entry, "blooms": {}}]
+    assert back == [{**entry, "blooms": {}, "data_sequence": 0,
+                     "eq_columns": []}]
 
 
 def test_truncate_bounds():
