@@ -39,6 +39,7 @@ from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.rewrite_deletes import (
     RewriteDeletesJob,
 )
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.upsert import upsert
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.analyze import analyze_table
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.update import UpdateJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.expire import ExpireSnapshotsJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.manifests import RewriteManifestsJob
@@ -259,6 +260,37 @@ SELECT conv_id, turn_idx, role, text, tool, ts FROM t WHERE turn_idx % 4 <> 1
 UNION ALL
 SELECT conv_id, turn_idx, role, 'u:' || text AS text, tool, ts FROM t
 WHERE turn_idx % 4 = 1
+"""
+
+
+def q_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE (operators/analyze.py): one-pass column statistics over
+    the delete-applied scan, exact-NDV mode so every cell is DuckDB-checkable
+    (the HLL default is tolerance-tested in pytest)."""
+    t = _make_transcript_table(spark, sf_dir, n_files=4)
+    res = analyze_table(t, ["conv_id", "turn_idx", "role", "tool"],
+                        exact=True)
+    data = [
+        (c, res.rows, st["null_count"], st["ndv"],
+         str(st.get("min")), str(st.get("max")))
+        for c, st in sorted(res.columns.items())
+    ]
+    return spark.createDataFrame(
+        data, "col_name string, n_rows bigint, null_count bigint, "
+              "ndv bigint, min_s string, max_s string")
+
+
+def _analyze_col_sql(c: str) -> str:
+    return (f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows, "
+            f"COUNT(*) - COUNT({c}) AS null_count, "
+            f"COUNT(DISTINCT {c}) AS ndv, "
+            f"CAST(MIN({c}) AS VARCHAR) AS min_s, "
+            f"CAST(MAX({c}) AS VARCHAR) AS max_s FROM t")
+
+
+_ANALYZE_ORACLE = f"""
+WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+{" UNION ALL ".join(_analyze_col_sql(c) for c in ("conv_id", "turn_idx", "role", "tool"))}
 """
 
 
@@ -1069,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintain_delete": q_maintain_delete,
         "maintain_delete_eq": q_maintain_delete_eq,
         "streaming_upsert": q_streaming_upsert,
+        "analyze_stats": q_analyze_stats,
         "maintain_update": q_maintain_update,
         "maintain_expire": q_maintain_expire,
         "maintain_manifests": q_maintain_manifests,
@@ -1123,6 +1156,7 @@ def oracle_sql() -> dict[str, str]:
         "maintain_delete": _DELETE_ORACLE,
         "maintain_delete_eq": _DELETE_EQ_ORACLE,
         "streaming_upsert": _UPSERT_ORACLE,
+        "analyze_stats": _ANALYZE_ORACLE,
         "maintain_update": _UPDATE_ORACLE,
         "maintain_expire": _EXPIRE_ORACLE,
         "maintain_manifests": _MANIFESTS_ORACLE,

@@ -31,7 +31,13 @@ table-maintenance statements the engine owns:
         row-level change feed (_change_type/_commit_snapshot_id) after
         snapshot n (exclusive) up to m (inclusive; default current)
     REWRITE DELETES <tbl>
-        coalesce positional-delete (DV) files + drop dangling delete rows
+        coalesce positional-delete (DV) files + drop dangling delete rows,
+        and convert equality deletes to positional marks
+    ANALYZE TABLE <tbl> COMPUTE STATISTICS [FOR COLUMNS (c1[, ...])]
+        one-pass column stats (null count, HLL NDV, min/max, avg_len)
+        persisted in table metadata, stamped with the snapshot id
+    DESCRIBE STATS <tbl>
+        the persisted ANALYZE rows + staleness vs the current snapshot
     ALTER TABLE <tbl> ADD CONSTRAINT <name> CHECK (<expr>)
     ALTER TABLE <tbl> DROP CONSTRAINT <name>
     ALTER TABLE <tbl> CREATE BRANCH|TAG <name> [AS OF VERSION <n>]
@@ -246,6 +252,13 @@ _STATEMENTS: list[tuple[re.Pattern, str]] = [
     (re.compile(
         rf"MAINTAIN\s+(?P<tbl>{_ID})\s*;?\s*$", re.IGNORECASE), "maintain"),
     (re.compile(
+        rf"ANALYZE\s+TABLE\s+(?P<tbl>{_ID})\s+COMPUTE\s+STATISTICS"
+        rf"(?:\s+FOR\s+COLUMNS\s*\((?P<cols>[^)]+)\))?\s*;?\s*$",
+        re.IGNORECASE), "analyze"),
+    (re.compile(
+        rf"DESCRIBE\s+STATS\s+(?P<tbl>{_ID})\s*;?\s*$", re.IGNORECASE),
+     "describe_stats"),
+    (re.compile(
         rf"REWRITE\s+MANIFESTS\s+(?P<tbl>{_ID})\s*;?\s*$",
         re.IGNORECASE), "rewrite_manifests"),
     (re.compile(
@@ -415,6 +428,13 @@ def _dispatch(action: str, table: Table, m: re.Match) -> Any:
     if action == "maintain":
         from .operators.maintain import run_maintenance
         return run_maintenance(table)
+    if action == "analyze":
+        from .operators.analyze import analyze_table
+        cols = _cols(m.group("cols")) if m.group("cols") else None
+        return analyze_table(table, cols)
+    if action == "describe_stats":
+        from .operators.analyze import describe_stats
+        return describe_stats(table)
     if action == "rewrite_manifests":
         from .operators.manifests import RewriteManifestsJob
         return RewriteManifestsJob(table).run()
