@@ -299,6 +299,8 @@ class Table:
             or any(d.data_sequence > f.data_sequence
                    and _eq_bounds_may_match(f, d) for d in eq_hit)
         ]
+        if not dirty_files:  # bounds pruned every candidate: pure clean path
+            return self.spark.read.schema(schema).parquet(*[f.path for f in files])
         clean = [f.path for f in files if f.path not in {x.path for x in dirty_files}]
         raw = (
             self.spark.read.schema(schema).parquet(*[f.path for f in dirty_files])
