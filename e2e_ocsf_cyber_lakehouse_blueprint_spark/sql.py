@@ -17,6 +17,10 @@ table-maintenance statements the engine owns:
         Iceberg v2 equality delete: the Spark SQL subquery's result columns
         are the key; matching pre-delete rows disappear without any data
         file being read or written (O(keys) commit)
+    UPSERT INTO <tbl> BY KEYS (c1[, ...]) FROM (<select-query>)
+        atomic row-delta: the subquery's rows are appended AND their keys
+        equality-deleted from pre-existing data in ONE snapshot —
+        last-writer-wins at O(batch) cost, no target rows read
     UPDATE <tbl> SET col = <sql-expr>[, ...] [WHERE <conjunction>]
         right-hand sides are Spark SQL expressions over the OLD row values
     VACUUM <tbl> [RETAIN <n> HOURS]
@@ -217,6 +221,10 @@ _STATEMENTS: list[tuple[re.Pattern, str]] = [
         rf"DELETE\s+FROM\s+(?P<tbl>{_ID})\s+BY\s+KEYS\s*\((?P<query>.+)\)\s*;?\s*$",
         re.IGNORECASE | re.DOTALL), "delete_eq"),
     (re.compile(
+        rf"UPSERT\s+INTO\s+(?P<tbl>{_ID})\s+BY\s+KEYS\s*\((?P<cols>[^)]+)\)\s+"
+        rf"FROM\s*\((?P<query>.+)\)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL), "upsert"),
+    (re.compile(
         rf"DELETE\s+FROM\s+(?P<tbl>{_ID})\s+WHERE\s+(?P<where>.+?)\s*;?\s*$",
         re.IGNORECASE), "delete"),
     (re.compile(
@@ -391,6 +399,12 @@ def _dispatch(action: str, table: Table, m: re.Match) -> Any:
         # Iceberg v2 equality delete — the subquery's columns ARE the key
         from .operators.delete import equality_delete
         return equality_delete(table, table.spark.sql(m.group("query")))
+    if action == "upsert":
+        # UPSERT INTO t BY KEYS (conv_id, turn_idx) FROM (SELECT ...):
+        # atomic row-delta — batch data files + equality delete, one snapshot
+        from .operators.upsert import upsert
+        return upsert(table, table.spark.sql(m.group("query")),
+                      _cols(m.group("cols")))
     if action == "update":
         where = m.group("where")
         return UpdateJob(

@@ -302,3 +302,21 @@ def test_delete_by_keys_equality(cat):
     assert t.scan().count() == total - gone
     assert t.current_snapshot().operation == "delete"
     assert len(t.live_eq_delete_files()) == 1
+
+
+def test_upsert_into_by_keys(cat):
+    c, df = cat
+    t = c.load_table("ops.transcripts")
+    total = t.scan().count()
+    t.scan().filter(F.col("turn_idx") == 1) \
+        .withColumn("text", F.concat(F.lit("sqlup:"), F.col("text"))) \
+        .createOrReplaceTempView("upsert_batch")
+    res = run_sql(
+        c, "UPSERT INTO ops.transcripts BY KEYS (conv_id, turn_idx) "
+           "FROM (SELECT * FROM upsert_batch)")
+    assert res.rows_appended > 0
+    t.refresh()
+    assert t.scan().count() == total  # pure replacement, no growth
+    got = t.scan().filter(F.col("turn_idx") == 1).select("text").collect()
+    assert all(r["text"].startswith("sqlup:") for r in got)
+    assert t.current_snapshot().operation == "upsert"
