@@ -658,15 +658,28 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group (§2.4): Spark `percentile`
     == DuckDB `quantile_cont` (both linear interpolation on the sorted set);
-    rounded to 6dp on both sides for cross-engine hash equality."""
+    rounded to 6dp on both sides for cross-engine hash equality.
+
+    One `percentile(value, array(...))` aggregate buffer per group (the
+    sorted multiset is collected once), then the array is projected to
+    scalar p50/p90/p99 DOUBLE columns — the driver's canonicalizer sorts
+    result columns with pandas and cannot hash ARRAY cells."""
     ev = _read(spark, sf_dir, "events")
     pct = F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
     return (
         ev.groupBy("event_type")
         .agg(
-            F.transform(pct, lambda x: F.round(x, 6)).alias("pcts"),
+            pct.alias("_p"),
             F.round(F.min("value"), 6).alias("v_min"),
             F.round(F.max("value"), 6).alias("v_max"),
+        )
+        .select(
+            "event_type",
+            F.round(F.element_at("_p", 1), 6).alias("p50"),
+            F.round(F.element_at("_p", 2), 6).alias("p90"),
+            F.round(F.element_at("_p", 3), 6).alias("p99"),
+            "v_min",
+            "v_max",
         )
     )
 
@@ -703,7 +716,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _read(spark, sf_dir, "events")
-    return sessionize_batch(ev, key_col="user_id", ts_col="ts", gap_sec=1800)
+    return sessionize_batch(
+        ev, key_col="user_id", ts_col="ts", gap_sec=1800,
+        tiebreak_col="event_id",
+    )
 
 
 # ------------------------------------------------------- training-data ops
@@ -1270,8 +1286,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stats_percentiles": """
             SELECT event_type,
-                   list_transform(quantile_cont(value, [0.5, 0.9, 0.99]),
-                                  x -> round(x, 6)) AS pcts,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99,
                    round(MIN(value), 6) AS v_min,
                    round(MAX(value), 6) AS v_max
             FROM events GROUP BY event_type
@@ -1292,17 +1309,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize": """
             WITH d AS (
-              SELECT user_id, ts,
+              SELECT user_id, ts, event_id,
                      CASE WHEN lag(ts) OVER w IS NULL
                           OR CAST(floor(epoch(ts)) AS BIGINT)
                              - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
                           THEN 1 ELSE 0 END AS new_sess
               FROM events
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), s AS (
               SELECT user_id, ts,
-                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+                     CAST(SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS session_idx
               FROM d
             )
             SELECT user_id, session_idx,

@@ -35,25 +35,29 @@ def sessionize_batch(
     key_col: str = "user_id",
     ts_col: str = "ts",
     gap_sec: int = DEFAULT_GAP_SEC,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Per-key inactivity-gap sessions as (key, session_idx, n_events,
     start_ts, end_ts, duration_sec). A new session starts when the gap from
     the previous event is STRICTLY greater than ``gap_sec``.
 
-    Ties on ``ts`` are safe: lag() over equal timestamps yields a zero gap
-    regardless of intra-tie order, so session boundaries are deterministic
-    even without a unique tiebreaker column.
+    Ties on ``ts`` do not move session BOUNDARIES (lag over equal timestamps
+    yields a zero gap regardless of intra-tie order), but a unique
+    ``tiebreak_col`` makes the lag/running-sum window itself fully
+    deterministic, which matters for plan-stable re-runs at scale — pass
+    one whenever the input has a unique event id.
     """
-    w = Window.partitionBy(key_col).orderBy(ts_col)
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
     prev = F.lag(ts_col).over(w)
     new_sess = (
         prev.isNull()
         | ((F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev)) > gap_sec)
     ).cast("long")
-    run = Window.partitionBy(key_col).orderBy(ts_col) \
+    run = Window.partitionBy(key_col).orderBy(*order) \
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sessions = (
-        df.select(key_col, ts_col)
+        df.select(key_col, ts_col, *([tiebreak_col] if tiebreak_col else []))
         .withColumn("_new", new_sess)
         .withColumn("session_idx", F.sum("_new").over(run))
         .groupBy(key_col, "session_idx")
