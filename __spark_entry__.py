@@ -263,6 +263,56 @@ WHERE turn_idx % 4 = 1
 """
 
 
+def q_sql_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``MERGE INTO ... ON ... WHEN MATCHED THEN UPDATE SET * WHEN NOT
+    MATCHED THEN INSERT *`` as a SQL statement (sql.py:_run_merge ->
+    operators/merge.py MergeIntoJob) — the Databricks statement the
+    reference's users upsert with (its gold tables are maintained via
+    Delta MERGE on the platform)."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.catalog import Catalog
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.sql import run_sql
+
+    tune_session(spark)
+    df = transcripts_from_events(spark, sf_dir)
+    c = Catalog(spark, tempfile.mkdtemp(prefix="sqlwh-"))
+    c.create_database("ops")
+    t = c.create_table(
+        "ops.transcripts", T.StructType.fromDDL(TRANSCRIPT_DDL_NTZ),
+        PartitionSpec.of(days("ts_day", "ts"),
+                         bucket("conv_bucket", "conv_id", 4)),
+        properties={
+            "write.target-file-size-bytes": str(8 * 1024 * 1024),
+            "stats.columns": "conv_id,turn_idx,role,tool,ts",
+        },
+    )
+    t.append(df, n_files=6)
+    updates = df.filter(F.col("turn_idx") % 7 == 2).withColumn(
+        "text", F.concat(F.lit("sqlfix:"), F.col("text")))
+    inserts = df.filter(F.col("turn_idx") % 13 == 5).withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("-sqlnew")))
+    updates.unionByName(inserts).createOrReplaceTempView("merge_src")
+    run_sql(c, """
+        MERGE INTO ops.transcripts AS t USING merge_src AS s
+        ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    t.refresh()
+    return t.scan(columns=_TCOLS)
+
+
+_SQL_MERGE_ORACLE = f"""
+WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+SELECT conv_id, turn_idx, role, text, tool, ts FROM t WHERE turn_idx % 7 <> 2
+UNION ALL
+SELECT conv_id, turn_idx, role, 'sqlfix:' || text AS text, tool, ts FROM t
+WHERE turn_idx % 7 = 2
+UNION ALL
+SELECT conv_id || '-sqlnew' AS conv_id, turn_idx, role, text, tool, ts FROM t
+WHERE turn_idx % 13 = 5
+"""
+
+
 def q_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE TABLE (operators/analyze.py): one-pass column statistics over
     the delete-applied scan, exact-NDV mode so every cell is DuckDB-checkable
@@ -1114,6 +1164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintain_zorder": q_maintain_zorder,
         "maintain_hilbert": q_maintain_hilbert,
         "maintain_merge": q_maintain_merge,
+        "sql_merge_into": q_sql_merge_into,
         "maintain_delete": q_maintain_delete,
         "maintain_delete_eq": q_maintain_delete_eq,
         "streaming_upsert": q_streaming_upsert,
@@ -1169,6 +1220,7 @@ def oracle_sql() -> dict[str, str]:
         "maintain_zorder": _MAINT_ORACLE,
         "maintain_hilbert": _MAINT_ORACLE,
         "maintain_merge": _MERGE_ORACLE,
+        "sql_merge_into": _SQL_MERGE_ORACLE,
         "maintain_delete": _DELETE_ORACLE,
         "maintain_delete_eq": _DELETE_EQ_ORACLE,
         "streaming_upsert": _UPSERT_ORACLE,

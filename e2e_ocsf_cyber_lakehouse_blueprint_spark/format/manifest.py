@@ -177,21 +177,39 @@ def write_manifest(path: str, files: list[DataFile], snapshot_id: int,
     ``sequence_number`` stamps freshly-added files (``data_sequence == 0``)
     with the committing snapshot's sequence; survivors re-written as
     STATUS_EXISTING keep the sequence they were loaded with, so equality
-    deletes keep applying to them across manifest rewrites."""
-    if sequence_number is not None:
-        for f in files:
-            if f.data_sequence == 0:
-                f.data_sequence = sequence_number
-    entries = [f.to_entry(status, snapshot_id) for f in files]
+    deletes keep applying to them across manifest rewrites.
+
+    Stamping happens on the ENTRY dicts, never by mutating the input
+    ``DataFile`` objects: the optimistic-commit retry loop re-invokes
+    build() with the same file objects after a lost race, and an in-place
+    stamp would freeze the FIRST attempt's sequence while the winning
+    snapshot gets a higher one — silently breaking the strict
+    ``data_sequence <`` equality-delete rule exactly in the multi-writer
+    case the retry loop exists for."""
+    entries = []
+    for f in files:
+        e = f.to_entry(status, snapshot_id)
+        if sequence_number is not None and f.data_sequence == 0:
+            e["data_sequence"] = sequence_number
+        entries.append(e)
     avro.write_ocf(path, MANIFEST_ENTRY_SCHEMA, entries)
     import os
 
+    # Partition summaries span the UNION of keys across entries (a manifest
+    # rewrite may pack files from different partition-spec eras). A key is
+    # summarized only when EVERY entry has a value for it: a pre-evolution
+    # file has no value for a later-added field, and min/max over just the
+    # post-evolution files would let prune_manifest_records drop the whole
+    # manifest — and the old files' rows with it. Omitted key = unprunable
+    # at the manifest level; the per-file _survives_partition stays exact.
     summaries: dict[str, str] = {}
     if files:
-        keys = files[0].partition.keys()
+        keys: set[str] = set()
+        for f in files:
+            keys.update(f.partition.keys())
         for k in keys:
-            vals = [f.partition.get(k) for f in files if f.partition.get(k) is not None]
-            if vals:
+            vals = [f.partition.get(k) for f in files]
+            if all(v is not None for v in vals):
                 summaries[k] = json.dumps({"lo": min(vals), "hi": max(vals)})
     added = len(files) if status == STATUS_ADDED else 0
     existing = len(files) if status == STATUS_EXISTING else 0

@@ -106,6 +106,31 @@ class TableMetadata:
             return None
         return self.snapshot_by_id(self.current_snapshot_id)
 
+    def ancestry(self, head_id: int | None = None) -> list[Snapshot]:
+        """Snapshots on the parent chain of ``head_id`` (default: current),
+        oldest -> newest — Iceberg's snapshot-log walk.
+
+        The flat ``snapshots`` list also holds staged (WAP) and branch-only
+        commits that were never the table's visible state on this line of
+        history; time travel and the change feed must resolve along ancestry
+        so an abandoned branch or unpublished stage never surfaces. The walk
+        stops quietly where expiration truncated the chain (parent id no
+        longer in the log)."""
+        head = (self.current_snapshot() if head_id is None
+                else self.snapshot_by_id(head_id))
+        chain: list[Snapshot] = []
+        node = head
+        while node is not None:
+            chain.append(node)
+            if node.parent_snapshot_id is None:
+                break
+            try:
+                node = self.snapshot_by_id(node.parent_snapshot_id)
+            except KeyError:  # ancestry truncated by snapshot expiration
+                break
+        chain.reverse()
+        return chain
+
 
 def metadata_dir(location: str) -> str:
     return os.path.join(location, "metadata")

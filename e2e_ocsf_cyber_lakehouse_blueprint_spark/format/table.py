@@ -141,20 +141,24 @@ class Table:
 
     def snapshot_as_of(self, timestamp_ms: int) -> snap.Snapshot:
         """Time travel by timestamp (``FOR TIMESTAMP AS OF``): the latest
-        snapshot committed at or before ``timestamp_ms``. Pure metadata —
-        resolution walks the (small) snapshot log, never data files.
+        MAIN-ancestry snapshot committed at or before ``timestamp_ms``. Pure
+        metadata — resolution walks the parent chain from current (Iceberg's
+        snapshot-log semantics), never data files.
 
-        Staged (write-audit-publish) snapshots are skipped: they were never
-        the table's current state, so time travel must not surface them."""
-        eligible = [s for s in self.snapshots
-                    if s.timestamp_ms <= timestamp_ms
-                    and s.operation != "staged-append"]
+        Resolving along ancestry (not the flat snapshot list) keeps staged
+        (WAP) appends AND branch-only commits invisible: both live in the
+        log without having been main's state, and an abandoned branch would
+        otherwise leak into main's history forever."""
+        eligible = [s for s in self.meta.ancestry()
+                    if s.timestamp_ms <= timestamp_ms]
         if not eligible:
             raise ValueError(
                 f"no snapshot at or before {timestamp_ms} "
                 f"(earliest is {min((s.timestamp_ms for s in self.snapshots), default=None)})"
             )
-        return max(eligible, key=lambda s: (s.timestamp_ms, s.snapshot_id))
+        # ancestry timestamps are monotone (commits bump past the parent
+        # chain's max), so the newest eligible ancestor is the last one
+        return eligible[-1]
 
     def property_int(self, key: str, default: int) -> int:
         try:
@@ -539,6 +543,23 @@ class Table:
             raise ValueError(
                 f"constraint violation ({', '.join(names)}): "
                 f"{row['_row'].asDict()}")
+
+    def add_check_constraint(self, name: str, expr: str) -> None:
+        """``ALTER TABLE ADD CONSTRAINT`` with Delta CHECK semantics: the
+        EXISTING rows must already satisfy the expression before the
+        constraint persists — one ``limit(1)`` probe over the current
+        snapshot (short-circuits on the first violation; manifest pruning
+        applies if the expression is prunable)."""
+        bad = (
+            self.scan()
+            .filter(~F.coalesce(F.expr(expr), F.lit(False)))
+            .limit(1).collect()
+        )
+        if bad:
+            raise ValueError(
+                f"cannot add CHECK {name}: existing row violates "
+                f"({expr}): {bad[0].asDict()}")
+        self.set_property(f"constraints.check.{name}", expr)
 
     def _optimized_write_n_files(self, df: DataFrame) -> int | None:
         """Pick an output file count from Catalyst's size estimate of the

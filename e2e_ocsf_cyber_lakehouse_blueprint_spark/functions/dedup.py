@@ -220,38 +220,53 @@ def ngram_jaccard_pairs(
     *,
     shingle_k: int = 3,
     threshold: float = 0.6,
+    max_df: int = 10_000,
 ) -> DataFrame:
-    """Exact word-k-gram Jaccard for pairs sharing >=1 shingle.
+    """Exact word-k-gram Jaccard for pairs sharing >=1 sub-cap shingle.
 
-    (id_a, id_b, jaccard) with jaccard >= threshold, id_a < id_b. The shared-
-    shingle equi-join replaces the quadratic cross product; per-pair
-    intersection counts come from one groupBy.
+    (id_a, id_b, jaccard) with jaccard >= threshold, id_a < id_b, and the
+    jaccard EXACT (array_intersect over the full shingle sets).
+
+    Scale shape: candidate pairs come from a shared-shingle equi-join over
+    shingles with document frequency <= ``max_df`` — without the cap, ONE
+    boilerplate shingle present in 10^6 docs makes a single reducer expand
+    O(df^2) pairs (the minhash path caps its buckets the same way;
+    ``max_bucket`` in :func:`minhash_lsh_candidates`). The df filter is a
+    window count on the same shingle key the self-join shuffles on, so it
+    adds no exchange. Verification then scores candidates on the FULL
+    sets, so the cap costs recall only for pairs whose every shared shingle
+    is ultra-common — the boilerplate-only matches dedup wants to ignore.
     """
     sh = (
         df.select(F.col(id_col).alias("_id"),
                   F.array_distinct(shingles(text_col, shingle_k)).alias("_sh"))
         .filter(F.size("_sh") > 0)
     )
-    sizes = sh.select("_id", F.size("_sh").alias("_n"))
     exploded = sh.select("_id", F.explode("_sh").alias("s"))
-    inter = (
-        exploded.alias("a")
-        .join(exploded.alias("b"),
-              (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+    wdf = Window.partitionBy("s")
+    capped = (
+        exploded.withColumn("_df", F.count("*").over(wdf))
+        .filter(F.col("_df") <= max_df).drop("_df")
     )
-    out = (
-        inter.join(sizes.withColumnsRenamed({"_id": "id_a", "_n": "na"}), "id_a")
-        .join(sizes.withColumnsRenamed({"_id": "id_b", "_n": "nb"}), "id_b")
+    cand = (
+        capped.alias("a")
+        .join(capped.alias("b"),
+              (F.col("a.s") == F.col("b.s")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    sets_a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    sets_b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    return (
+        cand.join(sets_a, "id_a").join(sets_b, "id_b")
         .withColumn(
             "jaccard",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+            F.round(inter / (F.size("_sha") + F.size("_shb") - inter), 6),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 # --------------------------------------------------------------- simhash

@@ -19,10 +19,17 @@ changes as `table_changes()`. This module is that surface for our format:
   cost instead.
 - **Layout-only commits emit nothing.** Compaction / clustering / expire
   move bytes, not rows; the feed skips ``replace`` and ``expire`` snapshots.
+- **Equality-delete commits are reconstructed, not recorded.** An eqdel /
+  upsert commit's key parquet IS its change record: the feed reads it and
+  emits ``delete`` rows carrying the key columns (non-key columns NULL — no
+  preimage exists because the write never scanned data), plus the upsert's
+  appended rows as ``insert``. O(keys) at read time, zero write overhead.
 
 ``change_feed(table, from, to)`` unions the per-snapshot slices with a
-``_commit_snapshot_id`` column. Commits that changed rows but recorded no
-change files (CDF was off) fail loudly rather than returning a wrong feed.
+``_commit_snapshot_id`` column, resolved along the ``to`` snapshot's
+parent-chain ancestry so staged (WAP) and branch-only commits never leak
+into main's feed. Commits that changed rows but recorded no change files
+(CDF was off) fail loudly rather than returning a wrong feed.
 """
 
 from __future__ import annotations
@@ -56,8 +63,8 @@ def write_change_data(table: Table, changes: DataFrame) -> str:
     return out
 
 
-def _added_data_files(table: Table, snapshot) -> list[str]:
-    """Data files first added by exactly this snapshot (manifest status)."""
+def _added_files(table: Table, snapshot, content: str = "data") -> list[str]:
+    """Files of the given content kind first added by exactly this snapshot."""
     paths = []
     for rec in mf.read_manifest_list(snapshot.manifest_list):
         if rec.get("added_snapshot_id") != snapshot.snapshot_id:
@@ -65,9 +72,31 @@ def _added_data_files(table: Table, snapshot) -> list[str]:
         for e in mf.read_manifest(rec["path"]):
             if (e["status"] == mf.STATUS_ADDED
                     and e["snapshot_id"] == snapshot.snapshot_id
-                    and e.get("content", "data") == "data"):
+                    and e.get("content", "data") == content):
                 paths.append(e["path"])
     return paths
+
+
+def _eqdel_delete_slice(table: Table, snapshot) -> DataFrame | None:
+    """Reconstruct an equality-delete commit's change rows from its eqdel
+    key file — free at read time (the key parquet already exists, O(keys)).
+
+    The emitted rows carry the DELETED KEY with every non-key column NULL:
+    no data scan happened at write time (that is the point of eqdels), so
+    full preimages do not exist. Downstream appliers delete by key, which
+    is exactly the information an eqdel carries."""
+    paths = _added_files(table, snapshot, content="eqdel")
+    if not paths:
+        return None
+    spark = table.spark
+    keys = spark.read.parquet(*paths)
+    key_cols = set(keys.columns)
+    padded = keys.select(
+        *[(F.col(f.name) if f.name in key_cols
+           else F.lit(None).cast(f.dataType)).alias(f.name)
+          for f in table.schema.fields]
+    )
+    return padded.withColumn(CHANGE_TYPE_COL, F.lit("delete"))
 
 
 def change_feed(
@@ -76,33 +105,65 @@ def change_feed(
     to_snapshot_id: int | None = None,
 ) -> DataFrame:
     """Row-level changes committed AFTER ``from_snapshot_id`` (exclusive, None
-    = table start) up to ``to_snapshot_id`` (inclusive, None = current)."""
+    = table start) up to ``to_snapshot_id`` (inclusive, None = current).
+
+    Snapshots are resolved along the parent-chain ANCESTRY of the ``to``
+    snapshot, not the flat snapshot log: branch-only appends and staged (WAP)
+    commits live in the same log without ever having been this line's visible
+    state, and must not surface — not before a fast-forward, and never for an
+    abandoned branch. ``from_snapshot_id`` must be an ancestor of ``to``.
+
+    Equality-delete ("delete"/"upsert") commits are reconstructed from their
+    eqdel key files: "delete" rows carry the key columns with all other
+    columns NULL (no preimage exists — the write never scanned data); an
+    upsert additionally emits its appended rows as "insert". Within one
+    upsert commit, appliers process deletes before inserts."""
     spark = table.spark
     schema = table.schema
-    snaps = sorted(table.meta.snapshots, key=lambda s: s.sequence_number)
-    seq = {s.snapshot_id: s.sequence_number for s in snaps}
-    lo = -1 if from_snapshot_id is None else seq[from_snapshot_id]
-    hi = (snaps[-1].sequence_number if to_snapshot_id is None
-          else seq[to_snapshot_id])
+    chain = table.meta.ancestry(to_snapshot_id)
+    if from_snapshot_id is not None:
+        ids = [s.snapshot_id for s in chain]
+        if from_snapshot_id not in ids:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} is not an ancestor of "
+                f"{'current' if to_snapshot_id is None else to_snapshot_id} — "
+                "the change feed follows one line of history")
+        chain = chain[ids.index(from_snapshot_id) + 1:]
 
     empty = (spark.createDataFrame([], schema)
              .withColumn(CHANGE_TYPE_COL, F.lit("insert"))
              .withColumn(COMMIT_COL, F.lit(0).cast("long")))
     slices: list[DataFrame] = [empty]
-    for s in snaps:
-        if not (lo < s.sequence_number <= hi):
-            continue
+    for s in chain:
         cdir = s.summary.get("change-data-dir")
         if cdir is not None:
             sl = (spark.read.parquet(cdir)
                   .withColumn(COMMIT_COL, F.lit(s.snapshot_id)))
         elif s.operation == "append":
-            added = _added_data_files(table, s)
+            added = _added_files(table, s)
             if not added:
                 continue
             sl = (spark.read.schema(schema).parquet(*added)
                   .withColumn(CHANGE_TYPE_COL, F.lit("insert"))
                   .withColumn(COMMIT_COL, F.lit(s.snapshot_id)))
+        elif s.operation in ("delete", "upsert") and s.summary.get(
+                "eq-columns"):
+            parts = []
+            dels = _eqdel_delete_slice(table, s)
+            if dels is not None:
+                parts.append(dels)
+            if s.operation == "upsert":
+                added = _added_files(table, s)
+                if added:
+                    parts.append(
+                        spark.read.schema(schema).parquet(*added)
+                        .withColumn(CHANGE_TYPE_COL, F.lit("insert")))
+            if not parts:
+                continue
+            sl = parts[0]
+            for p in parts[1:]:
+                sl = sl.unionByName(p)
+            sl = sl.withColumn(COMMIT_COL, F.lit(s.snapshot_id))
         elif s.operation in ("replace", "expire", "staged-append"):
             # layout/metadata only — no VISIBLE row change (a staged append's
             # rows enter the feed at their publish snapshot, when readers can

@@ -196,9 +196,11 @@ def equality_delete(table: Table, keys: "DataFrame") -> DeleteResult:
     posdel conversion) and folded away entirely by any rewrite (compaction /
     clustering / MERGE), after which ``commit_rewrite`` retires dead eqdels.
 
-    Caveats (documented, matching Iceberg): eqdel-masked rows are invisible
-    to the change feed (no data scan happens at write time) and are not
-    reflected in manifest ``record_count`` sums until converted or folded.
+    Caveats (documented, matching Iceberg): the change feed reconstructs
+    this commit from the key parquet as NULL-padded ``delete`` rows (keys
+    only — no preimage exists because no data scan happened), and
+    eqdel-masked rows are not reflected in manifest ``record_count`` sums
+    until converted or folded.
     """
     t0 = time.time()
     outs = write_eqdel_file(table, keys)

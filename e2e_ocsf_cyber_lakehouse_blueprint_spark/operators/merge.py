@@ -235,6 +235,9 @@ class MergeIntoJob:
         merged = parts[0]
         for p in parts[1:]:
             merged = merged.unionByName(p)
+        # Delta CHECK semantics: MERGE output is written data — enforce
+        # declared constraints (no-op probe when none are declared)
+        table.check_constraints(merged)
 
         target_size = table.property_int("write.target-file-size-bytes", 128 * 1024 * 1024)
         bytes_affected = sum(f.file_size_bytes for f in affected) or 1

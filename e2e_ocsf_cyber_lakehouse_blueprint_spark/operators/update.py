@@ -117,6 +117,9 @@ class UpdateJob:
         # narrow metadata-pushdown count of matched rows (predicate only,
         # affected files only) — no second pass over the rewrite output
         n_updated = df.filter(pred).count()
+        # Delta CHECK semantics: rewritten output must satisfy declared
+        # constraints (free when none are declared — the probe early-returns)
+        table.check_constraints(updated)
         cdir = self._write_cdf(df, pred, schema)
         target_size = table.property_int(
             "write.target-file-size-bytes", 128 * 1024 * 1024)

@@ -21,6 +21,13 @@ table-maintenance statements the engine owns:
         atomic row-delta: the subquery's rows are appended AND their keys
         equality-deleted from pre-existing data in ONE snapshot —
         last-writer-wins at O(batch) cost, no target rows read
+    MERGE INTO <tbl> [AS t] USING (<select-query>)|<view> [AS s]
+        ON t.k1 = s.k1 [AND ...]
+        WHEN MATCHED THEN UPDATE SET * | WHEN MATCHED THEN DELETE
+        [WHEN NOT MATCHED THEN INSERT *]
+        the Databricks/Delta upsert statement, dispatched to MergeIntoJob
+        (manifest-scoped copy-on-write rewrite; UPDATE SET * replaces the
+        matched row with the source row)
     UPDATE <tbl> SET col = <sql-expr>[, ...] [WHERE <conjunction>]
         right-hand sides are Spark SQL expressions over the OLD row values
     VACUUM <tbl> [RETAIN <n> HOURS]
@@ -218,6 +225,11 @@ def parse_set(body: str) -> dict[str, str]:
 
 _STATEMENTS: list[tuple[re.Pattern, str]] = [
     (re.compile(
+        rf"MERGE\s+INTO\s+(?P<tbl>{_ID})"
+        rf"(?:\s+(?:AS\s+)?(?!USING\b)[A-Za-z_][\w$]*)?"
+        rf"\s+USING\s+(?P<rest>.+)$",
+        re.IGNORECASE | re.DOTALL), "merge"),
+    (re.compile(
         rf"DELETE\s+FROM\s+(?P<tbl>{_ID})\s+BY\s+KEYS\s*\((?P<query>.+)\)\s*;?\s*$",
         re.IGNORECASE | re.DOTALL), "delete_eq"),
     (re.compile(
@@ -391,7 +403,69 @@ def run_sql(catalog: Catalog, statement: str) -> Any:
     raise ValueError(f"unsupported maintenance statement: {statement!r}")
 
 
+_MERGE_TAIL_RE = re.compile(
+    r"\s*(?:(?:AS\s+)?(?!ON\b)[A-Za-z_][\w$]*\s+)?ON\s+(?P<on>.+?)\s+"
+    r"WHEN\s+MATCHED\s+THEN\s+(?P<matched>UPDATE\s+SET\s+\*|DELETE)"
+    r"(?P<ins>\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\*?)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_MERGE_ON_TERM_RE = re.compile(
+    r"(?:[A-Za-z_][\w$]*\.)?(?P<a>[A-Za-z_][\w$]*)\s*=\s*"
+    r"(?:[A-Za-z_][\w$]*\.)?(?P<b>[A-Za-z_][\w$]*)\s*$")
+
+
+def _parse_merge_on(body: str) -> list[str]:
+    """MERGE ON equi-conjunction -> key column list. Each term must equate
+    the SAME column name on both sides (aliases are accepted and ignored) —
+    the job's key-join contract."""
+    cols = []
+    for term in _split_on_and(body):
+        mm = _MERGE_ON_TERM_RE.match(term.strip())
+        if not mm or mm.group("a") != mm.group("b"):
+            raise ValueError(
+                "MERGE ON must be an AND of same-named column equalities "
+                f"(t.col = s.col), got: {term!r}")
+        cols.append(mm.group("a"))
+    return cols
+
+
+def _run_merge(table: Table, m: re.Match) -> Any:
+    """``MERGE INTO t USING (<query>)|<view> ON t.k = s.k [AND ...] WHEN
+    MATCHED THEN UPDATE SET * | DELETE [WHEN NOT MATCHED THEN INSERT *]`` —
+    the Databricks/Delta statement reference users upsert with, dispatched
+    to MergeIntoJob (scoped rewrite; salted/AQE join). UPDATE SET * replaces
+    the matched row with the source row; the utility grammar does not take
+    per-column SET lists (use UPDATE ... SET for that)."""
+    from .operators.merge import MergeIntoJob
+
+    rest = m.group("rest").strip()
+    if rest.startswith("("):
+        query, tail = _balanced_prefix(rest[1:], "MERGE USING subquery")
+        source = table.spark.sql(query)
+    else:
+        vm = re.match(rf"(?P<view>{_ID})(?P<tail>.*)$", rest, re.DOTALL)
+        if vm is None:
+            raise ValueError(f"unparseable MERGE USING source: {rest!r}")
+        source = table.spark.table(vm.group("view"))
+        tail = vm.group("tail")
+    tm = _MERGE_TAIL_RE.match(tail)
+    if tm is None:
+        raise ValueError(
+            "MERGE needs ON <equi-keys> WHEN MATCHED THEN UPDATE SET * | "
+            f"DELETE [WHEN NOT MATCHED THEN INSERT *], got: {tail!r}")
+    key_cols = _parse_merge_on(tm.group("on"))
+    when_matched = ("delete" if tm.group("matched").upper() == "DELETE"
+                    else "update")
+    when_not_matched = "insert" if tm.group("ins") else "ignore"
+    return MergeIntoJob(
+        table, key_cols=key_cols,
+        when_matched=when_matched, when_not_matched=when_not_matched,
+    ).run(source)
+
+
 def _dispatch(action: str, table: Table, m: re.Match) -> Any:
+    if action == "merge":
+        return _run_merge(table, m)
     if action == "delete":
         return DeleteJob(table, parse_where(m.group("where"))).run()
     if action == "delete_eq":
@@ -461,8 +535,7 @@ def _dispatch(action: str, table: Table, m: re.Match) -> Any:
         return change_feed(table, int(m.group("from")),
                            int(to) if to else None)
     if action == "add_constraint":
-        table.set_property(f"constraints.check.{m.group('name')}",
-                           m.group("expr").strip())
+        table.add_check_constraint(m.group("name"), m.group("expr").strip())
         return None
     if action == "drop_constraint":
         name = m.group("name")

@@ -176,3 +176,74 @@ def test_table_changes_sql(spark, tmp_path):
     assert dict(feed.groupBy("_change_type").count().collect()) == {
         "delete": df.filter(F.col("turn_idx") >= 5).count()
     }
+
+
+def test_eqdel_commit_reconstructed_as_keyed_deletes(cdf_table):
+    """Equality deletes need no write-time change files: the feed reads the
+    eqdel key parquet and emits NULL-padded delete rows (keys only)."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.delete import (
+        equality_delete,
+    )
+    t, df = cdf_table
+    s0 = t.current_snapshot().snapshot_id
+    victims = sorted({r["conv_id"] for r in
+                      df.select("conv_id").limit(2).collect()})
+    keys = t.spark.createDataFrame([(v,) for v in victims], "conv_id string")
+    equality_delete(t, keys)
+    feed = change_feed(t, s0)
+    rows = feed.collect()
+    assert {r["_change_type"] for r in rows} == {"delete"}
+    assert sorted(r["conv_id"] for r in rows) == victims
+    assert all(r["text"] is None and r["turn_idx"] is None for r in rows)
+
+
+def test_upsert_commit_reconstructed_as_delete_plus_insert(cdf_table):
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.upsert import upsert
+
+    t, df = cdf_table
+    s0 = t.current_snapshot().snapshot_id
+    batch = (df.filter(F.col("turn_idx") == 0).limit(3)
+             .withColumn("text", F.lit("rewritten")))
+    upsert(t, batch, key_columns=["conv_id", "turn_idx"])
+    feed = change_feed(t, s0)
+    by_type = dict(feed.groupBy("_change_type").count().collect())
+    n = batch.count()
+    assert by_type == {"delete": n, "insert": n}
+    ins = feed.filter(F.col("_change_type") == "insert")
+    assert sorted(r["text"] for r in ins.collect()) == ["rewritten"] * n
+    # works with CDF property off too: reconstruction needs no change files
+    t.meta.properties.pop("write.change-data-feed.enabled")
+    assert change_feed(t, s0).count() == 2 * n
+
+
+def test_branch_commits_never_leak_into_main_feed_or_time_travel(cdf_table):
+    """An abandoned branch's rows must not surface on main — neither via
+    TABLE CHANGES nor FOR TIMESTAMP AS OF — even though its snapshots live
+    in the same log (resolution walks main's ancestry)."""
+    t, df = cdf_table
+    s0 = t.current_snapshot().snapshot_id
+    t.create_branch("audit")
+    extra = df.limit(5).withColumn("conv_id", F.concat(F.lit("br-"),
+                                                       F.col("conv_id")))
+    t.append_to_branch("audit", extra, n_files=1)
+    # feed over main sees nothing from the branch
+    assert change_feed(t, s0).count() == 0
+    # timestamp travel to "now" resolves to main's head, not the branch tip
+    import time
+    s = t.snapshot_as_of(int(time.time() * 1000) + 10_000)
+    assert s.snapshot_id == s0
+    assert t.scan(snapshot_id=s.snapshot_id).filter(
+        F.col("conv_id").startswith("br-")).count() == 0
+    # after fast-forward the branch commit joins main's ancestry
+    t.fast_forward_main("audit")
+    feed = change_feed(t, s0)
+    assert feed.count() == 5
+    assert {r["_change_type"] for r in feed.collect()} == {"insert"}
+
+
+def test_feed_rejects_non_ancestor_from(cdf_table):
+    t, df = cdf_table
+    t.create_branch("side")
+    br = t.append_to_branch("side", df.limit(2), n_files=1)
+    with pytest.raises(ValueError, match="not an ancestor"):
+        change_feed(t, br.snapshot_id)

@@ -236,3 +236,58 @@ def test_eqdel_gc_lifecycle(spark, tmp_path, base):
     ExpireSnapshotsJob(t, keep_last=1).run()
     assert not os.path.exists(e.path)  # unreferenced now: collected
     assert rows(t.scan()) == expected
+
+
+def test_eqdel_retry_after_lost_race_gets_fresh_sequence(
+        spark, tmp_path, base, monkeypatch):
+    """A retried equality delete must be stamped with the WINNING attempt's
+    sequence, strictly above the concurrent append it lost the race to.
+    write_manifest used to stamp DataFile objects in place (keyed on
+    data_sequence==0), so the retry kept the first attempt's sequence and the
+    strict `data_sequence <` rule silently spared rows committed before the
+    delete — exactly the multi-writer case the retry loop exists for."""
+    import e2e_ocsf_cyber_lakehouse_blueprint_spark.format.manifest as mf
+    import e2e_ocsf_cyber_lakehouse_blueprint_spark.format.snapshot as snap_mod
+
+    loc = str(tmp_path / "t")
+    t = make_table(spark, loc, base)  # data committed at sequence 1
+    victims = sorted({r["conv_id"] for r in
+                      base.select("conv_id").limit(3).collect()})
+    late = (
+        base.filter(F.col("conv_id").isin(victims))
+        .withColumn("conv_id", F.concat(F.lit("late-"), F.col("conv_id")))
+    )
+    victims_late = ["late-" + v for v in victims]
+
+    orig = snap_mod.commit_metadata
+    state = {"raced": False}
+
+    def racing(meta):
+        # First commit attempt (the eqdel): sneak a concurrent append into
+        # the same metadata version so the eqdel loses and must rebase.
+        if not state["raced"]:
+            state["raced"] = True
+            Table.load(spark, loc).append(late, n_files=1)
+        return orig(meta)
+
+    monkeypatch.setattr(snap_mod, "commit_metadata", racing)
+    keys = spark.createDataFrame(
+        [(v,) for v in victims + victims_late], "conv_id string")
+    equality_delete(t, keys)
+    monkeypatch.setattr(snap_mod, "commit_metadata", orig)
+
+    t.refresh()
+    paths = [r["path"] for r in
+             mf.read_manifest_list(t.current_snapshot().manifest_list)]
+    data_files = mf.live_files(paths, content="data")
+    eqdels = mf.live_files(paths, content="eqdel")
+    assert eqdels and data_files
+    max_data_seq = max(f.data_sequence for f in data_files)
+    assert max_data_seq >= 2  # the racing append really landed after base
+    assert all(d.data_sequence > max_data_seq for d in eqdels)
+    # last-writer-wins: the delete (committed after the racing append)
+    # removes matching rows from BOTH appends
+    assert t.scan().filter(
+        F.col("conv_id").isin(victims + victims_late)).count() == 0
+    remaining = t.scan().count()
+    assert remaining == base.filter(~F.col("conv_id").isin(victims)).count()

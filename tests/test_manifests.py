@@ -222,3 +222,46 @@ def test_metadata_gc_grace_protects_fresh_files(spark, tmp_table_dir):
     assert gc_metadata_files(t, grace_period_sec=3600.0) == 0
     # ... but with no grace the stranded metadata goes
     assert gc_metadata_files(t, grace_period_sec=0.0) > 0
+
+
+def test_write_manifest_stamps_entries_not_inputs(tmp_path):
+    """Sequence stamping is pure: re-invoking write_manifest with the SAME
+    DataFile objects and a higher sequence (the optimistic-retry shape) must
+    produce entries at the new sequence, and never mutate the inputs."""
+    f = mf.DataFile(path="x.parquet", partition={"ts_day": "2025-03-01"},
+                    record_count=1, file_size_bytes=10)
+    p1, p2 = str(tmp_path / "m1.avro"), str(tmp_path / "m2.avro")
+    mf.write_manifest(p1, [f], snapshot_id=1, sequence_number=7)
+    assert f.data_sequence == 0
+    mf.write_manifest(p2, [f], snapshot_id=2, sequence_number=9)
+    assert [e["data_sequence"] for e in mf.read_manifest(p1)] == [7]
+    assert [e["data_sequence"] for e in mf.read_manifest(p2)] == [9]
+    # survivors loaded with a real sequence keep it
+    g = mf.DataFile(path="y.parquet", partition={"ts_day": "2025-03-01"},
+                    record_count=1, file_size_bytes=10, data_sequence=3)
+    mf.write_manifest(p1, [g], snapshot_id=3, status=mf.STATUS_EXISTING,
+                      sequence_number=9)
+    assert [e["data_sequence"] for e in mf.read_manifest(p1)] == [3]
+
+
+def test_mixed_spec_era_manifest_summary_is_conservative(tmp_path):
+    """A manifest packing pre-partition-evolution files (no value for a
+    later-added field) with post-evolution files must NOT publish a summary
+    for that field: min/max over only the new files would let
+    prune_manifest_records drop the whole manifest and silently lose the old
+    files' rows."""
+    old = mf.DataFile(path="old.parquet", partition={},
+                      record_count=1, file_size_bytes=1)
+    new = mf.DataFile(path="new.parquet",
+                      partition={"ts_day": "2025-03-05"},
+                      record_count=1, file_size_bytes=1)
+    rec = mf.write_manifest(str(tmp_path / "m.avro"), [old, new],
+                            snapshot_id=3)
+    assert "ts_day" not in rec["partition_summaries"]
+    spec = PartitionSpec.of(days("ts_day", "ts"))
+    preds = [("ts", ">=", datetime.datetime(2025, 3, 20))]
+    assert prune_manifest_records([rec], preds, spec) == [rec]
+    # a manifest where EVERY file carries the value still summarizes + prunes
+    rec2 = mf.write_manifest(str(tmp_path / "m2.avro"), [new], snapshot_id=3)
+    assert "ts_day" in rec2["partition_summaries"]
+    assert prune_manifest_records([rec2], preds, spec) == []

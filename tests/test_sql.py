@@ -320,3 +320,49 @@ def test_upsert_into_by_keys(cat):
     got = t.scan().filter(F.col("turn_idx") == 1).select("text").collect()
     assert all(r["text"].startswith("sqlup:") for r in got)
     assert t.current_snapshot().operation == "upsert"
+
+
+def test_merge_into_statement(cat):
+    """MERGE INTO ... WHEN MATCHED THEN UPDATE SET * / DELETE
+    [WHEN NOT MATCHED THEN INSERT *] — the Databricks upsert statement,
+    dispatched to MergeIntoJob."""
+    c, df = cat
+    t = c.load_table("ops.transcripts")
+    n0 = t.scan().count()
+
+    upd = (t.scan().filter(F.col("turn_idx") == 0)
+           .withColumn("text", F.lit("merged")))
+    ins = df.filter(F.col("turn_idx") == 1).withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("-x")))
+    upd.unionByName(ins).cache().createOrReplaceTempView("src")
+    res = run_sql(c, """
+        MERGE INTO ops.transcripts AS t USING src AS s
+        ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert res.rows_updated == upd.count()
+    assert res.rows_inserted == ins.count()
+    t.refresh()
+    assert t.scan().count() == n0 + ins.count()
+    assert t.scan().filter(
+        (F.col("turn_idx") == 0) & (F.col("text") != "merged")).count() == 0
+
+    # USING (subquery) + WHEN MATCHED THEN DELETE, no insert clause
+    run_sql(c, """
+        MERGE INTO ops.transcripts USING (
+            SELECT * FROM src WHERE turn_idx = 0
+        ) ON conv_id = conv_id AND turn_idx = turn_idx
+        WHEN MATCHED THEN DELETE
+    """)
+    t.refresh()
+    assert t.scan().filter(F.col("turn_idx") == 0).count() == 0
+
+    # malformed ON (non-equi) fails loudly
+    import pytest
+    with pytest.raises(ValueError, match="MERGE ON"):
+        run_sql(c, """
+            MERGE INTO ops.transcripts USING src
+            ON t.conv_id = s.other_col
+            WHEN MATCHED THEN UPDATE SET *
+        """)

@@ -372,3 +372,31 @@ def test_ivf_train_improves_objective_and_recall(embs):
              for r in S.brute_force_topk(embs, q, k=10).collect()}
     assert len({r["vec_id"] for r in got} & exact) >= 3
     assert all(0 <= c < 8 for c in probe)
+
+
+def test_ngram_jaccard_hot_shingle_df_cap(spark):
+    """One boilerplate shingle present in EVERY doc must not quadratically
+    blow up the shared-shingle join: with max_df below the corpus size the
+    hot shingle is dropped from candidate generation, pair counts stay
+    bounded by the genuinely-similar groups, and surviving pairs still score
+    EXACT jaccard over the full (uncapped) shingle sets."""
+    boiler = "copyright acme corp all rights reserved"
+    rows = []
+    for i in range(300):
+        body = f"unique text body number {i} " + " ".join(
+            f"w{i}x{j}" for j in range(10))
+        rows.append((i, body + " " + boiler))
+    # two true near-dup pairs that share ONLY sub-cap shingles
+    rows.append((1000, rows[0][1]))
+    rows.append((1001, rows[1][1]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = D.ngram_jaccard_pairs(df, threshold=0.9, max_df=50).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(0, 1000), (1, 1001)}
+    assert all(r["jaccard"] == 1.0 for r in pairs)
+
+    # candidate volume is bounded: even at threshold 0 the capped join never
+    # expands the boilerplate bucket's O(n^2) pairs
+    n_cand = D.ngram_jaccard_pairs(df, threshold=0.0, max_df=50).count()
+    assert n_cand <= 10  # vs ~45k all-pairs if the hot shingle joined
