@@ -1200,7 +1200,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_rolling_fp": q_text_rolling_fp,
         "sim_topk": q_sim_topk,
-        "sim_pairs": q_sim_pairs,
+        # q_sim_pairs (exact O(N^2) all-pairs) is deliberately NOT a headline
+        # query: it is the recall oracle for the bucketed path, exercised in
+        # tests/test_text_dedup_similarity.py::test_lsh_pairs_subset_of_exact.
+        # The canonical pairs query is the LSH-bucketed one below.
         "sim_pairs_lsh": q_sim_pairs_lsh,
         "dedup_embedding": q_dedup_embedding,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1476,16 +1479,6 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             ORDER BY cos_sim DESC, vec_id ASC
             LIMIT 20
-        """,
-        "sim_pairs": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-                         (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-                          sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos_sim
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-                        (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-                         sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.3
         """,
         "text_rolling_fp": """
             WITH base AS (

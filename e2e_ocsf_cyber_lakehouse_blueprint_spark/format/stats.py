@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import datetime
 import functools
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,14 +70,35 @@ def harvest_file_stats(
 ) -> list[DataFile]:
     """Compute DataFile entries (stats + partition tuple) for every parquet file
     under ``staging_dir`` (one directory Spark just wrote, possibly
-    partitionBy'd — or a list of such directories, harvested in ONE Spark job;
-    maintenance jobs batch all their partitions' staging dirs this way).
-    """
+    partitionBy'd — or a list of such directories; maintenance jobs batch all
+    their partitions' staging dirs into one harvest).
+
+    Fast path: min/max/null/row stats come from the parquet FOOTERS the write
+    job already produced (what Iceberg/Delta harvest at commit time) — a
+    metadata-priced read instead of a second scan of the new files, which was
+    the measured per-job serial floor in the two-cluster-size protocol.
+    Derived xxh64 hash bounds (not in any footer) are computed by ONE narrow
+    single-column scan. Tables with bloom columns need the full column pass
+    anyway and keep the one-scan path, as does any file whose footer lacks
+    usable stats (pre-engine writers)."""
     dirs = [staging_dir] if isinstance(staging_dir, str) else list(staging_dir)
-    # one read per staging root (each discovers its own _p_* partition dirs;
-    # a single multi-root read trips CONFLICTING_DIRECTORY_STRUCTURES), then
-    # union into ONE aggregation job. `_metadata` is per-relation and cannot
-    # cross a Union — materialize the two fields per branch first.
+    if not bloom_columns:
+        files = _harvest_from_footers(
+            dirs, schema, partition_col_names, stat_columns)
+        if files is not None:
+            hash_cols = [
+                c for c in (hash_stat_columns or [])
+                if c in {f.name for f in schema.fields
+                         if isinstance(f.dataType, T.StringType)}
+            ]
+            if hash_cols:
+                _merge_hash_bounds(spark, dirs, files, hash_cols)
+            return files
+    # fallback: one distributed scan computes everything
+    # (one read per staging root — each discovers its own _p_* partition
+    # dirs; a single multi-root read trips CONFLICTING_DIRECTORY_STRUCTURES —
+    # then union into ONE aggregation job. `_metadata` is per-relation and
+    # cannot cross a Union: materialize the two fields per branch first.)
     parts = [
         spark.read.parquet(d).select(
             "*",
@@ -88,6 +110,180 @@ def harvest_file_stats(
     df = functools.reduce(lambda a, b: a.unionByName(b), parts)
     return harvest_df_stats(df, schema, partition_col_names, hash_stat_columns,
                             stat_columns, bloom_columns, bloom_bits)
+
+
+# footer-stat types whose Python values encode IDENTICALLY to the scan
+# harvest's (so pruning comparisons behave the same whichever path ran);
+# Decimal/binary are deliberately excluded — their footer encodings drift
+_FOOTER_SAFE = (
+    T.StringType, T.IntegerType, T.LongType, T.ShortType, T.ByteType,
+    T.FloatType, T.DoubleType, T.DateType, T.TimestampType,
+    T.TimestampNTZType, T.BooleanType,
+)
+
+
+def _footer_value(v):
+    """Normalize a pyarrow footer statistic to the scan harvest's encoding."""
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:  # ltz micros come back tz-aware UTC
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return str(v)
+    return _normalize(v)
+
+
+def footer_file_stats(path: str, stat_fields, partition: dict) -> DataFile:
+    """One DataFile from one parquet footer: row count, size, per-column
+    min/max/null over all row groups. A column missing usable stats in ANY
+    row group gets no bounds (conservative; pruning treats absent bounds as
+    always-match). Raises on unreadable footers — the caller falls back."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    wanted = {f.name for f in stat_fields}
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    nulls: dict[str, int] = {}
+    dead: set[str] = set()
+    rows = 0
+    for g in range(md.num_row_groups):
+        rg = md.row_group(g)
+        rows += rg.num_rows
+        for i in range(rg.num_columns):
+            c = rg.column(i)
+            name = c.path_in_schema
+            if name not in wanted or name in dead:
+                continue
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                dead.add(name)
+                continue
+            mn, mx = _footer_value(st.min), _footer_value(st.max)
+            if name in mins:
+                mins[name] = min(mins[name], mn)
+                maxs[name] = max(maxs[name], mx)
+            else:
+                mins[name], maxs[name] = mn, mx
+            if st.has_null_count:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            else:
+                nulls.pop(name, None)
+                dead.add(name)  # keep bounds-less rather than wrong nulls
+                mins.pop(name, None)
+                maxs.pop(name, None)
+    lower, upper = {}, {}
+    for name in mins:
+        if name in dead:
+            continue
+        lo, hi = mins[name], maxs[name]
+        if isinstance(lo, str):
+            lo = truncate_lower(lo)
+            hi = truncate_upper(hi)
+            if hi is None:
+                continue
+        lower[name] = encode_bound(lo)
+        upper[name] = encode_bound(hi)
+    return DataFile(
+        path=normalize_path(path),
+        partition=partition,
+        record_count=rows,
+        file_size_bytes=os.path.getsize(path),
+        lower_bounds=lower,
+        upper_bounds=upper,
+        null_counts={k: v for k, v in nulls.items() if k not in dead},
+    )
+
+
+def _partition_from_path(path: str, root: str,
+                         partition_col_names: list[str]) -> dict:
+    """Recover partition values from `_p_<name>=<value>` path components
+    (the same Hive-style layout ``partitionBy`` writes; values unescaped the
+    way Spark escapes them)."""
+    from urllib.parse import unquote
+
+    vals: dict[str, str | None] = {c: None for c in partition_col_names}
+    rel = os.path.relpath(os.path.dirname(path), root)
+    for comp in rel.split(os.sep):
+        if "=" not in comp:
+            continue
+        k, _, v = comp.partition("=")
+        if k.startswith(PARTITION_COL_PREFIX):
+            k = k[len(PARTITION_COL_PREFIX):]
+        if k in vals:
+            vals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+    return vals
+
+
+def _harvest_from_footers(
+    dirs: list[str],
+    schema: T.StructType,
+    partition_col_names: list[str],
+    stat_columns: list[str] | None,
+) -> list[DataFile] | None:
+    """Driver-side footer harvest over freshly staged dirs (file count is
+    bounded by the job's output bins, and a footer read is ~1ms). Returns
+    None when any footer is unreadable or a partition value cannot be
+    recovered — the caller then runs the one-scan fallback."""
+    import os
+
+    stat_fields = [f for f in schema.fields
+                   if isinstance(f.dataType, _FOOTER_SAFE)
+                   and isinstance(f.dataType, _BOUNDABLE)]
+    if stat_columns is not None:
+        allowed = set(stat_columns)
+        stat_fields = [f for f in stat_fields if f.name in allowed]
+    jobs: list[tuple[str, str]] = []  # (root, path)
+    for d in dirs:
+        for r, _sub, names in os.walk(d):
+            jobs.extend((d, os.path.join(r, n))
+                        for n in names if n.endswith(".parquet"))
+    if not jobs:
+        return []
+
+    def one(job):
+        root, p = job
+        part = _partition_from_path(p, root, partition_col_names)
+        return footer_file_stats(p, stat_fields, part)
+
+    try:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(16, len(jobs))) as pool:
+            out = list(pool.map(one, jobs))
+    except Exception:
+        return None
+    out.sort(key=lambda d: d.path)
+    return out
+
+
+def _merge_hash_bounds(spark: SparkSession, dirs: list[str],
+                       files: list[DataFile], hash_cols: list[str]) -> None:
+    """Derived xxh64 bounds via ONE narrow scan of just the hash columns
+    (footers cannot provide them; the scan reads a single short string
+    column instead of every stat column)."""
+    parts = [
+        spark.read.parquet(d).select(
+            F.col("_metadata.file_path").alias("_fp"), *hash_cols)
+        for d in dirs
+    ]
+    df = functools.reduce(lambda a, b: a.unionByName(b), parts)
+    aggs = []
+    for c in hash_cols:
+        aggs.append(F.min(F.xxhash64(c)).alias(f"_hlo_{c}"))
+        aggs.append(F.max(F.xxhash64(c)).alias(f"_hhi_{c}"))
+    rows = df.groupBy("_fp").agg(*aggs).collect()
+    by_path = {normalize_path(r["_fp"]): r for r in rows}
+    for f in files:
+        r = by_path.get(f.path)
+        if r is None:
+            continue
+        for c in hash_cols:
+            if r[f"_hlo_{c}"] is not None:
+                f.lower_bounds[hash_bound_key(c)] = encode_bound(
+                    int(r[f"_hlo_{c}"]))
+                f.upper_bounds[hash_bound_key(c)] = encode_bound(
+                    int(r[f"_hhi_{c}"]))
 
 
 def harvest_df_stats(

@@ -55,71 +55,128 @@ class MergeResult:
     spill_bytes: int = 0
 
 
-def scope_paths_distributed(table: Table, source: DataFrame, key_col: str) -> set[str]:
+_SCOPABLE_EXTRA_TYPES = {"tinyint", "smallint", "int", "bigint", "string"}
+
+
+def _scope_dims(table: Table, key_cols) -> list[tuple[str, str]]:
+    """(column, ddl-type) scoping dimensions: the primary key column always;
+    further key columns when their type compares faithfully through the
+    JSON-encoded bounds (integrals and strings). Timestamps/doubles are
+    skipped — dim 0 alone remains correct, extra dims only tighten."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    types = {f.name: f.dataType.simpleString() for f in table.schema.fields}
+    dims = [(key_cols[0], types.get(key_cols[0], "string"))]
+    for c in key_cols[1:]:
+        if types.get(c) in _SCOPABLE_EXTRA_TYPES:
+            dims.append((c, types[c]))
+    return dims
+
+
+def scope_paths_distributed(table: Table, source: DataFrame, key_cols) -> set[str]:
     """Scale-path file scoping: manifest entries decoded EXECUTOR-side
-    (``manifest_entries_df``), bounds-joined against the distinct source keys,
-    and only the HIT paths — bounded by the merge's blast radius, never by
-    table size — come back to the driver. At 10^9 files the driver holds
-    manifest paths + the scoped hit set only."""
+    (``manifest_entries_df``), bounds-joined against the distinct source key
+    TUPLES, and only the HIT paths — bounded by the merge's blast radius,
+    never by table size — come back to the driver. At 10^9 files the driver
+    holds manifest paths + the scoped hit set only.
+
+    Scoping is multi-dimensional: a file survives only if some source key
+    tuple lands inside its bounds on EVERY dimension (conv_id min/max +
+    derived xxh64 bounds, and e.g. turn_idx min/max). After Z-order/Hilbert
+    clustering each file covers a narrow (conv_id, turn_idx) rectangle, so
+    the second dimension cuts the scoped fraction well below what conv_id
+    alone can."""
     from ..format.manifest import manifest_entries_df
     import e2e_ocsf_cyber_lakehouse_blueprint_spark.format.manifest as mf
 
+    dims = _scope_dims(table, key_cols)
+    key0 = dims[0][0]
     s = table.current_snapshot()
     mpaths = [m["path"] for m in mf.read_manifest_list(s.manifest_list)]
-    hcol = f"xxh64({key_col})"
-    entries = manifest_entries_df(table.spark, mpaths, bound_cols=(key_col, hcol))
-    keys = source.select(F.col(key_col).alias("_k")).distinct()
-    lo, hi = F.col("lo_0"), F.col("hi_0")
-    hlo = F.expr("CAST(lo_1 AS LONG)")
-    hhi = F.expr("CAST(hi_1 AS LONG)")
+    bound_cols = [key0, f"xxh64({key0})"] + [c for c, _ in dims[1:]]
+    entries = manifest_entries_df(table.spark, mpaths,
+                                  bound_cols=tuple(bound_cols))
+    keys = source.select(
+        *[F.col(c).alias(f"_k{i}") for i, (c, _) in enumerate(dims)]
+    ).distinct()
     # missing bounds (no stats, or upper truncated away) => conservatively hit
     unbounded = F.col("lo_0").isNull() | F.col("hi_0").isNull()
     hash_ok = (
         F.col("lo_1").isNull() | F.col("hi_1").isNull()
-        | ((F.xxhash64("_k") >= hlo) & (F.xxhash64("_k") <= hhi))
+        | ((F.xxhash64("_k0") >= F.expr("CAST(lo_1 AS LONG)"))
+           & (F.xxhash64("_k0") <= F.expr("CAST(hi_1 AS LONG)")))
     )
-    cond = unbounded | ((F.col("_k") >= lo) & (F.col("_k") <= hi) & hash_ok)
+    in_range = (F.col("_k0") >= F.col("lo_0")) & (F.col("_k0") <= F.col("hi_0"))
+    for i, (c, t) in enumerate(dims[1:], start=1):
+        j = i + 1  # bound_cols index (0=key, 1=xxh64, 2+=extras)
+        lo = F.col(f"lo_{j}") if t == "string" else F.expr(
+            f"CAST(lo_{j} AS LONG)")
+        hi = F.col(f"hi_{j}") if t == "string" else F.expr(
+            f"CAST(hi_{j} AS LONG)")
+        in_range = in_range & (
+            F.col(f"lo_{j}").isNull() | F.col(f"hi_{j}").isNull()
+            | ((F.col(f"_k{i}") >= lo) & (F.col(f"_k{i}") <= hi))
+        )
+    cond = unbounded | (in_range & hash_ok)
     hits = entries.join(F.broadcast(keys), cond, "left_semi").select("path")
     return {r["path"] for r in hits.collect()}
 
 
 def _scope_files(
-    table: Table, source: DataFrame, key_col: str
+    table: Table, source: DataFrame, key_cols
 ) -> tuple[list[DataFile], list[DataFile]]:
     """Split live files into (possibly-affected, untouched) using manifest
-    bounds vs source keys — a broadcast join over metadata, never a data scan.
-    Driver-side variant (fine to ~10^5 files); ``scope_paths_distributed`` is
-    the 10^9-file path with identical semantics (tested equal).
+    bounds vs source key tuples — a broadcast join over metadata, never a
+    data scan, multi-dimensional like :func:`scope_paths_distributed`.
+    Driver-side variant (fine to ~10^5 files); the distributed one is the
+    10^9-file path with identical semantics (tested equal).
     """
+    dims = _scope_dims(table, key_cols)
+    key0 = dims[0][0]
     files = table.live_data_files()
     bounded, unbounded = [], []
     rows = []
-    for i, f in enumerate(files):
-        lo_s = f.lower_bounds.get(key_col)
-        hi_s = f.upper_bounds.get(key_col)
+    for f in files:
+        lo_s = f.lower_bounds.get(key0)
+        hi_s = f.upper_bounds.get(key0)
         if lo_s is None or hi_s is None:
             unbounded.append(f)  # no stats -> conservatively affected
             continue
         bounded.append(f)
-        hlo = f.lower_bounds.get(f"xxh64({key_col})")
-        hhi = f.upper_bounds.get(f"xxh64({key_col})")
-        rows.append((
+        hlo = f.lower_bounds.get(f"xxh64({key0})")
+        hhi = f.upper_bounds.get(f"xxh64({key0})")
+        row = [
             len(bounded) - 1,
             decode_bound(lo_s), decode_bound(hi_s),
             decode_bound(hlo) if hlo else None,
             decode_bound(hhi) if hhi else None,
-        ))
+        ]
+        for c, _t in dims[1:]:
+            clo = f.lower_bounds.get(c)
+            chi = f.upper_bounds.get(c)
+            row.append(decode_bound(clo) if clo else None)
+            row.append(decode_bound(chi) if chi else None)
+        rows.append(tuple(row))
     if not bounded:
         return unbounded, []
     spark = table.spark
-    bounds_df = spark.createDataFrame(
-        rows, "fid int, lo string, hi string, hlo long, hhi long"
-    )
-    keys = source.select(F.col(key_col).alias("_k")).distinct()
-    cond = (F.col("_k") >= F.col("lo")) & (F.col("_k") <= F.col("hi")) & (
+    ddl = "fid int, lo string, hi string, hlo long, hhi long" + "".join(
+        f", lo{i} {t}, hi{i} {t}" for i, (_c, t) in enumerate(dims[1:], 1))
+    bounds_df = spark.createDataFrame(rows, ddl)
+    keys = source.select(
+        *[F.col(c).alias(f"_k{i}") for i, (c, _) in enumerate(dims)]
+    ).distinct()
+    cond = (F.col("_k0") >= F.col("lo")) & (F.col("_k0") <= F.col("hi")) & (
         F.col("hlo").isNull()
-        | ((F.xxhash64("_k") >= F.col("hlo")) & (F.xxhash64("_k") <= F.col("hhi")))
+        | ((F.xxhash64("_k0") >= F.col("hlo"))
+           & (F.xxhash64("_k0") <= F.col("hhi")))
     )
+    for i in range(1, len(dims)):
+        cond = cond & (
+            F.col(f"lo{i}").isNull() | F.col(f"hi{i}").isNull()
+            | ((F.col(f"_k{i}") >= F.col(f"lo{i}"))
+               & (F.col(f"_k{i}") <= F.col(f"hi{i}")))
+        )
     hit_ids = {
         r["fid"]
         for r in keys.join(F.broadcast(bounds_df), cond, "inner")
@@ -205,10 +262,10 @@ class MergeIntoJob:
         scope_threshold = table.property_int(
             "merge.scope.distributed-min-files", 100_000)
         if len(files_all) > scope_threshold:
-            hit_paths = scope_paths_distributed(table, source, self.key_cols[0])
+            hit_paths = scope_paths_distributed(table, source, self.key_cols)
             affected = [f for f in files_all if f.path in hit_paths]
         else:
-            affected, _untouched = _scope_files(table, source, self.key_cols[0])
+            affected, _untouched = _scope_files(table, source, self.key_cols)
         spark = table.spark
 
         # read through the table so outstanding deletion vectors are applied

@@ -54,6 +54,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # INT96 (Spark's legacy default) suppresses parquet column statistics
+        # for TIMESTAMP columns; INT64 micros keeps footer min/max — which the
+        # footer-based stats harvest and parquet row-group pushdown both need
+        # — and is 4 bytes/row smaller
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -66,6 +71,10 @@ def get_spark(
         # (listing fans out as a Spark job) cut it ~3x; on object stores the
         # equivalents are the S3A/ABFS bulk-listing switches.
         .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+        # v2 commit: tasks move their outputs themselves; v1's job-commit
+        # renames every task directory FROM THE DRIVER, a per-file serial
+        # cost at job end (another Amdahl term in the scaling protocol)
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "16")
         .config("spark.sql.sources.parallelPartitionDiscovery.parallelism", "64")
     )

@@ -52,17 +52,22 @@ def oracle_merge(target, source):
     return keep.unionByName(upd).unionByName(ins)
 
 
-@pytest.mark.parametrize("seed", [31, 43, 44, 62, 77])
-def test_op_sequence_conformance(spark, tmp_path, seed):
+ALL_OPS = ["append", "compact", "cluster", "merge", "expire", "restore",
+           "evolve", "delete", "update", "delete_mor", "maintain",
+           "rewrite_manifests", "wap", "branch", "rewrite_deletes",
+           "delete_eq", "upsert"]
+
+
+def _run_sequence(spark, tmp_path, seed, seq_builder, cdf=False):
+    """Shared conformance driver: build a table, apply the op sequence from
+    ``seq_builder(rng)``, and assert scan == step-maintained oracle after
+    EVERY op."""
     rng = random.Random(seed)
     base = generate_transcripts(
         spark, n_convs=60, hot_convs=2, hot_turns=80, span_days=6, seed=seed
     ).cache()
-    # odd seeds run with the change-data-feed write paths enabled, so CDF
-    # change-file writes interleave with every op (the feed itself is
-    # verified in test_change_feed.py; here it must never perturb state)
     props = {"write.target-file-size-bytes": str(256 * 1024)}
-    if seed % 2 == 1:
+    if cdf:
         props["write.change-data-feed.enabled"] = "true"
     t = Table.create(
         spark, str(tmp_path / "tbl"), T.StructType.fromDDL(SCHEMA_DDL),
@@ -80,11 +85,7 @@ def test_op_sequence_conformance(spark, tmp_path, seed):
         PartitionSpec.of(days("ts_day", "ts"), bucket("conv_bucket4", "conv_id", 4)),
     ]
 
-    ops = ["append", "compact", "cluster", "merge", "expire", "restore",
-           "evolve", "delete", "update", "delete_mor", "maintain",
-           "rewrite_manifests", "wap", "branch", "rewrite_deletes",
-           "delete_eq", "upsert"]
-    seq = [rng.choice(ops) for _ in range(8)]
+    seq = seq_builder(rng)
     for step, op in enumerate(seq):
         if op == "append":
             extra = generate_transcripts(
@@ -213,6 +214,36 @@ def test_op_sequence_conformance(spark, tmp_path, seed):
     for f in t.live_data_files():
         import os
         assert os.path.exists(f.path)
+
+
+@pytest.mark.parametrize("seed", [31, 43, 44, 62, 77])
+def test_op_sequence_conformance(spark, tmp_path, seed):
+    # odd seeds run with the change-data-feed write paths enabled, so CDF
+    # change-file writes interleave with every op (the feed itself is
+    # verified in test_change_feed.py; here it must never perturb state)
+    _run_sequence(spark, tmp_path, seed,
+                  lambda rng: [rng.choice(ALL_OPS) for _ in range(8)],
+                  cdf=seed % 2 == 1)
+
+
+@pytest.mark.parametrize("seed", [5, 18])
+def test_eqdel_evolution_branch_combined(spark, tmp_path, seed):
+    """Equality deletes x partition-spec evolution x branches in ONE random
+    sequence: the eqdel sequence rule must survive files written under
+    different specs AND branch fast-forwards that splice in snapshots whose
+    data_sequence interleaves with the deletes. Each sequence is a random
+    shuffle of all three (plus rewrites that fold deletes), so every ordering
+    pressure-tests the strict `data_sequence <` rule across spec eras."""
+    mandatory = ["delete_eq", "evolve", "branch", "upsert", "delete_eq",
+                 "evolve", "rewrite_deletes"]
+    fill_pool = ["append", "compact", "cluster", "rewrite_manifests"]
+
+    def build(rng):
+        seq = mandatory + [rng.choice(fill_pool) for _ in range(3)]
+        rng.shuffle(seq)
+        return seq
+
+    _run_sequence(spark, tmp_path, seed, build, cdf=False)
 
 
 def test_distributed_checksum_equivalence(spark, tmp_path):

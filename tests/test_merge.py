@@ -164,3 +164,33 @@ def test_merge_uses_distributed_scoping_past_threshold(spark, merge_table):
     assert res.files_scoped < res.files_total  # scoping still pruned
     t.refresh()
     assert rows(t.scan()) == want
+
+
+def test_second_dimension_scoping_tightens(spark, merge_table):
+    """Scoping on (conv_id, turn_idx) tuples must (a) agree between the
+    driver and distributed variants, (b) never scope MORE files than
+    conv_id alone, and (c) strictly fewer when the source touches only a
+    narrow turn range of a conversation whose files split by turn_idx."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.merge import (
+        _scope_files, scope_paths_distributed,
+    )
+
+    t, df = merge_table
+    hot = (df.groupBy("conv_id").count()
+           .orderBy(F.desc("count")).first()["conv_id"])
+    # the hot conversation spans multiple 512KB files (sorted by turn_idx);
+    # a source touching only its first 3 turns must not scope the tail files
+    source = df.filter((F.col("conv_id") == hot) & (F.col("turn_idx") < 3))
+
+    one_dim, _ = _scope_files(t, source, "conv_id")
+    two_dim, _ = _scope_files(t, source, ["conv_id", "turn_idx"])
+    assert {f.path for f in two_dim} <= {f.path for f in one_dim}
+    got = scope_paths_distributed(t, source, ["conv_id", "turn_idx"])
+    assert got == {f.path for f in two_dim}
+
+    # the merge itself stays oracle-correct with tuple scoping
+    res = MergeIntoJob(t).run(
+        source.withColumn("text", F.lit("patched")))
+    assert res.rows_updated == source.count()
+    assert rows(t.scan()) == rows(oracle_merge(
+        df, source.withColumn("text", F.lit("patched"))))
