@@ -92,6 +92,14 @@ def _maintenance_bench(spark, sf: float, workdir: str, *, cpus: int = DEFAULT_CP
             # bounds on the narrow key columns only: never decompress `text`
             # for stats nobody prunes on
             "stats.columns": "conv_id,turn_idx,role,tool,ts",
+            # per-file conv_id blooms: the third merge-scoping layer —
+            # bounds say "maybe", the bloom knows the file's actual key set.
+            # Harvested by a narrow conv_id-only job per write. Sized for
+            # the file's key cardinality: a 32MB z-ordered file holds ~8k
+            # distinct convs, so 2^18 bits (32KB, 0.1% of data) keeps
+            # FPR ~2e-4 where the 8Kbit default would saturate.
+            "stats.bloom-columns": "conv_id",
+            "stats.bloom-bits": str(1 << 18),
         },
     )
     table.append(df, n_files=8)

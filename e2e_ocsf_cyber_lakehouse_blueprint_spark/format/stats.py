@@ -77,23 +77,32 @@ def harvest_file_stats(
     job already produced (what Iceberg/Delta harvest at commit time) — a
     metadata-priced read instead of a second scan of the new files, which was
     the measured per-job serial floor in the two-cluster-size protocol.
-    Derived xxh64 hash bounds (not in any footer) are computed by ONE narrow
-    single-column scan. Tables with bloom columns need the full column pass
-    anyway and keep the one-scan path, as does any file whose footer lacks
-    usable stats (pre-engine writers)."""
+    Derived xxh64 hash bounds and bloom bitsets (in no footer) come from
+    NARROW scans of just those key columns — never the wide payload. Any
+    file whose footer lacks usable stats (pre-engine writers) falls back to
+    the one-scan path."""
     dirs = [staging_dir] if isinstance(staging_dir, str) else list(staging_dir)
-    if not bloom_columns:
-        files = _harvest_from_footers(
-            dirs, schema, partition_col_names, stat_columns)
-        if files is not None:
-            hash_cols = [
-                c for c in (hash_stat_columns or [])
-                if c in {f.name for f in schema.fields
-                         if isinstance(f.dataType, T.StringType)}
+    files = _harvest_from_footers(
+        dirs, schema, partition_col_names, stat_columns)
+    if files is not None:
+        string_cols = {f.name for f in schema.fields
+                       if isinstance(f.dataType, T.StringType)}
+        hash_cols = [c for c in (hash_stat_columns or []) if c in string_cols]
+        if hash_cols:
+            _merge_hash_bounds(spark, dirs, files, hash_cols)
+        bloom_cols = [c for c in (bloom_columns or []) if c in string_cols]
+        if bloom_cols:
+            parts = [
+                spark.read.parquet(d).select(
+                    F.col("_metadata.file_path").alias("_bfp"), *bloom_cols)
+                for d in dirs
             ]
-            if hash_cols:
-                _merge_hash_bounds(spark, dirs, files, hash_cols)
-            return files
+            df = functools.reduce(lambda a, b: a.unionByName(b), parts)
+            by_path = harvest_blooms(df, "_bfp", bloom_cols, m=bloom_bits)
+            by_path = {normalize_path(p): b for p, b in by_path.items()}
+            for f in files:
+                f.blooms = by_path.get(f.path, {})
+        return files
     # fallback: one distributed scan computes everything
     # (one read per staging root — each discovers its own _p_* partition
     # dirs; a single multi-root read trips CONFLICTING_DIRECTORY_STRUCTURES —

@@ -123,15 +123,18 @@ def write_group_binpack(table: Table, group: RewriteGroup,
     def child(plan):
         # broadcast-anti DV application is narrow: scan-task partitioning (the
         # bins) and per-task ordering survive, so the zero-shuffle contract holds
-        df = table.read_data_files(plan.input_files, delete_files=dels,
-                                   eq_delete_files=eqdels)
-        return df.sortWithinPartitions(*sort_keys)
+        return table.read_data_files(plan.input_files, delete_files=dels,
+                                     eq_delete_files=eqdels)
 
     # DataFrame construction costs a driver round trip per child (file-index
     # listing); build the children concurrently
     with ThreadPoolExecutor(max_workers=min(16, max(1, len(group.plans)))) as pool:
         subs = list(pool.map(child, group.plans))
     out = functools.reduce(lambda a, b: a.unionByName(b), subs)
+    # ONE sort over the union: sortWithinPartitions is per-task, and Union is
+    # narrow, so sorting after the union is row-identical to per-child sorts
+    # while codegen compiles one sort stage instead of |children| of them
+    out = out.sortWithinPartitions(*sort_keys)
     # narrow projection after the sort: intra-partition order is preserved
     out = spec.with_partition_columns(out)
     out_dir = _staging_dir(table, job_tag)

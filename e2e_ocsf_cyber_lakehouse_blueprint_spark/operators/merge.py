@@ -187,6 +187,34 @@ def _scope_files(
     return affected, untouched
 
 
+def _bloom_filter_affected(
+    affected: list[DataFile], source: DataFrame, key_col: str,
+    *, max_keys: int = 100_000,
+) -> list[DataFile]:
+    """Third scoping layer: drop candidate files whose per-file bloom PROVES
+    no source key is present (bounds said "maybe"; the bloom knows the file's
+    actual key set). Pure driver-side Python over the already-collected
+    DataFile entries, so it applies identically after either scoping variant.
+    Skipped when no file carries a bloom or the source key set is too large
+    to collect (> ``max_keys`` distinct — then bounds scoping stands alone)."""
+    from ..format.bloom import bloom_key, bloom_might_contain
+
+    bkey = bloom_key(key_col)
+    if not any(bkey in f.blooms for f in affected):
+        return affected
+    rows = (source.select(F.col(key_col).alias("_k")).distinct()
+            .limit(max_keys + 1).collect())
+    if len(rows) > max_keys:
+        return affected
+    keys = [r["_k"] for r in rows if r["_k"] is not None]
+    out = []
+    for f in affected:
+        enc = f.blooms.get(bkey)
+        if enc is None or any(bloom_might_contain(enc, k) for k in keys):
+            out.append(f)
+    return out
+
+
 class MergeIntoJob:
     def __init__(
         self,
@@ -266,6 +294,7 @@ class MergeIntoJob:
             affected = [f for f in files_all if f.path in hit_paths]
         else:
             affected, _untouched = _scope_files(table, source, self.key_cols)
+        affected = _bloom_filter_affected(affected, source, self.key_cols[0])
         spark = table.spark
 
         # read through the table so outstanding deletion vectors are applied

@@ -194,3 +194,47 @@ def test_second_dimension_scoping_tightens(spark, merge_table):
     assert res.rows_updated == source.count()
     assert rows(t.scan()) == rows(oracle_merge(
         df, source.withColumn("text", F.lit("patched"))))
+
+
+def test_bloom_scoping_drops_bounds_overlapping_files(spark, tmp_table_dir):
+    """Per-file conv_id blooms are the third scoping layer: a time-ordered
+    append holds an arbitrary conv mix per file (wide bounds — bounds-only
+    scoping keeps everything), but the bloom proves which files actually
+    contain the merge keys."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.merge import (
+        _bloom_filter_affected, _scope_files,
+    )
+
+    df = generate_transcripts(spark, n_convs=200, hot_convs=0, span_days=2,
+                              seed=11)
+    t = Table.create(
+        spark, tmp_table_dir, schema(),
+        PartitionSpec.of(days("ts_day", "ts")),
+        properties={"write.target-file-size-bytes": str(256 * 1024),
+                    "stats.bloom-columns": "conv_id"},
+    )
+    # ts-sorted append: every file spans nearly the whole conv_id range
+    t.append(df.orderBy("ts"), n_files=6)
+    convs = sorted({r["conv_id"] for r in df.select("conv_id").collect()})
+    source = (df.filter(F.col("conv_id") == convs[len(convs) // 2])
+              .withColumn("text", F.lit("patched")).cache())
+
+    bounds_only, _ = _scope_files(t, source, ["conv_id", "turn_idx"])
+    bloomed = _bloom_filter_affected(bounds_only, source, "conv_id")
+    truth = {
+        r["_f"] for r in
+        t.scan().filter(F.col("conv_id") == convs[len(convs) // 2])
+        .select(F.col("_metadata.file_path").alias("_f")).distinct().collect()
+    }
+    # no false negatives: every file really holding the key survives
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.stats import (
+        normalize_path,
+    )
+    kept = {f.path for f in bloomed}
+    assert {normalize_path(p) for p in truth} <= kept
+    assert len(bloomed) < len(bounds_only)  # and the bloom actually pruned
+
+    # end-to-end: the merge stays oracle-correct with bloom scoping active
+    res = MergeIntoJob(t).run(source)
+    assert res.rows_updated == source.count()
+    assert rows(t.scan()) == rows(oracle_merge(df, source))
