@@ -445,3 +445,56 @@ def test_merge_schema_widens_numeric_types(spark, tmp_table_dir):
     t2.append(df, n_files=1)
     with _pytest.raises(ValueError, match="incompatible type"):
         t2.append(wide, n_files=1, merge_schema=False)
+
+
+def test_footer_harvest_matches_scan_harvest(spark, tmp_path):
+    """The parquet-footer stats fast path must produce the SAME manifest
+    entries as the one-scan fallback — bounds (incl. string truncation and
+    timestamp encoding), null counts, row counts, partition tuples, and the
+    derived xxh64 hash bounds — or pruning behavior would depend on which
+    path harvested a file."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.stats import (
+        _harvest_from_footers, _merge_hash_bounds,
+    )
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.partition import (
+        PartitionSpec, days,
+    )
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.sources.transcripts import (
+        generate_transcripts,
+    )
+
+    df = generate_transcripts(spark, n_convs=30, hot_convs=1, hot_turns=40,
+                              span_days=3, seed=23)
+    spec = PartitionSpec.of(days("ts_day", "ts"))
+    out = str(tmp_path / "stage")
+    (spec.with_partition_columns(df).write.mode("error")
+     .partitionBy(*spec.column_names).parquet(out))
+
+    schema = df.schema
+    pcols = [f.name for f in spec.fields]
+    stat_cols = ["conv_id", "turn_idx", "role", "tool", "ts"]
+    via_footer = _harvest_from_footers([out], schema, pcols, stat_cols)
+    assert via_footer is not None and via_footer
+    _merge_hash_bounds(spark, [out], via_footer, ["conv_id"])
+
+    # run the one-scan fallback directly for comparison
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.stats import (
+        harvest_df_stats,
+    )
+    from pyspark.sql import functions as F
+    raw = spark.read.parquet(out).select(
+        "*",
+        F.col("_metadata.file_path").alias("_meta_file_path"),
+        F.col("_metadata.file_size").alias("_meta_file_size"),
+    )
+    via_scan = harvest_df_stats(raw, schema, pcols, ["conv_id"], stat_cols)
+
+    assert len(via_footer) == len(via_scan)
+    for a, b in zip(via_footer, via_scan):
+        assert a.path == b.path
+        assert a.partition == b.partition
+        assert a.record_count == b.record_count
+        assert a.file_size_bytes == b.file_size_bytes
+        assert a.lower_bounds == b.lower_bounds, a.path
+        assert a.upper_bounds == b.upper_bounds, a.path
+        assert a.null_counts == b.null_counts
