@@ -154,7 +154,8 @@ def footer_file_stats(path: str, stat_fields, partition: dict) -> DataFile:
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
     nulls: dict[str, int] = {}
-    dead: set[str] = set()
+    bounds_dead: set[str] = set()  # a row group lacked min/max
+    nulls_dead: set[str] = set()   # a row group lacked a null count
     rows = 0
     for g in range(md.num_row_groups):
         rg = md.row_group(g)
@@ -162,11 +163,20 @@ def footer_file_stats(path: str, stat_fields, partition: dict) -> DataFile:
         for i in range(rg.num_columns):
             c = rg.column(i)
             name = c.path_in_schema
-            if name not in wanted or name in dead:
+            if name not in wanted:
                 continue
             st = c.statistics
+            # null counts and min/max are INDEPENDENT: an all-null column
+            # has a null count but no bounds (and the scan harvest records
+            # exactly that), so neither gates the other
+            if st is not None and st.has_null_count:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            else:
+                nulls_dead.add(name)
+            if name in bounds_dead:
+                continue
             if st is None or not st.has_min_max:
-                dead.add(name)
+                bounds_dead.add(name)
                 continue
             mn, mx = _footer_value(st.min), _footer_value(st.max)
             if name in mins:
@@ -174,16 +184,9 @@ def footer_file_stats(path: str, stat_fields, partition: dict) -> DataFile:
                 maxs[name] = max(maxs[name], mx)
             else:
                 mins[name], maxs[name] = mn, mx
-            if st.has_null_count:
-                nulls[name] = nulls.get(name, 0) + st.null_count
-            else:
-                nulls.pop(name, None)
-                dead.add(name)  # keep bounds-less rather than wrong nulls
-                mins.pop(name, None)
-                maxs.pop(name, None)
     lower, upper = {}, {}
     for name in mins:
-        if name in dead:
+        if name in bounds_dead:
             continue
         lo, hi = mins[name], maxs[name]
         if isinstance(lo, str):
@@ -200,7 +203,7 @@ def footer_file_stats(path: str, stat_fields, partition: dict) -> DataFile:
         file_size_bytes=os.path.getsize(path),
         lower_bounds=lower,
         upper_bounds=upper,
-        null_counts={k: v for k, v in nulls.items() if k not in dead},
+        null_counts={k: v for k, v in nulls.items() if k not in nulls_dead},
     )
 
 
