@@ -6,9 +6,14 @@ VACUUM / RESTORE / DESCRIBE HISTORY / ALTER TABLE CLUSTER BY; e.g.
 and DML stay in Spark SQL over scan views; this module covers the
 table-maintenance statements the engine owns:
 
-    OPTIMIZE <tbl>
-    OPTIMIZE <tbl> ZORDER BY (conv_col[, turn_col[, ts_col]])
-    OPTIMIZE <tbl> HILBERT BY (conv_col[, turn_col[, ts_col]])
+    OPTIMIZE <tbl> [WHERE <conjunction>]
+    OPTIMIZE <tbl> ZORDER BY (conv_col[, turn_col[, ts_col]]) [WHERE ...]
+    OPTIMIZE <tbl> HILBERT BY (conv_col[, turn_col[, ts_col]]) [WHERE ...]
+        WHERE scopes the maintenance to the partitions the predicate's
+        pruned file set touches (Delta predicate-scoped OPTIMIZE)
+    EXPLAIN ESTIMATE <tbl> [WHERE <conjunction>]
+        the cost planner's view: files surviving metadata pruning +
+        ANALYZE-backed row/byte estimates and shuffle sizing
     DELETE FROM <tbl> WHERE <conjunction>
         where each term is col {=|<|<=|>|>=} literal | col IN (lit, ...)
         | col IS [NOT] NULL; literals are 'str', numbers, TIMESTAMP '<iso>'
@@ -245,8 +250,13 @@ _STATEMENTS: list[tuple[re.Pattern, str]] = [
         re.IGNORECASE), "update"),
     (re.compile(
         rf"OPTIMIZE\s+(?P<tbl>{_ID})"
-        rf"(?:\s+(?P<curve>ZORDER|HILBERT)\s+BY\s*\((?P<cols>[^)]+)\))?\s*;?\s*$",
+        rf"(?:\s+(?P<curve>ZORDER|HILBERT)\s+BY\s*\((?P<cols>[^)]+)\))?"
+        rf"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
         re.IGNORECASE), "optimize"),
+    (re.compile(
+        rf"EXPLAIN\s+ESTIMATE\s+(?P<tbl>{_ID})"
+        rf"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+        re.IGNORECASE), "explain_estimate"),
     (re.compile(
         rf"VACUUM\s+(?P<tbl>{_ID})(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS?)?\s*;?\s*$",
         re.IGNORECASE), "vacuum"),
@@ -485,13 +495,44 @@ def _dispatch(action: str, table: Table, m: re.Match) -> Any:
             table, parse_where(where) if where else [], parse_set(m.group("set"))
         ).run()
     if action == "optimize":
-        result = CompactionJob(table).run()
+        # OPTIMIZE ... WHERE (Delta's predicate-scoped OPTIMIZE): the
+        # predicate selects PARTITIONS via the scan planner's file pruning —
+        # a conservative superset of partitions holding matching rows — and
+        # only those are compacted/clustered; cold history is never re-planned
+        only = None
+        if m.group("where"):
+            from .operators.ledger import partition_key
+            preds = parse_where(m.group("where"))
+            only = {partition_key(f.partition)
+                    for f in table.plan_scan(preds)}
+        result = CompactionJob(table, only_partitions=only).run()
         curve = (m.group("curve") or "").lower()
         if curve:
             cols = _cols(m.group("cols"))
             dims = dict(zip(("conv_col", "turn_col", "ts_col"), cols))
-            return ClusteringJob(table, curve=curve, **dims).run()
+            return ClusteringJob(table, curve=curve, only_partitions=only,
+                                 **dims).run()
         return result
+    if action == "explain_estimate":
+        # EXPLAIN ESTIMATE <tbl> [WHERE ...]: the cost planner's view —
+        # files surviving metadata pruning, ANALYZE-backed row/byte
+        # estimates, and the decisions they would drive
+        from .plans.costs import (
+            estimated_scan_bytes, estimated_scan_rows,
+            suggest_shuffle_partitions,
+        )
+        preds = parse_where(m.group("where")) if m.group("where") else None
+        files = table.plan_scan(preds)
+        return {
+            "files_total": len(table.live_data_files()),
+            "files_after_pruning": len(files),
+            "pruned_file_rows": sum(f.record_count for f in files),
+            "pruned_file_bytes": sum(f.file_size_bytes for f in files),
+            "estimated_rows": estimated_scan_rows(table, preds),
+            "estimated_bytes": estimated_scan_bytes(table, preds),
+            "suggested_shuffle_partitions":
+                suggest_shuffle_partitions(table, preds),
+        }
     if action == "vacuum":
         hours = float(m.group("hours") or 0)
         return ExpireSnapshotsJob(

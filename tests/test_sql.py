@@ -366,3 +366,45 @@ def test_merge_into_statement(cat):
             ON t.conv_id = s.other_col
             WHEN MATCHED THEN UPDATE SET *
         """)
+
+
+def test_optimize_where_scopes_partitions(cat):
+    """OPTIMIZE ... WHERE compacts only the partitions the predicate's
+    pruned file set touches; other partitions' files are untouched."""
+    import os
+
+    c, df = cat
+    t = c.load_table("ops.transcripts")
+    days_ = sorted({str(r[0]) for r in
+                    t.scan().selectExpr("CAST(ts AS DATE)").distinct().collect()})
+    target_day = days_[0]
+    before = {f.path: f.partition for f in t.live_data_files()}
+    rows_before = _rows(t)
+    run_sql(c, f"OPTIMIZE ops.transcripts WHERE ts < TIMESTAMP '{days_[1]}T00:00:00'")
+    t.refresh()
+    after = {f.path: f.partition for f in t.live_data_files()}
+    # untouched partitions keep their exact files
+    for p, part in before.items():
+        if part.get("ts_day") != target_day:
+            assert p in after, f"cold partition file rewritten: {part}"
+    # the targeted partition was compacted (file set changed)
+    tgt_before = [p for p, part in before.items() if part.get("ts_day") == target_day]
+    tgt_after = [p for p, part in after.items() if part.get("ts_day") == target_day]
+    assert set(tgt_before) != set(tgt_after)
+    assert len(tgt_after) < len(tgt_before)
+    assert _rows(t) == rows_before  # rows byte-identical
+
+
+def test_explain_estimate_statement(cat):
+    c, df = cat
+    res = run_sql(c, "EXPLAIN ESTIMATE ops.transcripts")
+    assert res["files_after_pruning"] == res["files_total"]
+    assert res["estimated_rows"] is None  # no ANALYZE yet
+    run_sql(c, "ANALYZE TABLE ops.transcripts COMPUTE STATISTICS")
+    total = c.load_table("ops.transcripts").scan().count()
+    res = run_sql(c, "EXPLAIN ESTIMATE ops.transcripts")
+    assert abs(res["estimated_rows"] - total) / total < 0.05
+    conv = df.select("conv_id").first()["conv_id"]
+    res2 = run_sql(c, f"EXPLAIN ESTIMATE ops.transcripts WHERE conv_id = '{conv}'")
+    assert res2["estimated_rows"] < res["estimated_rows"]
+    assert res2["suggested_shuffle_partitions"] >= 1
