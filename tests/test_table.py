@@ -498,3 +498,58 @@ def test_footer_harvest_matches_scan_harvest(spark, tmp_path):
         assert a.lower_bounds == b.lower_bounds, a.path
         assert a.upper_bounds == b.upper_bounds, a.path
         assert a.null_counts == b.null_counts
+
+
+def test_footer_harvest_adversarial_values(spark, tmp_path):
+    """Footer bounds must stay VALID bounds (and match the scan harvest) on
+    hostile inputs: unicode past the truncation width, empty strings,
+    all-null columns, NaN doubles, negative ints, sub-second timestamps."""
+    import math
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.stats import (
+        _harvest_from_footers, harvest_df_stats,
+    )
+
+    schema = T.StructType.fromDDL(
+        "s string, i int, d double, ts timestamp_ntz, dead string")
+    rows = [
+        ("", -5, float("nan"), None, None),
+        ("z" * 100 + "é世界", 2147483647, -1.5,
+         __import__("datetime").datetime(2024, 3, 1, 12, 0, 0, 123456), None),
+        ("é" * 40, -2147483648, 0.0,
+         __import__("datetime").datetime(1999, 12, 31, 23, 59, 59), None),
+        (None, 0, 1e300, None, None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path / "adv")
+    df.coalesce(1).write.parquet(out)
+
+    stat_fields = list(schema.fields)
+    via_footer = _harvest_from_footers([out], schema, [], None)
+    assert via_footer is not None and len(via_footer) == 1
+    raw = spark.read.parquet(out).select(
+        "*",
+        F.col("_metadata.file_path").alias("_meta_file_path"),
+        F.col("_metadata.file_size").alias("_meta_file_size"),
+    )
+    via_scan = harvest_df_stats(raw, schema, [])
+    a, b = via_footer[0], via_scan[0]
+    assert a.record_count == b.record_count == 4
+    assert a.null_counts == b.null_counts
+    # doubles with NaN: both paths must agree (whatever each engine layer
+    # does with NaN, pruning must see the same picture)
+    assert a.lower_bounds == b.lower_bounds
+    assert a.upper_bounds == b.upper_bounds
+    # and the recorded bounds really bound the data (validity, not just parity)
+    import json
+    if "s" in a.lower_bounds:
+        lo = json.loads(a.lower_bounds["s"])
+        hi = json.loads(a.upper_bounds["s"])
+        for s, *_ in rows:
+            if s is not None:
+                assert lo <= s <= hi or s.startswith(hi[:-1])
+                assert lo <= s
+                assert s <= hi or hi >= s[:len(hi)]
