@@ -59,3 +59,19 @@ class Catalog:
             t for t in os.listdir(base)
             if os.path.isdir(os.path.join(base, t, "metadata"))
         )
+
+    def drop_table(self, name: str, *, purge: bool = True) -> None:
+        """``DROP TABLE``: unregister and (with ``purge``, the default — this
+        catalog owns its table locations, Unity 'managed table' semantics)
+        delete the data + metadata tree. Refuses unknown names loudly."""
+        import shutil
+
+        if not self.table_exists(name):
+            raise ValueError(f"unknown table {name}")
+        loc = self._loc(name)
+        if purge:
+            shutil.rmtree(loc)
+        else:
+            # metadata removal alone unregisters; data files remain for
+            # external retention tooling
+            shutil.rmtree(os.path.join(loc, "metadata"))

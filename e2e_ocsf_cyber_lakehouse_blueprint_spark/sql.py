@@ -68,6 +68,10 @@ table-maintenance statements the engine owns:
     CREATE DATABASE [IF NOT EXISTS] <db>
     CREATE TABLE [IF NOT EXISTS] <db.tbl> (<col TYPE, ...>)
         [PARTITIONED BY (transform[, ...])] [TBLPROPERTIES ('k'='v'[, ...])]
+    CREATE TABLE [IF NOT EXISTS] <db.tbl> [PARTITIONED BY (...)]
+        [TBLPROPERTIES (...)] AS SELECT ...   (CTAS)
+    INSERT INTO <tbl> SELECT ...
+    DROP TABLE [IF EXISTS] <db.tbl>
     SHOW TABLES [IN <db>]
     DESCRIBE DETAIL <tbl>
 
@@ -235,6 +239,9 @@ _STATEMENTS: list[tuple[re.Pattern, str]] = [
         rf"\s+USING\s+(?P<rest>.+)$",
         re.IGNORECASE | re.DOTALL), "merge"),
     (re.compile(
+        rf"INSERT\s+INTO\s+(?P<tbl>{_ID})\s+(?P<query>\(?\s*SELECT\s.+)$",
+        re.IGNORECASE | re.DOTALL), "insert_into"),
+    (re.compile(
         rf"DELETE\s+FROM\s+(?P<tbl>{_ID})\s+BY\s+KEYS\s*\((?P<query>.+)\)\s*;?\s*$",
         re.IGNORECASE | re.DOTALL), "delete_eq"),
     (re.compile(
@@ -341,10 +348,19 @@ _CATALOG_STATEMENTS: list[tuple[re.Pattern, str]] = [
     (re.compile(
         r"CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<db>[\w$-]+)\s*;?\s*$",
         re.IGNORECASE), "create_database"),
+    (re.compile(  # CTAS must match before the column-list form
+        rf"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<tbl>{_ID})\s*"
+        rf"(?:PARTITIONED\s+BY\s*\((?P<transforms>[^()]*(?:\([^()]*\)[^()]*)*)\)\s*)?"
+        rf"(?:TBLPROPERTIES\s*\((?P<props>.+?)\)\s*)?"
+        rf"AS\s+(?P<query>SELECT\s.+)$",
+        re.IGNORECASE | re.DOTALL), "create_table_as"),
     (re.compile(
         rf"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<tbl>{_ID})\s*"
         rf"\((?P<rest>.+)$",  # balanced column list extracted by hand below
         re.IGNORECASE | re.DOTALL), "create_table"),
+    (re.compile(
+        rf"DROP\s+TABLE\s+(?P<if_exists>IF\s+EXISTS\s+)?(?P<tbl>{_ID})\s*;?\s*$",
+        re.IGNORECASE), "drop_table"),
     (re.compile(
         r"SHOW\s+TABLES(?:\s+IN\s+(?P<db>[\w$-]+))?\s*;?\s*$",
         re.IGNORECASE), "show_tables"),
@@ -390,6 +406,27 @@ def _dispatch_catalog(action: str, catalog: Catalog, m: re.Match) -> Any:
         props = {x.group("k"): x.group("v")
                  for x in _PROP_RE.finditer(pm_.group("props") if pm_ else "")}
         return catalog.create_table(name, schema, spec, properties=props)
+    if action == "create_table_as":
+        # CTAS: schema comes from the query; one append materializes it
+        name = m.group("tbl")
+        if "IF NOT EXISTS" in m.string.upper() and catalog.table_exists(name):
+            return catalog.load_table(name)
+        df = catalog.spark.sql(m.group("query").rstrip().rstrip(";"))
+        spec = PartitionSpec.of(*[
+            _parse_transform(p)
+            for p in _split_top_level(m.group("transforms") or "")
+        ]) if m.group("transforms") else PartitionSpec.of()
+        props = {x.group("k"): x.group("v")
+                 for x in _PROP_RE.finditer(m.group("props") or "")}
+        t = catalog.create_table(name, df.schema, spec, properties=props)
+        t.append(df)
+        return t
+    if action == "drop_table":
+        name = m.group("tbl")
+        if m.group("if_exists") and not catalog.table_exists(name):
+            return None
+        catalog.drop_table(name)
+        return None
     if action == "show_tables":
         return catalog.list_tables(m.group("db") or "default")
     if action == "describe_detail":
@@ -476,6 +513,11 @@ def _run_merge(table: Table, m: re.Match) -> Any:
 def _dispatch(action: str, table: Table, m: re.Match) -> Any:
     if action == "merge":
         return _run_merge(table, m)
+    if action == "insert_into":
+        q = m.group("query").rstrip().rstrip(";").strip()
+        if q.startswith("("):
+            q, _tail = _balanced_prefix(q[1:], "INSERT INTO subquery")
+        return table.append(table.spark.sql(q))
     if action == "delete":
         return DeleteJob(table, parse_where(m.group("where"))).run()
     if action == "delete_eq":

@@ -190,7 +190,7 @@ def test_update_without_where_touches_all(cat):
 def test_unsupported_statement_raises(cat):
     c, _ = cat
     with pytest.raises(ValueError, match="unsupported"):
-        run_sql(c, "DROP TABLE ops.transcripts")
+        run_sql(c, "TRUNCATE TABLE ops.transcripts")
     with pytest.raises(ValueError, match="unparseable"):
         run_sql(c, "ALTER TABLE ops.transcripts PARTITIONED BY (years(ts))")
 
@@ -408,3 +408,37 @@ def test_explain_estimate_statement(cat):
     res2 = run_sql(c, f"EXPLAIN ESTIMATE ops.transcripts WHERE conv_id = '{conv}'")
     assert res2["estimated_rows"] < res["estimated_rows"]
     assert res2["suggested_shuffle_partitions"] >= 1
+
+
+def test_insert_into_ctas_drop_table(cat):
+    c, df = cat
+    t = c.load_table("ops.transcripts")
+    n0 = t.scan().count()
+    t.scan().limit(7).createOrReplaceTempView("seven")
+    res = run_sql(c, "INSERT INTO ops.transcripts SELECT * FROM seven")
+    assert res.summary["added-records"] == 7
+    t.refresh()
+    assert t.scan().count() == n0 + 7
+
+    # CTAS with partitioning + properties
+    t2 = run_sql(c, """
+        CREATE TABLE ops.assistant_turns
+        PARTITIONED BY (days(ts) AS ts_day)
+        TBLPROPERTIES ('write.target-file-size-bytes'='262144')
+        AS SELECT conv_id, turn_idx, text, ts FROM seven WHERE turn_idx >= 0
+    """)
+    assert [f.name for f in t2.spec.fields] == ["ts_day"]
+    assert t2.meta.properties["write.target-file-size-bytes"] == "262144"
+    assert t2.scan().count() == 7
+    assert "assistant_turns" in run_sql(c, "SHOW TABLES IN ops")
+    # idempotent under IF NOT EXISTS
+    t3 = run_sql(c, "CREATE TABLE IF NOT EXISTS ops.assistant_turns "
+                    "AS SELECT * FROM seven")
+    assert t3.scan().count() == 7
+
+    run_sql(c, "DROP TABLE ops.assistant_turns")
+    assert "assistant_turns" not in run_sql(c, "SHOW TABLES IN ops")
+    run_sql(c, "DROP TABLE IF EXISTS ops.assistant_turns")  # no-op, no raise
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown table"):
+        run_sql(c, "DROP TABLE ops.assistant_turns")
