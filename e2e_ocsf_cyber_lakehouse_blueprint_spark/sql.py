@@ -564,12 +564,14 @@ def _dispatch(action: str, table: Table, m: re.Match) -> Any:
             suggest_shuffle_partitions,
         )
         preds = parse_where(m.group("where")) if m.group("where") else None
-        files = table.plan_scan(preds)
+        # NB: do not name this `files` — it would shadow the module-level
+        # files() metadata table for every action in this function
+        scan_files = table.plan_scan(preds)
         return {
             "files_total": len(table.live_data_files()),
-            "files_after_pruning": len(files),
-            "pruned_file_rows": sum(f.record_count for f in files),
-            "pruned_file_bytes": sum(f.file_size_bytes for f in files),
+            "files_after_pruning": len(scan_files),
+            "pruned_file_rows": sum(f.record_count for f in scan_files),
+            "pruned_file_bytes": sum(f.file_size_bytes for f in scan_files),
             "estimated_rows": estimated_scan_rows(table, preds),
             "estimated_bytes": estimated_scan_bytes(table, preds),
             "suggested_shuffle_partitions":
