@@ -74,6 +74,15 @@ table-maintenance statements the engine owns:
     DROP TABLE [IF EXISTS] <db.tbl>
     SHOW TABLES [IN <db>]
     DESCRIBE DETAIL <tbl>
+    SELECT ... | WITH ... SELECT ...
+        every FROM/JOIN reference to a catalog table — optionally with
+        VERSION AS OF <snapshot-id> | TIMESTAMP AS OF '<iso-ts>' |
+        AT BRANCH|TAG <name> — resolves to the engine's scan (deletion
+        vectors, equality deletes, and snapshot isolation applied), then
+        the query runs in Spark SQL; single-table WHERE conjuncts prune
+        data files via manifest stats before Catalyst sees the scan. The
+        same resolution applies inside INSERT INTO / CTAS / MERGE USING /
+        DELETE BY KEYS / UPSERT subqueries.
 
 Statements are parsed with anchored regexes (this is a fixed utility grammar,
 not a general SQL engine) and dispatched to the corresponding maintenance
@@ -411,7 +420,7 @@ def _dispatch_catalog(action: str, catalog: Catalog, m: re.Match) -> Any:
         name = m.group("tbl")
         if "IF NOT EXISTS" in m.string.upper() and catalog.table_exists(name):
             return catalog.load_table(name)
-        df = catalog.spark.sql(m.group("query").rstrip().rstrip(";"))
+        df = _run_select(catalog, m.group("query").rstrip().rstrip(";"))
         spec = PartitionSpec.of(*[
             _parse_transform(p)
             for p in _split_top_level(m.group("transforms") or "")
@@ -434,9 +443,98 @@ def _dispatch_catalog(action: str, catalog: Catalog, m: re.Match) -> Any:
     raise AssertionError(action)
 
 
+_SELECT_HEAD_RE = re.compile(r"(?:WITH|SELECT)\b", re.IGNORECASE)
+
+# FROM/JOIN <tbl> with the Delta/Iceberg time-travel clauses reference users
+# write; non-catalog identifiers (CTE names, temp views, EXTRACT(x FROM y))
+# are left untouched by the table_exists guard in _run_select
+_TABLE_REF_RE = re.compile(
+    rf"\b(?P<kw>FROM|JOIN)\s+(?P<tbl>{_ID})"
+    rf"(?:\s+VERSION\s+AS\s+OF\s+(?P<version>\d+)"
+    rf"|\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)'"
+    rf"|\s+AT\s+(?:BRANCH|TAG)\s+(?P<ref>[\w$-]+))?",
+    re.IGNORECASE)
+
+_SELECT_WHERE_RE = re.compile(
+    r"\bWHERE\s+(?P<body>.+?)"
+    r"(?:\s+(?:GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|WINDOW)\b.*)?;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def _select_pushdown(stmt: str, table: Table) -> list[tuple] | None:
+    """Best-effort file-pruning predicates for a single-table SELECT: the
+    parseable conjuncts of its WHERE clause that name real table columns.
+    A SUBSET of the conjunction is always a sound pruning predicate (it can
+    only keep more files), so unparseable terms are skipped, but any OR makes
+    the top-level split unsound — claim nothing then. The SQL WHERE still
+    runs in full over the scan, so pushdown never changes results."""
+    if len(re.findall(r"\bWHERE\b", stmt, re.IGNORECASE)) != 1 \
+            or re.search(r"\bJOIN\b", stmt, re.IGNORECASE):
+        return None
+    wm = _SELECT_WHERE_RE.search(stmt)
+    if wm is None:
+        return None
+    body = wm.group("body")
+    if re.search(r"\bOR\b", re.sub(r"'[^']*'", "''", body), re.IGNORECASE):
+        return None
+    cols = {f.name for f in table.schema.fields}
+    preds: list[tuple] = []
+    for term in _split_on_and(body):
+        try:
+            (pred,) = parse_where(term)
+        except Exception:
+            continue
+        if pred[0] in cols:
+            preds.append(pred)
+    return preds or None
+
+
+def _run_select(catalog: Catalog, stmt: str) -> DataFrame:
+    """SELECT/WITH query over catalog tables: each ``FROM|JOIN <tbl>
+    [VERSION AS OF n | TIMESTAMP AS OF '<iso>' | AT BRANCH|TAG <ref>]``
+    reference is resolved to the engine's (possibly time-traveled) scan,
+    registered as a temp view, and the rewritten text goes to Spark SQL —
+    so deletion vectors, equality deletes, and snapshot isolation all apply
+    without the user leaving SQL. Single-table WHERE conjuncts additionally
+    prune data files via the manifest stats before Catalyst ever sees the
+    scan (multi-table/OR queries fall back to plain Catalyst pushdown)."""
+    refs = [m for m in _TABLE_REF_RE.finditer(stmt)
+            if catalog.table_exists(m.group("tbl"))]
+    out, last = [], 0
+    for m in refs:
+        table = catalog.load_table(m.group("tbl"))
+        kw: dict[str, Any] = {}
+        suffix = ""
+        view = "_sqlscan__" + re.sub(r"[^A-Za-z0-9_]", "_", m.group("tbl"))
+        if m.group("version"):
+            # same convention as RESTORE ... TO VERSION AS OF: the version
+            # number IS the snapshot id (what DESCRIBE HISTORY shows)
+            kw = {"snapshot_id": int(m.group("version"))}
+            suffix = f"__v{m.group('version')}"
+        elif m.group("ts"):
+            dt = datetime.datetime.fromisoformat(
+                m.group("ts").replace(" ", "T", 1))
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=datetime.timezone.utc)
+            kw = {"as_of_timestamp_ms": int(dt.timestamp() * 1000)}
+            suffix = "__ts" + re.sub(r"[^0-9]", "", m.group("ts"))
+        elif m.group("ref"):
+            kw = {"ref": m.group("ref")}
+            suffix = f"__ref_{m.group('ref')}"
+        preds = _select_pushdown(stmt, table) if len(refs) == 1 else None
+        table.scan(preds, **kw).createOrReplaceTempView(view + suffix)
+        out.append(stmt[last:m.start()])
+        out.append(f"{m.group('kw')} {view + suffix}")
+        last = m.end()
+    out.append(stmt[last:])
+    return catalog.spark.sql("".join(out).rstrip().rstrip(";"))
+
+
 def run_sql(catalog: Catalog, statement: str) -> Any:
     """Parse and execute one maintenance statement against ``catalog``."""
     stmt = statement.strip()
+    if _SELECT_HEAD_RE.match(stmt):
+        return _run_select(catalog, stmt)
     for pattern, action in _CATALOG_STATEMENTS:
         m = pattern.match(stmt)
         if m is not None:
@@ -446,7 +544,7 @@ def run_sql(catalog: Catalog, statement: str) -> Any:
         if m is None:
             continue
         table = catalog.load_table(m.group("tbl"))
-        return _dispatch(action, table, m)
+        return _dispatch(action, table, m, catalog)
     raise ValueError(f"unsupported maintenance statement: {statement!r}")
 
 
@@ -476,7 +574,8 @@ def _parse_merge_on(body: str) -> list[str]:
     return cols
 
 
-def _run_merge(table: Table, m: re.Match) -> Any:
+def _run_merge(table: Table, m: re.Match,
+               catalog: Catalog | None = None) -> Any:
     """``MERGE INTO t USING (<query>)|<view> ON t.k = s.k [AND ...] WHEN
     MATCHED THEN UPDATE SET * | DELETE [WHEN NOT MATCHED THEN INSERT *]`` —
     the Databricks/Delta statement reference users upsert with, dispatched
@@ -488,7 +587,8 @@ def _run_merge(table: Table, m: re.Match) -> Any:
     rest = m.group("rest").strip()
     if rest.startswith("("):
         query, tail = _balanced_prefix(rest[1:], "MERGE USING subquery")
-        source = table.spark.sql(query)
+        source = (_run_select(catalog, query) if catalog is not None
+                  else table.spark.sql(query))
     else:
         vm = re.match(rf"(?P<view>{_ID})(?P<tail>.*)$", rest, re.DOTALL)
         if vm is None:
@@ -510,26 +610,34 @@ def _run_merge(table: Table, m: re.Match) -> Any:
     ).run(source)
 
 
-def _dispatch(action: str, table: Table, m: re.Match) -> Any:
+def _dispatch(action: str, table: Table, m: re.Match,
+              catalog: Catalog | None = None) -> Any:
+    # subqueries resolve through _run_select when a catalog is in scope, so
+    # INSERT INTO t2 SELECT ... FROM t1 [VERSION AS OF n] works on catalog
+    # tables, not only Spark temp views
+    def subquery(q: str) -> DataFrame:
+        return (_run_select(catalog, q) if catalog is not None
+                else table.spark.sql(q))
+
     if action == "merge":
-        return _run_merge(table, m)
+        return _run_merge(table, m, catalog)
     if action == "insert_into":
         q = m.group("query").rstrip().rstrip(";").strip()
         if q.startswith("("):
             q, _tail = _balanced_prefix(q[1:], "INSERT INTO subquery")
-        return table.append(table.spark.sql(q))
+        return table.append(subquery(q))
     if action == "delete":
         return DeleteJob(table, parse_where(m.group("where"))).run()
     if action == "delete_eq":
         # DELETE FROM t BY KEYS (SELECT conv_id, turn_idx FROM staged_keys):
         # Iceberg v2 equality delete — the subquery's columns ARE the key
         from .operators.delete import equality_delete
-        return equality_delete(table, table.spark.sql(m.group("query")))
+        return equality_delete(table, subquery(m.group("query")))
     if action == "upsert":
         # UPSERT INTO t BY KEYS (conv_id, turn_idx) FROM (SELECT ...):
         # atomic row-delta — batch data files + equality delete, one snapshot
         from .operators.upsert import upsert
-        return upsert(table, table.spark.sql(m.group("query")),
+        return upsert(table, subquery(m.group("query")),
                       _cols(m.group("cols")))
     if action == "update":
         where = m.group("where")

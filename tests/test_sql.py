@@ -442,3 +442,118 @@ def test_insert_into_ctas_drop_table(cat):
     import pytest as _pt
     with _pt.raises(ValueError, match="unknown table"):
         run_sql(c, "DROP TABLE ops.assistant_turns")
+
+
+def test_select_statement(cat):
+    """SELECT over catalog tables: scan resolution, WHERE pushdown path,
+    aggregation, CTE, and a two-table JOIN."""
+    c, df = cat
+    t = c.load_table("ops.transcripts")
+    total = t.scan().count()
+
+    out = run_sql(c, "SELECT * FROM ops.transcripts")
+    assert out.count() == total
+
+    conv = df.select("conv_id").first()["conv_id"]
+    out = run_sql(
+        c, f"SELECT conv_id, turn_idx FROM ops.transcripts "
+           f"WHERE conv_id = '{conv}' AND turn_idx >= 2 ORDER BY turn_idx")
+    rows = out.collect()
+    assert rows and all(r.conv_id == conv and r.turn_idx >= 2 for r in rows)
+
+    agg = run_sql(c, "SELECT role, COUNT(*) AS n FROM ops.transcripts "
+                     "GROUP BY role ORDER BY n DESC").collect()
+    assert sum(r.n for r in agg) == total
+
+    cte = run_sql(c, """
+        WITH lasts AS (
+          SELECT conv_id, MAX(turn_idx) AS last_turn
+          FROM ops.transcripts GROUP BY conv_id
+        )
+        SELECT COUNT(*) AS n FROM lasts
+    """).collect()
+    assert cte[0].n == t.scan().select("conv_id").distinct().count()
+
+    # self-join through two catalog references
+    j = run_sql(c, """
+        SELECT a.conv_id, COUNT(*) AS n
+        FROM ops.transcripts a
+        JOIN ops.transcripts b
+          ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+        GROUP BY a.conv_id
+    """)
+    assert j.agg(F.sum("n")).first()[0] == total
+
+
+def test_select_time_travel_and_insert_from_table(cat):
+    c, df = cat
+    t = c.load_table("ops.transcripts")
+    v1 = t.meta.current_snapshot_id
+    n1 = t.scan().count()
+    t.append(df.withColumn("conv_id", F.concat("conv_id", F.lit("-c"))))
+    t.refresh()
+    assert t.scan().count() > n1
+
+    out = run_sql(c, f"SELECT * FROM ops.transcripts VERSION AS OF {v1}")
+    assert out.count() == n1
+
+    ts = datetime.datetime.fromtimestamp(
+        t.meta.snapshot_by_id(v1).timestamp_ms / 1000,
+        tz=datetime.timezone.utc).isoformat()
+    out = run_sql(c, f"SELECT * FROM ops.transcripts TIMESTAMP AS OF '{ts}'")
+    assert out.count() == n1
+
+    run_sql(c, "ALTER TABLE ops.transcripts CREATE TAG stable "
+               f"AS OF VERSION {v1}")
+    out = run_sql(c, "SELECT * FROM ops.transcripts AT TAG stable")
+    assert out.count() == n1
+
+    # INSERT INTO ... SELECT straight from another catalog-table state
+    t2 = run_sql(c, "CREATE TABLE ops.replay AS "
+                    f"SELECT * FROM ops.transcripts VERSION AS OF {v1}")
+    assert t2.scan().count() == n1
+    run_sql(c, "INSERT INTO ops.replay "
+               "SELECT * FROM ops.transcripts AT TAG stable LIMIT 5")
+    t2.refresh()
+    assert t2.scan().count() == n1 + 5
+    run_sql(c, "DROP TABLE ops.replay")
+
+
+def test_select_pushdown_prunes_files(cat, monkeypatch):
+    """The single-table WHERE path hands pruning predicates to Table.scan —
+    observe plan_scan receiving them and returning fewer files."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.table import Table
+
+    c, df = cat
+    t = c.load_table("ops.transcripts")
+    run_sql(c, "OPTIMIZE ops.transcripts")  # partition-clustered layout
+    seen = {}
+    orig = Table.plan_scan
+
+    def spy(self, predicates=None, snapshot_id=None):
+        files = orig(self, predicates, snapshot_id)
+        if predicates:
+            seen["preds"] = predicates
+            seen["files"] = len(files)
+            seen["total"] = len(orig(self, None, snapshot_id))
+        return files
+
+    monkeypatch.setattr(Table, "plan_scan", spy)
+    day = df.select(F.date_format("ts", "yyyy-MM-dd").alias("d")).first()["d"]
+    out = run_sql(
+        c, "SELECT COUNT(*) AS n FROM ops.transcripts "
+           f"WHERE ts < TIMESTAMP '{day}T00:00:00' AND lower(role) <> 'x'")
+    n = out.first()["n"]
+    oracle = t.scan().filter(f"ts < '{day} 00:00:00'").count()
+    assert n == oracle
+    assert seen["preds"] == [("ts", "<", datetime.datetime.fromisoformat(
+        f"{day}T00:00:00"))]
+    assert seen["files"] < seen["total"]
+
+    # OR disables pushdown entirely (subset-of-conjuncts would be unsound)
+    seen.clear()
+    out = run_sql(c, "SELECT COUNT(*) AS n FROM ops.transcripts "
+                     f"WHERE ts < TIMESTAMP '{day}T00:00:00' OR role = 'user'")
+    assert "preds" not in seen
+    assert out.first()["n"] == t.scan().filter(
+        f"ts < '{day} 00:00:00' OR role = 'user'").count()
