@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .bloom import harvest_blooms
+from .bloom import harvest_blooms, harvest_key_stats
 from .manifest import DataFile, encode_bound, truncate_lower, truncate_upper
 from .partition import PARTITION_COL_PREFIX
 
@@ -88,20 +88,31 @@ def harvest_file_stats(
         string_cols = {f.name for f in schema.fields
                        if isinstance(f.dataType, T.StringType)}
         hash_cols = [c for c in (hash_stat_columns or []) if c in string_cols]
-        if hash_cols:
-            _merge_hash_bounds(spark, dirs, files, hash_cols)
         bloom_cols = [c for c in (bloom_columns or []) if c in string_cols]
         if bloom_cols:
+            # fused job: ONE narrow scan computes xxh64 bounds AND bloom
+            # bitsets (bloom.harvest_key_stats) — the separate bounds agg +
+            # explode-based bloom job were the measured per-write floor
             parts = [
                 spark.read.parquet(d).select(
-                    F.col("_metadata.file_path").alias("_bfp"), *bloom_cols)
+                    F.col("_metadata.file_path").alias("_kfp"),
+                    *dict.fromkeys([*hash_cols, *bloom_cols]))
                 for d in dirs
             ]
             df = functools.reduce(lambda a, b: a.unionByName(b), parts)
-            by_path = harvest_blooms(df, "_bfp", bloom_cols, m=bloom_bits)
-            by_path = {normalize_path(p): b for p, b in by_path.items()}
+            by_path = harvest_key_stats(df, "_kfp", hash_cols, bloom_cols,
+                                        m=bloom_bits)
+            by_path = {normalize_path(p): e for p, e in by_path.items()}
             for f in files:
-                f.blooms = by_path.get(f.path, {})
+                e = by_path.get(f.path)
+                if e is None:
+                    continue
+                for c, (lo, hi) in e["hash_bounds"].items():
+                    f.lower_bounds[hash_bound_key(c)] = encode_bound(lo)
+                    f.upper_bounds[hash_bound_key(c)] = encode_bound(hi)
+                f.blooms = e["blooms"]
+        elif hash_cols:
+            _merge_hash_bounds(spark, dirs, files, hash_cols)
         return files
     # fallback: one distributed scan computes everything
     # (one read per staging root — each discovers its own _p_* partition

@@ -151,3 +151,51 @@ def test_table_point_lookup_skips_files(spark, tmp_path):
     got = sorted(tbl.scan(predicates=pred).collect())
     want = sorted(tbl.scan().filter(F.col("conv_id") == "conv-0007").collect())
     assert got == want and len(got) == 30
+
+
+def test_fused_key_stats_matches_two_job_path(spark):
+    """harvest_key_stats (one fused applyInPandas job) must produce bit-for-
+    bit the SAME bloom encodings as the explode-based harvest_blooms, and
+    xxh64 bounds equal to the min/max-agg path on null-free data — the
+    write path swapped to the fused job purely for speed, so any placement
+    drift would silently change which files pruning skips."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.bloom import (
+        harvest_key_stats,
+    )
+
+    rows = [(f"f{n % 3}", f"conv-{i}") for n, i in
+            enumerate([x % 97 for x in range(500)])]
+    df = spark.createDataFrame(rows, "fp string, conv_id string")
+
+    legacy = harvest_blooms(df, "fp", ["conv_id"], m=4096)
+    agg = (df.groupBy("fp")
+           .agg(F.min(F.xxhash64("conv_id")).alias("lo"),
+                F.max(F.xxhash64("conv_id")).alias("hi")).collect())
+    legacy_bounds = {r["fp"]: (r["lo"], r["hi"]) for r in agg}
+
+    fused = harvest_key_stats(df, "fp", ["conv_id"], ["conv_id"], m=4096)
+    assert set(fused) == set(legacy) == {"f0", "f1", "f2"}
+    for fp in fused:
+        assert fused[fp]["blooms"] == legacy[fp], fp
+        assert fused[fp]["hash_bounds"]["conv_id"] == legacy_bounds[fp], fp
+
+
+def test_fused_key_stats_null_handling(spark):
+    """NULL keys are masked out (never hashed into the bloom, never widen
+    the xxh64 bounds); an all-null file still yields an entry with an empty
+    bloom so pruning can prove every equality probe misses it."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.bloom import (
+        harvest_key_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "k1"), ("a", None), ("b", None), ("b", None)],
+        "fp string, c string")
+    fused = harvest_key_stats(df, "fp", ["c"], ["c"], m=1024)
+    enc_a = fused["a"]["blooms"][bloom_key("c")]
+    assert bloom_might_contain(enc_a, "k1")
+    # file b: all-null -> empty bloom proves absence of any probe value
+    enc_b = fused["b"]["blooms"][bloom_key("c")]
+    assert decode_bloom(enc_b)[2] == {}
+    assert not bloom_might_contain(enc_b, "k1")
+    assert fused["b"]["hash_bounds"] == {}
