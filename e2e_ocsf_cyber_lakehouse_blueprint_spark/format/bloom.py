@@ -80,11 +80,30 @@ def _positions(value: str, m: int, k: int) -> list[int]:
     return [(h1 + i * h2) % m for i in range(k)]
 
 
+def _find_word(body: str, idx: int) -> int:
+    """Fetch word ``idx`` from the sparse ``"i=hex,..."`` body WITHOUT
+    materializing the full word dict. A densely-set bloom (a clustered
+    32 MB file holds ~8k distinct keys) encodes to tens of KB; a probe
+    needs only k words of it, so driver-side point-lookup planning over
+    many files does k C-speed substring finds per file instead of parsing
+    thousands of tokens per file."""
+    tok = f"{idx}="
+    at = body.find("," + tok)
+    if at >= 0:
+        start = at + 1 + len(tok)
+    elif body.startswith(tok):
+        start = len(tok)
+    else:
+        return 0
+    end = body.find(",", start)
+    return int(body[start:] if end < 0 else body[start:end], 16)
+
+
 def bloom_might_contain(encoded: str, value: str) -> bool:
-    m, k, words = decode_bloom(encoded)
+    m_s, k_s, body = encoded.split(":", 2)
+    m, k = int(m_s), int(k_s)
     for pos in _positions(value, m, k):
-        word = words.get(pos >> 6, 0)
-        if not (word >> (pos & 63)) & 1:
+        if not (_find_word(body, pos >> 6) >> (pos & 63)) & 1:
             return False
     return True
 

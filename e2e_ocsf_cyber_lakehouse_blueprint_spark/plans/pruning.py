@@ -38,6 +38,23 @@ def _norm_value(value: Any, dtype: T.DataType | None) -> Any:
     return value
 
 
+def _survives_bloom(f: DataFile, col: str, op: str, value: Any) -> bool:
+    """Per-file bloom bitset (format/bloom.py): definite-absence proof for
+    point lookups on files whose min/max AND hash bounds stay wide (fresh
+    time-ordered appends). Consulted LAST — only for files every cheaper
+    check kept — because probing costs substring searches over the sparse
+    encoding. False positives only cost a read."""
+    if op not in ("=", "in"):
+        return True
+    bl = f.blooms.get(bloom_key(col))
+    if bl is None:
+        return True
+    vals = list(value) if op == "in" else [value]
+    if not all(isinstance(v, str) for v in vals):
+        return True
+    return any(bloom_might_contain(bl, v) for v in vals)
+
+
 def _survives_bounds(f: DataFile, col: str, op: str, value: Any,
                      dtype: T.DataType | None) -> bool:
     """False only when the predicate is provably unsatisfiable for this file."""
@@ -59,26 +76,18 @@ def _survives_bounds(f: DataFile, col: str, op: str, value: Any,
                 hlo, hhi = decode_bound(hlo_s), decode_bound(hhi_s)
                 if not any(hlo <= spark_xxhash64_string(v) <= hhi for v in vals):
                     return False
-        # per-file bloom bitset (format/bloom.py): definite-absence proof for
-        # point lookups on files whose min/max AND hash bounds stay wide
-        # (fresh time-ordered appends). False positives only cost a read.
-        bl = f.blooms.get(bloom_key(col))
-        if bl is not None:
-            vals = list(value) if op == "in" else [value]
-            if (all(isinstance(v, str) for v in vals)
-                    and not any(bloom_might_contain(bl, v) for v in vals)):
-                return False
     lo_s, hi_s = f.lower_bounds.get(col), f.upper_bounds.get(col)
     if lo_s is None or hi_s is None:
-        return True  # no stats -> cannot prune
+        return _survives_bloom(f, col, op, value)  # no stats -> bloom only
     lo, hi = decode_bound(lo_s), decode_bound(hi_s)
     try:
         if op == "in":
             vals = [_norm_value(v, dtype) for v in value]
-            return any(lo <= v <= hi for v in vals)
+            return (any(lo <= v <= hi for v in vals)
+                    and _survives_bloom(f, col, op, value))
         v = _norm_value(value, dtype)
         if op == "=":
-            return lo <= v <= hi
+            return lo <= v <= hi and _survives_bloom(f, col, op, value)
         if op == "<":
             return lo < v
         if op == "<=":
@@ -88,7 +97,8 @@ def _survives_bounds(f: DataFile, col: str, op: str, value: Any,
         if op == ">=":
             return hi >= v
     except TypeError:
-        return True  # incomparable types -> conservative keep
+        # incomparable types -> bounds can't decide; the bloom still can
+        return _survives_bloom(f, col, op, value)
     return True
 
 
