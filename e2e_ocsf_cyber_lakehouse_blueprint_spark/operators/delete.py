@@ -39,7 +39,7 @@ from pyspark.sql import types as T
 from ..format.manifest import DataFile, decode_bound
 from ..format.table import Table
 from ..plans.pruning import Predicate, _norm_value, prune_files
-from .ledger import Ledger, partition_key, spill_metrics
+from .ledger import Ledger, partition_key, spill_metrics, split_size_for_rewrites
 
 
 @dataclass
@@ -308,17 +308,26 @@ class DeleteJob:
         outs: list[DataFile] = []
         pred = table._residual(self.predicates)
         if rewrite:
-            df = table.read_data_files(rewrite)
-            # delete iff predicate is TRUE; UNKNOWN (NULL) rows are kept
-            survivors = df.filter(~F.coalesce(pred, F.lit(False)))
+            # MAP-ONLY rewrite (Iceberg's copy-on-write shape): each scan
+            # task filters its own files, locally sorts on the layout keys
+            # (filtering preserves existing order, so a clustered input is
+            # an almost-sorted no-op), and writes its own outputs — NO
+            # exchange of the surviving rows. Splits are aligned to the
+            # target file size so outputs mirror inputs ~1:1 minus the
+            # deleted rows; a later compaction re-packs stragglers. At
+            # 100 TB this is the difference between an embarrassingly
+            # parallel rewrite and shuffling every surviving row of the
+            # touched partitions through a repartition.
             target_size = table.property_int(
                 "write.target-file-size-bytes", 128 * 1024 * 1024)
-            bytes_in = sum(f.file_size_bytes for f in rewrite)
-            n_files = max(1, round(bytes_in / target_size))
-            outs = table.write_data_files(
-                survivors, n_files=n_files,
-                sort_within=self.sort_keys or None, job_tag="delete",
-            )
+            with split_size_for_rewrites(spark, target_size):
+                df = table.read_data_files(rewrite)
+                # delete iff predicate is TRUE; UNKNOWN (NULL) rows are kept
+                survivors = df.filter(~F.coalesce(pred, F.lit(False)))
+                outs = table.write_data_files(
+                    survivors, n_files=None,
+                    sort_within=self.sort_keys or None, job_tag="delete",
+                )
 
         cdir = self._write_cdf(dropped, rewrite, pred)
         removed = dropped + rewrite

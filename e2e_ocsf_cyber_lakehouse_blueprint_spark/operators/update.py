@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from ..format.table import Table
 from ..plans.pruning import Predicate, prune_files
 from .delete import record_rewrite_lineage
-from .ledger import spill_metrics
+from .ledger import spill_metrics, split_size_for_rewrites
 
 
 @dataclass
@@ -121,14 +121,17 @@ class UpdateJob:
         # constraints (free when none are declared — the probe early-returns)
         table.check_constraints(updated)
         cdir = self._write_cdf(df, pred, schema)
+        # map-only rewrite, same shape as DELETE copy-on-write: splits
+        # aligned to the target file size, each scan task applies the
+        # assignments to its own files, locally sorts on the layout keys,
+        # and writes its own outputs — no exchange of the rewritten rows
         target_size = table.property_int(
             "write.target-file-size-bytes", 128 * 1024 * 1024)
-        bytes_in = sum(f.file_size_bytes for f in rewrite)
-        n_files = max(1, round(bytes_in / target_size))
-        outs = table.write_data_files(
-            updated, n_files=n_files,
-            sort_within=self.sort_keys or None, job_tag="update",
-        )
+        with split_size_for_rewrites(table.spark, target_size):
+            outs = table.write_data_files(
+                updated, n_files=None,
+                sort_within=self.sort_keys or None, job_tag="update",
+            )
         summary = {
             "job": "update",
             "predicates": " AND ".join(
