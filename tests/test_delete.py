@@ -121,3 +121,33 @@ def test_delete_conjunction(spark, delete_table):
     gone = df.filter((F.col("role") == "assistant") & (F.col("ts") >= F.lit(cutoff)))
     assert res.rows_deleted == gone.count()
     assert t.scan().count() == df.count() - gone.count()
+
+
+def test_cow_rewrite_plan_is_map_only(spark, delete_table):
+    """The copy-on-write rewrite must not exchange surviving rows: scan ->
+    filter -> local sort -> write, no ShuffleExchange in the physical plan.
+    (The old shape repartitioned every surviving row to hit an output count;
+    at 100 TB that shuffled whole partitions just to re-pack files.)"""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.ledger import (
+        split_size_for_rewrites,
+    )
+
+    t, df = delete_table
+    job = DeleteJob(t, [("role", "=", "tool"), ("turn_idx", "<", 6)])
+    _untouched, _dropped, rewrite = job.classify()
+    assert rewrite, "fixture must produce straddling files"
+    pred = t._residual(job.predicates)
+    with split_size_for_rewrites(spark, 512 * 1024):
+        survivors = t.read_data_files(rewrite).filter(
+            ~F.coalesce(pred, F.lit(False)))
+        # the exact frame write_data_files builds for n_files=None
+        staged = t.spec.with_partition_columns(survivors).sortWithinPartitions(
+            *(t.spec.column_names + job.sort_keys))
+        plan = staged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    # and the executed job produces the same survivors as a full-table filter
+    before = turns(df.filter(~((F.col("role") == "tool") & (F.col("turn_idx") < 6))))
+    res = job.run()
+    assert res.rows_deleted > 0
+    assert turns(t.scan()) == before
