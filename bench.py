@@ -358,10 +358,20 @@ def run_scaling(sf_dir: str, n_small: int, n_big: int, trials: int = 2) -> dict:
     only the measured core (more trials per wall-clock hour -> tighter
     minima)."""
     results = {}
-    env = dict(os.environ, SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     template_root = tempfile.mkdtemp(prefix="bench-tmpl-", dir=BENCH_WORKROOT)
+    # Both arms share one fixed heap by default. The per-core alternative
+    # (BENCH_MEM_PER_CORE_GB, the "each executor brings its own memory"
+    # proxy) was MEASURED and rejected at bench scale: the working set
+    # (~2.6 GB) never pressures a 16 GB heap at either parallelism — local[2]
+    # at 8g matched local[2] at 16g exactly — while a 32 GB heap made the
+    # local[8] arm ~30% slower (GC geometry), i.e. heap size was a
+    # confounder, not a fairness fix. Raw runs: BENCH/run4x_r3{b,c,d}.json.
+    fixed_mem = os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+    per_core_gb = os.environ.get("BENCH_MEM_PER_CORE_GB")
 
-    def sub(args_list):
+    def sub(args_list, cpus):
+        mem = f"{int(per_core_gb) * cpus}g" if per_core_gb else fixed_mem
+        env = dict(os.environ, SPARK_DRIVER_MEMORY=mem)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)] + args_list,
             capture_output=True, text=True, timeout=3600, env=env,
@@ -373,10 +383,10 @@ def run_scaling(sf_dir: str, n_small: int, n_big: int, trials: int = 2) -> dict:
 
     try:
         prep = sub(["--prepare-template", template_root, "--sf-dir", sf_dir,
-                    "--cpus", str(n_big)])
+                    "--cpus", str(n_big)], n_big)
         order = [c for _ in range(trials) for c in (n_small, n_big)]
         for cpus in order:
-            run = sub(["--use-template", template_root, "--cpus", str(cpus)])
+            run = sub(["--use-template", template_root, "--cpus", str(cpus)], cpus)
             results.setdefault(cpus, []).append(run)
     finally:
         shutil.rmtree(template_root, ignore_errors=True)
