@@ -19,6 +19,7 @@ The engine-side replacement for the reference's Delta streaming tables
 from __future__ import annotations
 
 import dataclasses
+import re
 import json
 import os
 import uuid
@@ -1225,6 +1226,86 @@ class Table:
                 meta, cluster_keys=list(keys), version=meta.version + 1),
             "set_cluster_keys",
         )
+
+    def add_columns(self, fields: Sequence[T.StructField]) -> None:
+        """ALTER TABLE ... ADD COLUMNS analogue — METADATA-ONLY schema
+        evolution, zero data movement at any table size.
+
+        Every scan reads with the table schema pinned
+        (``spark.read.schema(...)``), so files written before the evolution
+        surface the new columns as NULL — the same name-based fill Delta
+        gives ``mergeSchema`` appends (which this engine already performs;
+        an explicit ADD COLUMNS just declares the column before any data
+        arrives). New columns are forced nullable for exactly that reason."""
+        existing = {f.name for f in self.schema.fields}
+        pnames = {f.name for f in self.spec.fields}
+        seen: set[str] = set()
+        for f in fields:
+            if f.name in existing:
+                raise ValueError(f"column {f.name!r} already exists")
+            if f.name in pnames:
+                raise ValueError(
+                    f"column {f.name!r} collides with a partition field")
+            if f.name in seen:
+                raise ValueError(f"duplicate column {f.name!r} in ADD COLUMNS")
+            seen.add(f.name)
+        new_schema = T.StructType(
+            list(self.schema.fields)
+            + [T.StructField(f.name, f.dataType, nullable=True) for f in fields]
+        )
+
+        def mutate(meta: snap.TableMetadata) -> snap.TableMetadata:
+            return dataclasses.replace(
+                meta, schema_json=new_schema.jsonValue(),
+                version=meta.version + 1)
+
+        self._commit_meta(mutate, "add_columns")
+
+    def drop_column(self, name: str) -> None:
+        """ALTER TABLE ... DROP COLUMN analogue — metadata-only projection
+        removal: files keep the bytes (reclaimed as rewrites touch them),
+        scans stop selecting the column immediately.
+
+        Rejected while anything live still depends on the column: a
+        partition-spec source (pruning and rewrite writers recompute from
+        it), a cluster key, a declared constraint, or a live equality-delete
+        file keyed on it (the sequence-rule anti-join must read the column
+        from every data file it covers)."""
+        if name not in {f.name for f in self.schema.fields}:
+            raise ValueError(f"unknown column {name!r}")
+        srcs = {f.source for f in self.spec.fields}
+        if name in srcs:
+            raise ValueError(
+                f"column {name!r} is a partition source; evolve the spec first")
+        if name in (self.meta.cluster_keys or []):
+            raise ValueError(
+                f"column {name!r} is a cluster key; ALTER ... CLUSTER BY first")
+        nn, checks = self.constraints()
+        if name in nn:
+            raise ValueError(
+                f"column {name!r} has a NOT NULL constraint; drop it first")
+        pat = re.compile(rf"\b{re.escape(name)}\b")
+        hits = [cn for cn, expr in checks.items() if pat.search(expr)]
+        if hits:
+            raise ValueError(
+                f"column {name!r} is referenced by CHECK constraint(s) "
+                f"{hits}; drop them first")
+        if self.current_snapshot() is not None:
+            eq_hits = [d.path for d in self.live_eq_delete_files()
+                       if name in (d.eq_columns or [])]
+            if eq_hits:
+                raise ValueError(
+                    f"column {name!r} keys {len(eq_hits)} live equality-delete "
+                    "file(s); run REWRITE DELETES (eqdel->posdel) first")
+        new_schema = T.StructType(
+            [f for f in self.schema.fields if f.name != name])
+
+        def mutate(meta: snap.TableMetadata) -> snap.TableMetadata:
+            return dataclasses.replace(
+                meta, schema_json=new_schema.jsonValue(),
+                version=meta.version + 1)
+
+        self._commit_meta(mutate, "drop_column")
 
     def set_partition_spec(self, spec: PartitionSpec) -> None:
         """ALTER TABLE ... PARTITIONED BY analogue (Iceberg partition-spec

@@ -60,6 +60,12 @@ table-maintenance statements the engine owns:
     ALTER TABLE <tbl> DROP BRANCH|TAG <name>
     ALTER TABLE <tbl> FAST FORWARD TO <branch>
     DESCRIBE REFS <tbl>
+    ALTER TABLE <tbl> ADD COLUMNS (name type[, ...])
+    ALTER TABLE <tbl> DROP COLUMN <name>
+        metadata-only schema evolution: scans pin the table schema, so
+        pre-evolution files surface added columns as NULL and dropped
+        columns vanish without any rewrite (bytes reclaimed as
+        maintenance touches the files)
     ALTER TABLE <tbl> CLUSTER BY (c1[, ...])
     ALTER TABLE <tbl> SET TBLPROPERTIES ('k'='v'[, ...])
     ALTER TABLE <tbl> PARTITIONED BY (transform[, ...])
@@ -337,6 +343,12 @@ _STATEMENTS: list[tuple[re.Pattern, str]] = [
     (re.compile(
         rf"DESCRIBE\s+REFS\s+(?P<tbl>{_ID})\s*;?\s*$", re.IGNORECASE),
      "refs"),
+    (re.compile(
+        rf"ALTER\s+TABLE\s+(?P<tbl>{_ID})\s+ADD\s+COLUMNS?\s*\((?P<cols>.+)\)\s*;?\s*$",
+        re.IGNORECASE), "add_columns"),
+    (re.compile(
+        rf"ALTER\s+TABLE\s+(?P<tbl>{_ID})\s+DROP\s+COLUMN\s+(?P<col>[\w$]+)\s*;?\s*$",
+        re.IGNORECASE), "drop_column"),
     (re.compile(
         rf"ALTER\s+TABLE\s+(?P<tbl>{_ID})\s+CLUSTER\s+BY\s*\((?P<cols>[^)]+)\)\s*;?\s*$",
         re.IGNORECASE), "cluster_by"),
@@ -752,6 +764,16 @@ def _dispatch(action: str, table: Table, m: re.Match,
         return table.fast_forward_main(m.group("name"))
     if action == "refs":
         return refs_table(table)
+    if action == "add_columns":
+        try:
+            new_fields = T.StructType.fromDDL(m.group("cols")).fields
+        except Exception as e:
+            raise ValueError(f"unparseable column list in ADD COLUMNS: {e}")
+        table.add_columns(new_fields)
+        return None
+    if action == "drop_column":
+        table.drop_column(m.group("col"))
+        return None
     if action == "cluster_by":
         table.set_cluster_keys(_cols(m.group("cols")))
         return None

@@ -557,3 +557,72 @@ def test_select_pushdown_prunes_files(cat, monkeypatch):
     assert "preds" not in seen
     assert out.first()["n"] == t.scan().filter(
         f"ts < '{day} 00:00:00' OR role = 'user'").count()
+
+
+def test_alter_add_columns_null_fills_old_files(cat):
+    """ADD COLUMNS is metadata-only: pre-evolution files surface the new
+    columns as NULL (scans pin the table schema), post-evolution appends
+    carry values, and the union scans coherently."""
+    c, df = cat
+    t = c.load_table("ops.transcripts")
+    n_before = t.scan().count()
+    run_sql(c, "ALTER TABLE ops.transcripts ADD COLUMNS (score DOUBLE, lang STRING)")
+    t.refresh()
+    assert [f.name for f in t.schema.fields][-2:] == ["score", "lang"]
+    # old rows: NULL in both new columns, same row count
+    got = t.scan()
+    assert got.count() == n_before
+    assert got.filter(F.col("score").isNotNull()).count() == 0
+    # new append with values lands next to the old files
+    newdf = (df.limit(50)
+             .withColumn("conv_id", F.concat("conv_id", F.lit("-ev")))
+             .withColumn("score", F.lit(0.5))
+             .withColumn("lang", F.lit("en")))
+    t.append(newdf, n_files=1)
+    assert t.scan().filter(F.col("lang") == "en").count() == 50
+    assert t.scan().count() == n_before + 50
+    # duplicate / partition-collision rejections
+    with pytest.raises(ValueError, match="already exists"):
+        run_sql(c, "ALTER TABLE ops.transcripts ADD COLUMNS (score DOUBLE)")
+    with pytest.raises(ValueError, match="partition field"):
+        run_sql(c, "ALTER TABLE ops.transcripts ADD COLUMNS (ts_day STRING)")
+
+
+def test_alter_drop_column_projects_immediately(cat):
+    """DROP COLUMN removes the column from every scan without touching data
+    files; guarded while the partition spec or a constraint still needs it."""
+    c, df = cat
+    t = c.load_table("ops.transcripts")
+    files_before = sorted(f.path for f in t.live_data_files())
+    run_sql(c, "ALTER TABLE ops.transcripts DROP COLUMN tool")
+    t.refresh()
+    assert "tool" not in [f.name for f in t.schema.fields]
+    assert "tool" not in t.scan().columns
+    # zero data movement
+    assert sorted(f.path for f in t.live_data_files()) == files_before
+    # guards
+    with pytest.raises(ValueError, match="partition source"):
+        run_sql(c, "ALTER TABLE ops.transcripts DROP COLUMN ts")
+    run_sql(c, "ALTER TABLE ops.transcripts ADD CONSTRAINT roleset "
+               "CHECK (role IN ('user','assistant','system','tool'))")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        run_sql(c, "ALTER TABLE ops.transcripts DROP COLUMN role")
+    with pytest.raises(ValueError, match="unknown column"):
+        run_sql(c, "ALTER TABLE ops.transcripts DROP COLUMN nope")
+
+
+def test_maintenance_after_schema_evolution(cat):
+    """Compaction after ADD COLUMNS must fold the null-filled columns into
+    the rewritten files (they carry the evolved schema) and preserve every
+    pre-evolution row byte-for-byte on the surviving columns."""
+    c, df = cat
+    t = c.load_table("ops.transcripts")
+    before = sorted(
+        tuple(r) for r in t.scan(columns=["conv_id", "turn_idx", "text"]).collect())
+    run_sql(c, "ALTER TABLE ops.transcripts ADD COLUMNS (score DOUBLE)")
+    run_sql(c, "OPTIMIZE ops.transcripts")
+    t.refresh()
+    after = sorted(
+        tuple(r) for r in t.scan(columns=["conv_id", "turn_idx", "text"]).collect())
+    assert after == before
+    assert t.scan().filter(F.col("score").isNotNull()).count() == 0
