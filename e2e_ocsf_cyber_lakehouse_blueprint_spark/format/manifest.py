@@ -64,6 +64,13 @@ MANIFEST_ENTRY_SCHEMA = {
         # (format/bloom.py) — point-lookup skipping where min/max cannot help
         {"name": "blooms", "type": {"type": "map", "values": "string"},
          "default": {}},
+        # sort_order: layout spec this file was WRITTEN in, e.g.
+        # "zorder(conv_id,turn_idx,ts)" (Iceberg's sort_order_id analogue).
+        # Set only by the clustering writer; incremental clustering skips
+        # files already carrying the current spec. Compaction/merge/delete
+        # outputs leave it null (their writers do not globally order), so a
+        # later clustering pass picks them up.
+        {"name": "sort_order", "type": ["null", "string"], "default": None},
     ],
 }
 
@@ -130,6 +137,7 @@ class DataFile:
     blooms: dict[str, str] = field(default_factory=dict)
     data_sequence: int = 0
     eq_columns: list[str] = field(default_factory=list)
+    sort_order: str | None = None
 
     def to_entry(self, status: int, snapshot_id: int) -> dict:
         return {
@@ -148,6 +156,7 @@ class DataFile:
             "blooms": self.blooms,
             "data_sequence": self.data_sequence,
             "eq_columns": self.eq_columns,
+            "sort_order": self.sort_order,
         }
 
     @staticmethod
@@ -166,6 +175,7 @@ class DataFile:
             blooms=dict(e.get("blooms") or {}),
             data_sequence=int(e.get("data_sequence") or 0),
             eq_columns=list(e.get("eq_columns") or []),
+            sort_order=e.get("sort_order"),
         )
 
 

@@ -50,6 +50,9 @@ class ClusteringResult:
     skipped_resume: int = 0
     elapsed_sec: float = 0.0
     spill_bytes: int = 0
+    # files left in place because their manifest entry already carries the
+    # current sort spec (incremental / liquid clustering)
+    files_skipped_clustered: int = 0
 
 
 def _parse_ts_us(s: str) -> float:
@@ -99,11 +102,19 @@ class ClusteringJob:
         min_input_files: int = 1,
         max_concurrency: int = 8,
         only_partitions: set[str] | None = None,
+        incremental: bool = True,
     ):
         if curve not in ("zorder", "hilbert"):
             raise ValueError(f"unknown curve {curve!r}")
         self.table = table
         self.curve = curve
+        # incremental=True (liquid-clustering behavior): files whose manifest
+        # entry already records the current sort spec are left in place, so a
+        # re-cluster after a small append rewrites only the new bytes instead
+        # of whole partitions — the write-amplification property that matters
+        # at 10^12 turns. incremental=False forces a full re-sort (use after
+        # changing curve parameters that don't show in the spec string).
+        self.incremental = incremental
         self.target_file_size = target_file_size or table.property_int(
             "write.target-file-size-bytes", DEFAULT_TARGET_FILE_SIZE
         )
@@ -113,13 +124,41 @@ class ClusteringJob:
         # incremental liquid clustering: the managed pass scopes the rewrite
         # to partitions that gained files since the last clustering commit
         self.only_partitions = only_partitions
+        self._skipped_clustered = 0
+
+    @property
+    def sort_spec(self) -> str:
+        """Layout spec stamped into each output file's manifest entry."""
+        return f"{self.curve}({self.conv_col},{self.turn_col},{self.ts_col})"
+
+    def _already_clustered(self, f: DataFile) -> bool:
+        """Skip-eligible: written under the current spec AND no outstanding
+        delete may mask its rows (a masked file must be rewritten so the
+        delete can retire and the mask cost stops being paid at scan time)."""
+        if f.sort_order != self.sort_spec:
+            return False
+        if f.path in self._del_covered:
+            return False
+        from ..format.table import _eq_bounds_may_match
+        return not any(
+            d.data_sequence > f.data_sequence and _eq_bounds_may_match(f, d)
+            for d in self._eqdels
+        )
 
     def _plan(self) -> list[PartitionClusterPlan]:
+        self._skipped_clustered = 0
+        dels = self.table.live_delete_files()
+        self._del_covered = set().union(
+            *[set(d.covered_paths) for d in dels]) if dels else set()
+        self._eqdels = self.table.live_eq_delete_files()
         by_part: dict[str, list[DataFile]] = {}
         parts: dict[str, dict] = {}
         for f in self.table.live_data_files():
             k = partition_key(f.partition)
             if self.only_partitions is not None and k not in self.only_partitions:
+                continue
+            if self.incremental and self._already_clustered(f):
+                self._skipped_clustered += 1
                 continue
             by_part.setdefault(k, []).append(f)
             parts[k] = f.partition
@@ -170,8 +209,10 @@ class ClusteringJob:
             return ClusteringResult(None, self.curve, 0, 0, 0, 0, 0)
         plans = self._plan()
         if not plans:
+            # incremental no-op: everything already carries the current spec
             return ClusteringResult(snapshot.snapshot_id, self.curve, 0, 0, 0, 0, 0,
-                                    elapsed_sec=time.time() - t0)
+                                    elapsed_sec=time.time() - t0,
+                                    files_skipped_clustered=self._skipped_clustered)
         all_files = [f for p in plans for f in p.input_files]
         turn_range, ts_range = dimension_ranges(all_files)
         job_id = f"cluster-{self.curve}-{snapshot.snapshot_id}"
@@ -181,7 +222,7 @@ class ClusteringJob:
                 self.table, plans, ledger,
                 self._group_writer_factory(turn_range, ts_range),
                 resume=resume, max_concurrency=self.max_concurrency,
-                job_tag=job_id,
+                job_tag=job_id, stamp_sort_order=self.sort_spec,
             )
 
         skipped = 0
@@ -207,4 +248,5 @@ class ClusteringJob:
             skipped_resume=skipped,
             elapsed_sec=time.time() - t0,
             spill_bytes=spill_metrics(self.table.spark),
+            files_skipped_clustered=self._skipped_clustered,
         )

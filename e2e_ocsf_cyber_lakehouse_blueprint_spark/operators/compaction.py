@@ -212,6 +212,7 @@ def run_grouped_rewrites(
     max_concurrency: int,
     job_tag: str,
     group_bins: int | None = None,
+    stamp_sort_order: str | None = None,
 ) -> list[tuple[object, list[DataFile], bool]]:
     """Grouped copy-on-write rewrites + ONE batched stats harvest.
 
@@ -301,6 +302,11 @@ def run_grouped_rewrites(
             pcol_names, table.hash_stat_columns(), table.stat_columns(),
             table.bloom_stat_columns(), table.bloom_bits(),
         ) if harvest_dirs else []
+        if stamp_sort_order is not None:
+            # layout provenance (Iceberg sort_order_id analogue): lets the
+            # next clustering pass skip files already written in this spec
+            for f in files:
+                f.sort_order = stamp_sort_order
         by_part: dict[str, list[DataFile]] = {}
         for f in files:
             by_part.setdefault(partition_key(f.partition), []).append(f)

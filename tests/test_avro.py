@@ -100,7 +100,7 @@ def test_manifest_schema_shape(tmp_path):
     _, back = avro.read_ocf(path)
     # pre-bloom entries encode via the schema default and decode with it
     assert back == [{**entry, "blooms": {}, "data_sequence": 0,
-                     "eq_columns": []}]
+                     "eq_columns": [], "sort_order": None}]
 
 
 def test_truncate_bounds():

@@ -127,9 +127,35 @@ def test_clustering_resume_and_ledger(spark, scattered_table):
     t, _ = scattered_table
     res1 = ClusteringJob(t, curve="hilbert").run()
     assert res1.files_out >= 1
-    # second run on the new snapshot: fresh job id, works, stays equivalent
+    # incremental (liquid) semantics: every live file already carries the
+    # hilbert spec, so a second run is a metadata-only no-op
     res2 = ClusteringJob(t, curve="hilbert").run()
-    assert res2.snapshot_id != res1.snapshot_id
+    assert res2.files_in == 0
+    assert res2.files_skipped_clustered == res1.files_out
+    assert res2.snapshot_id == res1.snapshot_id
+    # a different curve is a different spec: full rewrite again
+    res3 = ClusteringJob(t, curve="zorder").run()
+    assert res3.files_in == res1.files_out
+    # incremental=False forces the re-sort even under the same spec
+    res4 = ClusteringJob(t, curve="zorder", incremental=False).run()
+    assert res4.files_in > 0
+
+
+def test_clustering_incremental_rewrites_only_new_files(spark, scattered_table):
+    """After an append, re-clustering touches only the new bytes (the
+    write-amplification property that matters at 10^12 turns)."""
+    t, src = scattered_table
+    res1 = ClusteringJob(t, curve="zorder").run()
+    assert res1.files_out >= 1
+    extra = src.limit(50)
+    t.append(extra.repartition(2))
+    res2 = ClusteringJob(t, curve="zorder").run()
+    # only the two appended files rewrite; prior outputs stay in place
+    assert res2.files_skipped_clustered == res1.files_out
+    assert 0 < res2.files_in <= 2
+    # scan equivalence still holds over the mixed clustered/incremental layout
+    want = sorted_rows(src.unionByName(extra))
+    assert sorted_rows(t.scan()) == want
 
 
 def test_dimension_ranges_from_manifests(spark, scattered_table):
