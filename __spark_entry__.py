@@ -313,6 +313,149 @@ WHERE turn_idx % 13 = 5
 """
 
 
+def _make_catalog_table(spark: SparkSession, sf_dir: str, *, n_files: int = 6):
+    """Catalog + transcripts table for the SQL-dialect queries."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.catalog import Catalog
+
+    tune_session(spark)
+    df = transcripts_from_events(spark, sf_dir)
+    c = Catalog(spark, tempfile.mkdtemp(prefix="sqlwh-"))
+    c.create_database("ops")
+    t = c.create_table(
+        "ops.transcripts", T.StructType.fromDDL(TRANSCRIPT_DDL_NTZ),
+        PartitionSpec.of(days("ts_day", "ts"),
+                         bucket("conv_bucket", "conv_id", 4)),
+        properties={
+            "write.target-file-size-bytes": str(8 * 1024 * 1024),
+            "stats.columns": "conv_id,turn_idx,role,tool,ts",
+        },
+    )
+    t.append(df, n_files=n_files)
+    return c, t, df
+
+
+def q_sql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT through the SQL dialect over a catalog table
+    (sql.py:_run_select): the FROM clause resolves to the table's
+    delete-applied scan with WHERE-derived file-pruning pushdown, then full
+    Spark SQL (aggregate below) runs on top."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.sql import run_sql
+
+    c, _t, _df = _make_catalog_table(spark, sf_dir)
+    return run_sql(c, """
+        SELECT role, tool, COUNT(*) AS n_turns,
+               CAST(SUM(turn_idx) AS BIGINT) AS sum_turn,
+               MIN(conv_id) AS min_conv, MAX(ts) AS max_ts
+        FROM ops.transcripts
+        WHERE turn_idx >= 10
+        GROUP BY role, tool
+    """)
+
+
+_SQL_SELECT_ORACLE = f"""
+WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+SELECT role, tool, COUNT(*) AS n_turns,
+       CAST(SUM(turn_idx) AS BIGINT) AS sum_turn,
+       MIN(conv_id) AS min_conv, MAX(ts) AS max_ts
+FROM t WHERE turn_idx >= 10 GROUP BY role, tool
+"""
+
+
+def q_sql_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE AS SELECT + INSERT INTO SELECT through the SQL dialect
+    (sql.py:_run_ctas/_run_insert): both statements read the source catalog
+    table through its scan and commit real snapshots on the new table."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.sql import run_sql
+
+    c, _t, _df = _make_catalog_table(spark, sf_dir)
+    run_sql(c, """
+        CREATE TABLE ops.user_turns AS
+        SELECT conv_id, turn_idx, text, ts FROM ops.transcripts
+        WHERE role = 'user'
+    """)
+    run_sql(c, """
+        INSERT INTO ops.user_turns
+        SELECT conv_id, turn_idx, text, ts FROM ops.transcripts
+        WHERE role = 'assistant'
+    """)
+    t2 = c.load_table("ops.user_turns")
+    return t2.scan(columns=["conv_id", "turn_idx", "text", "ts"])
+
+
+_SQL_CTAS_ORACLE = f"""
+WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+SELECT conv_id, turn_idx, text, ts FROM t WHERE role IN ('user', 'assistant')
+"""
+
+
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD COLUMNS / DROP COLUMN (format/table.py add_columns,
+    drop_column via sql.py DDL): rows written before the ADD lack the column
+    in their parquet footers and scan as NULL; a scratch column is added and
+    dropped again to prove DROP leaves the data files untouched (pure
+    metadata) while removing the column from the scan."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.catalog import Catalog
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.sql import run_sql
+
+    tune_session(spark)
+    df = transcripts_from_events(spark, sf_dir)
+    c = Catalog(spark, tempfile.mkdtemp(prefix="sqlwh-"))
+    c.create_database("ops")
+    t = c.create_table(
+        "ops.transcripts",
+        T.StructType.fromDDL(
+            "conv_id string, turn_idx int, role string, text string,"
+            " ts timestamp_ntz"),
+        PartitionSpec.of(days("ts_day", "ts"),
+                         bucket("conv_bucket", "conv_id", 4)),
+        properties={"write.target-file-size-bytes": str(8 * 1024 * 1024)},
+    )
+    t.append(df.filter(F.col("turn_idx") % 2 == 0).drop("tool"), n_files=4)
+    run_sql(c, "ALTER TABLE ops.transcripts ADD COLUMNS "
+               "(tool string, scratch int)")
+    t.refresh()
+    t.append(df.filter(F.col("turn_idx") % 2 == 1)
+               .withColumn("scratch", F.lit(None).cast("int")), n_files=4)
+    run_sql(c, "ALTER TABLE ops.transcripts DROP COLUMN scratch")
+    t.refresh()
+    return t.scan(columns=_TCOLS)
+
+
+_SCHEMA_EVOLUTION_ORACLE = f"""
+WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+SELECT conv_id, turn_idx, role, text, CAST(NULL AS VARCHAR) AS tool, ts
+FROM t WHERE turn_idx % 2 = 0
+UNION ALL
+SELECT conv_id, turn_idx, role, text, tool, ts FROM t WHERE turn_idx % 2 = 1
+"""
+
+
+def q_incremental_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (liquid) re-clustering: cluster, append a small delta,
+    re-cluster. The second pass skips files whose manifest entry already
+    carries the current sort spec (operators/clustering.py incremental=True)
+    and rewrites only the delta; the gate checks the final scan still equals
+    the full input."""
+    tune_session(spark)
+    df = transcripts_from_events(spark, sf_dir)
+    loc = tempfile.mkdtemp(prefix="mtbl-")
+    t = Table.create(
+        spark, os.path.join(loc, "transcripts"),
+        T.StructType.fromDDL(TRANSCRIPT_DDL_NTZ),
+        PartitionSpec.of(days("ts_day", "ts"), bucket("conv_bucket", "conv_id", 4)),
+        properties={
+            "write.target-file-size-bytes": str(8 * 1024 * 1024),
+            "stats.columns": "conv_id,turn_idx,role,tool,ts",
+        },
+    )
+    t.append(df.filter(F.col("turn_idx") % 10 != 0), n_files=6)
+    ClusteringJob(t, curve="zorder", max_concurrency=8).run()
+    t.append(df.filter(F.col("turn_idx") % 10 == 0), n_files=2)
+    job = ClusteringJob(t, curve="zorder", max_concurrency=8)
+    job.run()
+    return t.scan(columns=_TCOLS)
+
+
 def q_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE TABLE (operators/analyze.py): one-pass column statistics over
     the delete-applied scan, exact-NDV mode so every cell is DuckDB-checkable
@@ -1165,6 +1308,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintain_hilbert": q_maintain_hilbert,
         "maintain_merge": q_maintain_merge,
         "sql_merge_into": q_sql_merge_into,
+        "sql_select": q_sql_select,
+        "sql_ctas": q_sql_ctas,
+        "schema_evolution": q_schema_evolution,
+        "incremental_cluster": q_incremental_cluster,
         "maintain_delete": q_maintain_delete,
         "maintain_delete_eq": q_maintain_delete_eq,
         "streaming_upsert": q_streaming_upsert,
@@ -1224,6 +1371,10 @@ def oracle_sql() -> dict[str, str]:
         "maintain_hilbert": _MAINT_ORACLE,
         "maintain_merge": _MERGE_ORACLE,
         "sql_merge_into": _SQL_MERGE_ORACLE,
+        "sql_select": _SQL_SELECT_ORACLE,
+        "sql_ctas": _SQL_CTAS_ORACLE,
+        "schema_evolution": _SCHEMA_EVOLUTION_ORACLE,
+        "incremental_cluster": _MAINT_ORACLE,
         "maintain_delete": _DELETE_ORACLE,
         "maintain_delete_eq": _DELETE_EQ_ORACLE,
         "streaming_upsert": _UPSERT_ORACLE,
