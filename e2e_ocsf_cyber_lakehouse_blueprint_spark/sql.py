@@ -76,6 +76,14 @@ table-maintenance statements the engine owns:
         [PARTITIONED BY (transform[, ...])] [TBLPROPERTIES ('k'='v'[, ...])]
     CREATE TABLE [IF NOT EXISTS] <db.tbl> [PARTITIONED BY (...)]
         [TBLPROPERTIES (...)] AS SELECT ...   (CTAS)
+    CREATE TABLE [IF NOT EXISTS] <db.tbl> SHALLOW|DEEP CLONE <db.src>
+        [VERSION AS OF <n> | TIMESTAMP AS OF '<iso-ts>' | AT BRANCH|TAG <r>]
+        zero-copy (shallow) or full-copy (deep) table fork at a point in
+        time; copy-on-write keeps the histories independent afterwards
+    COPY INTO <tbl> FROM '<dir>' [FILEFORMAT = PARQUET|JSON|TEXT]
+        [PATTERN = '<glob>']
+        idempotent batch ingestion: loads exactly the landing files not yet
+        ingested for this (table, source) pair; re-runs are no-ops
     INSERT INTO <tbl> SELECT ...
     DROP TABLE [IF EXISTS] <db.tbl>
     SHOW TABLES [IN <db>]
@@ -122,6 +130,14 @@ from .operators.expire import ExpireSnapshotsJob
 from .operators.update import UpdateJob
 
 _ID = r"[A-Za-z_][\w.$-]*"
+
+
+def _parse_sql_timestamp_ms(ts: str) -> int:
+    """'2026-01-01 12:00:00' / ISO-8601 -> epoch millis (naive = UTC)."""
+    dt = datetime.datetime.fromisoformat(ts.replace(" ", "T", 1))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=datetime.timezone.utc)
+    return int(dt.timestamp() * 1000)
 
 
 def _cols(s: str) -> list[str]:
@@ -369,6 +385,18 @@ _CATALOG_STATEMENTS: list[tuple[re.Pattern, str]] = [
     (re.compile(
         r"CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<db>[\w$-]+)\s*;?\s*$",
         re.IGNORECASE), "create_database"),
+    (re.compile(  # CLONE must match before CTAS / column-list CREATE TABLE
+        rf"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<tbl>{_ID})\s+"
+        rf"(?P<depth>SHALLOW|DEEP)\s+CLONE\s+(?P<src>{_ID})"
+        rf"(?:\s+VERSION\s+AS\s+OF\s+(?P<version>\d+)"
+        rf"|\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)'"
+        rf"|\s+AT\s+(?:BRANCH|TAG)\s+(?P<ref>[\w$-]+))?\s*;?\s*$",
+        re.IGNORECASE), "clone_table"),
+    (re.compile(
+        rf"COPY\s+INTO\s+(?P<tbl>{_ID})\s+FROM\s+'(?P<src>[^']+)'"
+        rf"(?:\s+FILEFORMAT\s*=\s*(?P<fmt>\w+))?"
+        rf"(?:\s+PATTERN\s*=\s*'(?P<pattern>[^']+)')?\s*;?\s*$",
+        re.IGNORECASE), "copy_into"),
     (re.compile(  # CTAS must match before the column-list form
         rf"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<tbl>{_ID})\s*"
         rf"(?:PARTITIONED\s+BY\s*\((?P<transforms>[^()]*(?:\([^()]*\)[^()]*)*)\)\s*)?"
@@ -406,6 +434,30 @@ def _dispatch_catalog(action: str, catalog: Catalog, m: re.Match) -> Any:
     if action == "create_database":
         catalog.create_database(m.group("db"))
         return None
+    if action == "clone_table":
+        from .format.clone import clone_table
+
+        name = m.group("tbl")
+        if "IF NOT EXISTS" in m.string.upper() and catalog.table_exists(name):
+            return catalog.load_table(name)
+        src = catalog.load_table(m.group("src"))
+        kw: dict[str, Any] = {}
+        if m.group("version"):
+            kw["snapshot_id"] = int(m.group("version"))
+        elif m.group("ts"):
+            kw["as_of_timestamp_ms"] = _parse_sql_timestamp_ms(m.group("ts"))
+        elif m.group("ref"):
+            kw["ref"] = m.group("ref")
+        return clone_table(src, catalog._loc(name),
+                           deep=m.group("depth").upper() == "DEEP", **kw)
+    if action == "copy_into":
+        from .operators.copy_into import copy_into
+
+        return copy_into(
+            catalog.load_table(m.group("tbl")), m.group("src"),
+            file_format=(m.group("fmt") or "parquet").lower(),
+            pattern=m.group("pattern"),
+        )
     if action == "create_table":
         name = m.group("tbl")
         if "IF NOT EXISTS" in m.string.upper() and catalog.table_exists(name):

@@ -64,15 +64,19 @@ class FileStreamSource:
     """Auto Loader analogue: checkpointed listing of a landing directory."""
 
     def __init__(self, spark: SparkSession, path: str, checkpoint: str,
-                 fmt: str = "json", schema=None, suffix: str | None = None):
+                 fmt: str = "json", schema=None, suffix: str | None = None,
+                 pattern: str | None = None):
         self.spark = spark
         self.path = path
         self.fmt = fmt
         self.schema = schema
         self.suffix = suffix or {"json": ".json", "parquet": ".parquet", "text": ""}.get(fmt, "")
+        self.pattern = pattern  # fnmatch glob on the landing-dir-relative path
         self.cp = _Checkpoint(checkpoint)
 
     def _list(self) -> list[str]:
+        import fnmatch
+
         out = []
         for root, _d, names in os.walk(self.path):
             for n in names:
@@ -80,7 +84,11 @@ class FileStreamSource:
                     continue
                 if self.suffix and not n.endswith(self.suffix):
                     continue
-                out.append(os.path.join(root, n))
+                p = os.path.join(root, n)
+                if self.pattern and not fnmatch.fnmatch(
+                        os.path.relpath(p, self.path), self.pattern):
+                    continue
+                out.append(p)
         return sorted(out)
 
     def next_batch(self, max_files: int | None = None) -> Batch | None:
