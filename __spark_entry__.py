@@ -430,6 +430,51 @@ SELECT conv_id, turn_idx, role, text, tool, ts FROM t WHERE turn_idx % 2 = 1
 """
 
 
+def q_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE RENAME COLUMN (format/table.py rename_column via sql.py):
+    metadata-only rename across file eras. Half the rows are written under
+    the OLD names (text, conv_id), the column is renamed, the other half is
+    written under the NEW names; the scan must surface one column with every
+    era's values (read_parquet coalesce mapping), prune old-era files via
+    their old-name stats, and the partition-source rename (conv_id, a
+    bucket() source) must keep routing writes."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.catalog import Catalog
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.sql import run_sql
+
+    tune_session(spark)
+    df = transcripts_from_events(spark, sf_dir)
+    c = Catalog(spark, tempfile.mkdtemp(prefix="sqlwh-"))
+    c.create_database("ops")
+    t = c.create_table(
+        "ops.transcripts",
+        T.StructType.fromDDL(
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp_ntz"),
+        PartitionSpec.of(days("ts_day", "ts"),
+                         bucket("conv_bucket", "conv_id", 4)),
+        properties={"write.target-file-size-bytes": str(8 * 1024 * 1024),
+                    "stats.columns": "conv_id,turn_idx,ts"},
+    )
+    t.append(df.filter(F.col("turn_idx") % 2 == 0), n_files=4)
+    run_sql(c, "ALTER TABLE ops.transcripts RENAME COLUMN text TO content")
+    run_sql(c, "ALTER TABLE ops.transcripts RENAME COLUMN conv_id "
+               "TO conversation_id")
+    t.refresh()
+    t.append(df.filter(F.col("turn_idx") % 2 == 1)
+               .withColumnRenamed("text", "content")
+               .withColumnRenamed("conv_id", "conversation_id"), n_files=4)
+    return t.scan(
+        [("turn_idx", ">=", 0)],
+        columns=["conversation_id", "turn_idx", "role", "content", "ts"])
+
+
+_RENAME_COLUMN_ORACLE = f"""
+WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+SELECT conv_id AS conversation_id, turn_idx, role, text AS content, ts
+FROM t WHERE turn_idx >= 0
+"""
+
+
 def q_incremental_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (liquid) re-clustering: cluster, append a small delta,
     re-cluster. The second pass skips files whose manifest entry already
@@ -1311,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_select": q_sql_select,
         "sql_ctas": q_sql_ctas,
         "schema_evolution": q_schema_evolution,
+        "rename_column": q_rename_column,
         "incremental_cluster": q_incremental_cluster,
         "maintain_delete": q_maintain_delete,
         "maintain_delete_eq": q_maintain_delete_eq,
@@ -1374,6 +1420,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_select": _SQL_SELECT_ORACLE,
         "sql_ctas": _SQL_CTAS_ORACLE,
         "schema_evolution": _SCHEMA_EVOLUTION_ORACLE,
+        "rename_column": _RENAME_COLUMN_ORACLE,
         "incremental_cluster": _MAINT_ORACLE,
         "maintain_delete": _DELETE_ORACLE,
         "maintain_delete_eq": _DELETE_EQ_ORACLE,

@@ -190,6 +190,66 @@ class Table:
             return None
         return [c.strip() for c in raw.split(",") if c.strip()]
 
+    # --------------------------------------------------------- rename map
+
+    def rename_map(self) -> dict[str, list[str]]:
+        """{current column name: [historical names, oldest first]} from the
+        ``schema.renames`` property (set by :meth:`rename_column`). Only
+        entries for columns still in the schema are returned — a renamed
+        column that was later dropped needs no read mapping."""
+        raw = self.meta.properties.get("schema.renames", "")
+        if not raw:
+            return {}
+        m = json.loads(raw)
+        cur = {f.name for f in self.schema.fields}
+        return {k: v for k, v in m.items() if k in cur and v}
+
+    def read_parquet(self, paths: Sequence[str],
+                     schema: T.StructType | None = None,
+                     *, filepos: tuple[str, str] | None = None) -> DataFrame:
+        """Schema-pinned parquet read with RENAME COLUMN mapping applied.
+
+        Files written before a rename carry the old physical column name;
+        the pinned read schema is extended with those historical names as
+        nullable twins of the current field, and each renamed column is
+        projected as ``coalesce(current, old_1, ..., old_n)`` — a file holds
+        exactly one of the names, so the coalesce picks the populated era
+        (metadata-only rename, zero data movement, same contract as the
+        NULL-fill that makes ADD COLUMNS free).
+
+        ``filepos=(path_alias, pos_alias)`` appends the normalized
+        ``_metadata.file_path`` / ``row_index`` columns; they are extracted
+        BEFORE the rename projection because metadata columns attach to the
+        scan relation."""
+        schema = schema if schema is not None else self.schema
+        by_name = {f.name: f for f in schema.fields}
+        ren = {k: v for k, v in self.rename_map().items() if k in by_name}
+        reader_schema = schema
+        if ren:
+            reader_schema = T.StructType(
+                list(schema.fields)
+                + [T.StructField(o, by_name[cur].dataType, True)
+                   for cur, olds in ren.items() for o in olds]
+            )
+        df = self.spark.read.schema(reader_schema).parquet(*paths)
+        extra: list[str] = []
+        if filepos is not None:
+            pa, po = filepos
+            df = (
+                df.withColumn(pa, F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:(//)?", ""))
+                .withColumn(po, F.col("_metadata.row_index"))
+            )
+            extra = [pa, po]
+        if not ren:
+            return df
+        cols = [
+            F.coalesce(F.col(f.name), *[F.col(o) for o in ren[f.name]])
+            .alias(f.name) if f.name in ren else F.col(f.name)
+            for f in schema.fields
+        ]
+        return df.select(*cols, *[F.col(c) for c in extra])
+
     # ---------------------------------------------------------------- files
 
     def live_data_files(self, snapshot_id: int | None = None) -> list[DataFile]:
@@ -231,7 +291,8 @@ class Table:
         records = mf.read_manifest_list(s.manifest_list)
         records = prune_manifest_records(records, predicates, self.spec)
         files = mf.live_files([r["path"] for r in records], "data")
-        return prune_files(files, predicates, self.schema, self.spec)
+        return prune_files(files, predicates, self.schema, self.spec,
+                           aliases=self.rename_map())
 
     # ----------------------------------------------------------------- scan
 
@@ -294,7 +355,7 @@ class Table:
         min_seq = min((f.data_sequence for f in files), default=0)
         eq_hit = [d for d in eqdels if d.data_sequence > min_seq]
         if not hit and not eq_hit:
-            return self.spark.read.schema(schema).parquet(*[f.path for f in files])
+            return self.read_parquet([f.path for f in files], schema)
         covered = set()
         for d in hit:
             covered.update(d.covered_paths)
@@ -305,14 +366,10 @@ class Table:
                    and _eq_bounds_may_match(f, d) for d in eq_hit)
         ]
         if not dirty_files:  # bounds pruned every candidate: pure clean path
-            return self.spark.read.schema(schema).parquet(*[f.path for f in files])
+            return self.read_parquet([f.path for f in files], schema)
         clean = [f.path for f in files if f.path not in {x.path for x in dirty_files}]
-        raw = (
-            self.spark.read.schema(schema).parquet(*[f.path for f in dirty_files])
-            .withColumn("_fp", F.regexp_replace(F.col("_metadata.file_path"),
-                                                "^file:(//)?", ""))
-            .withColumn("_pos", F.col("_metadata.row_index"))
-        )
+        raw = self.read_parquet([f.path for f in dirty_files], schema,
+                                filepos=("_fp", "_pos"))
         out = raw
         if hit:
             ddf = (
@@ -335,6 +392,11 @@ class Table:
             by_keys: dict[tuple[str, ...], list[DataFile]] = {}
             for d in eq_hit:
                 by_keys.setdefault(tuple(d.eq_columns), []).append(d)
+            # an eqdel's key columns are recorded under the names at delete
+            # time; a later RENAME COLUMN must still match them against the
+            # CURRENT data column (the eqdel file itself keeps its old name)
+            cur_of = {o: cur for cur, olds in self.rename_map().items()
+                      for o in olds}
             for keys, group in by_keys.items():
                 kdf = None
                 for d in group:
@@ -347,12 +409,12 @@ class Table:
                     kdf = one if kdf is None else kdf.unionByName(one)
                 cond = F.col("_seq") < F.col("_delseq")
                 for i, k in enumerate(keys):
-                    cond = cond & (out[k] == F.col(f"_ek_{i}"))
+                    cond = cond & (out[cur_of.get(k, k)] == F.col(f"_ek_{i}"))
                 out = out.join(F.broadcast(kdf), cond, "left_anti")
             out = out.drop("_seq")
         out = out.drop("_fp", "_pos")
         if clean:
-            out = self.spark.read.schema(schema).parquet(*clean).unionByName(out)
+            out = self.read_parquet(clean, schema).unionByName(out)
         return out
 
     def deleted_row_count(
@@ -424,7 +486,7 @@ class Table:
         if not added:
             df = self.spark.createDataFrame([], self.schema)
         else:
-            df = self.spark.read.schema(self.schema).parquet(*[f.path for f in added])
+            df = self.read_parquet([f.path for f in added])
         if columns:
             df = df.select(*columns)
         return df
@@ -469,6 +531,12 @@ class Table:
         if new_fields and not merge_schema:
             raise ValueError(f"schema mismatch, new columns {[f.name for f in new_fields]} "
                              "and merge_schema=False")
+        hist = {o: cur for cur, olds in self.rename_map().items() for o in olds}
+        bad = [f.name for f in new_fields if f.name in hist]
+        if bad:
+            raise ValueError(
+                f"incoming column(s) {bad} use pre-rename name(s); write the "
+                f"current name(s) {[hist[b] for b in bad]} instead")
         base_fields = []
         for f in table_schema.fields:
             inc = incoming.get(f.name)
@@ -1239,6 +1307,7 @@ class Table:
         arrives). New columns are forced nullable for exactly that reason."""
         existing = {f.name for f in self.schema.fields}
         pnames = {f.name for f in self.spec.fields}
+        hist = {o: cur for cur, olds in self.rename_map().items() for o in olds}
         seen: set[str] = set()
         for f in fields:
             if f.name in existing:
@@ -1246,6 +1315,10 @@ class Table:
             if f.name in pnames:
                 raise ValueError(
                     f"column {f.name!r} collides with a partition field")
+            if f.name in hist:
+                raise ValueError(
+                    f"{f.name!r} is a historical name of column "
+                    f"{hist[f.name]!r}; files still carry it under that column")
             if f.name in seen:
                 raise ValueError(f"duplicate column {f.name!r} in ADD COLUMNS")
             seen.add(f.name)
@@ -1260,6 +1333,88 @@ class Table:
                 version=meta.version + 1)
 
         self._commit_meta(mutate, "add_columns")
+
+    def rename_column(self, old: str, new: str) -> None:
+        """ALTER TABLE ... RENAME COLUMN analogue — METADATA-ONLY rename,
+        zero data movement at any table size (Iceberg renames via field ids;
+        this engine records the name history instead).
+
+        Mechanics: the schema field is renamed and the old name is appended
+        to the column's history in the ``schema.renames`` property. Scans
+        extend the pinned read schema with the historical names and project
+        ``coalesce(current, old...)`` (:meth:`read_parquet`) — a file holds
+        exactly one era's name, so values surface unchanged. File-level
+        pruning consults min/max/bloom stats under every historical name
+        (plans/pruning.py aliases), and equality deletes keyed on a prior
+        name keep applying (read_data_files maps stored key names forward).
+        Rewrites read mapped and write the CURRENT name, so maintenance
+        migrates files to the new name as it touches them.
+
+        References that travel with the rename: partition-spec sources,
+        cluster keys, ``stats.columns`` / ``stats.bloom-columns`` /
+        ``stats.hash-columns``, and NOT NULL constraint lists. A CHECK
+        constraint referencing the column is rejected (its expression text
+        cannot be rewritten safely) — drop it first, like DROP COLUMN."""
+        fields = {f.name for f in self.schema.fields}
+        if old not in fields:
+            raise ValueError(f"unknown column {old!r}")
+        if new in fields:
+            raise ValueError(f"column {new!r} already exists")
+        if new in {f.name for f in self.spec.fields}:
+            raise ValueError(
+                f"column {new!r} collides with a partition field")
+        raw = self.meta.properties.get("schema.renames", "")
+        history: dict[str, list[str]] = json.loads(raw) if raw else {}
+        for cur, olds in history.items():
+            if cur != old and new in olds:
+                raise ValueError(
+                    f"{new!r} is a historical name of column {cur!r}; "
+                    "files still carry it under that column")
+        _, checks = self.constraints()
+        pat = re.compile(rf"\b{re.escape(old)}\b")
+        hits = [cn for cn, expr in checks.items() if pat.search(expr)]
+        if hits:
+            raise ValueError(
+                f"column {old!r} is referenced by CHECK constraint(s) "
+                f"{hits}; drop them first")
+
+        olds = history.pop(old, [])
+        # renaming back to a historical name (a->b->a): files from the 'a'
+        # era match the current name natively again, so 'a' leaves history
+        if new in olds:
+            olds.remove(new)
+        history[new] = olds + [old]
+        new_schema = T.StructType([
+            T.StructField(new, f.dataType, f.nullable, f.metadata)
+            if f.name == old else f
+            for f in self.schema.fields
+        ])
+        new_spec = [
+            dict(d, source=new) if d.get("source") == old else d
+            for d in self.meta.partition_spec
+        ]
+
+        def _sub_list(csv: str) -> str:
+            return ",".join(new if c.strip() == old else c.strip()
+                            for c in csv.split(",") if c.strip())
+
+        def mutate(meta: snap.TableMetadata) -> snap.TableMetadata:
+            props = dict(meta.properties)
+            props["schema.renames"] = json.dumps(
+                {k: v for k, v in history.items() if v}, sort_keys=True)
+            for key in ("stats.columns", "stats.bloom-columns",
+                        "stats.hash-columns", "constraints.not-null"):
+                if props.get(key):
+                    props[key] = _sub_list(props[key])
+            keys = [new if k == old else k for k in (meta.cluster_keys or [])]
+            return dataclasses.replace(
+                meta, schema_json=new_schema.jsonValue(),
+                partition_spec=new_spec,
+                cluster_keys=keys or meta.cluster_keys,
+                properties=props,
+                version=meta.version + 1)
+
+        self._commit_meta(mutate, "rename_column")
 
     def drop_column(self, name: str) -> None:
         """ALTER TABLE ... DROP COLUMN analogue — metadata-only projection

@@ -91,11 +91,17 @@ def _eqdel_delete_slice(table: Table, snapshot) -> DataFrame | None:
     spark = table.spark
     keys = spark.read.parquet(*paths)
     key_cols = set(keys.columns)
-    padded = keys.select(
-        *[(F.col(f.name) if f.name in key_cols
-           else F.lit(None).cast(f.dataType)).alias(f.name)
-          for f in table.schema.fields]
-    )
+    # an eqdel key file written before a RENAME COLUMN keeps the old
+    # physical name; surface it under the current schema name
+    old_of = {cur: [o for o in olds if o in key_cols]
+              for cur, olds in table.rename_map().items()}
+    def _src(f):
+        if f.name in key_cols:
+            return F.col(f.name)
+        for o in reversed(old_of.get(f.name, [])):
+            return F.col(o)
+        return F.lit(None).cast(f.dataType)
+    padded = keys.select(*[_src(f).alias(f.name) for f in table.schema.fields])
     return padded.withColumn(CHANGE_TYPE_COL, F.lit("delete"))
 
 
@@ -143,7 +149,7 @@ def change_feed(
             added = _added_files(table, s)
             if not added:
                 continue
-            sl = (spark.read.schema(schema).parquet(*added)
+            sl = (table.read_parquet(added, schema)
                   .withColumn(CHANGE_TYPE_COL, F.lit("insert"))
                   .withColumn(COMMIT_COL, F.lit(s.snapshot_id)))
         elif s.operation in ("delete", "upsert") and s.summary.get(
@@ -156,7 +162,7 @@ def change_feed(
                 added = _added_files(table, s)
                 if added:
                     parts.append(
-                        spark.read.schema(schema).parquet(*added)
+                        table.read_parquet(added, schema)
                         .withColumn(CHANGE_TYPE_COL, F.lit("insert")))
             if not parts:
                 continue

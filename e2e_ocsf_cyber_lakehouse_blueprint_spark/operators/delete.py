@@ -278,7 +278,8 @@ class DeleteJob:
         table = self.table
         files = table.live_data_files()
         dtypes = {f.name: f.dataType for f in table.schema.fields}
-        candidates = prune_files(files, self.predicates, table.schema, table.spec)
+        candidates = prune_files(files, self.predicates, table.schema,
+                                 table.spec, aliases=table.rename_map())
         cand_paths = {f.path for f in candidates}
         untouched = [f for f in files if f.path not in cand_paths]
         dropped, rewrite = [], []
@@ -401,14 +402,8 @@ class DeleteJob:
         n_marked = 0
         if straddling:
             pred = table._residual(self.predicates)
-            raw = (
-                spark.read.schema(table.schema)
-                .parquet(*[f.path for f in straddling])
-                .withColumn("file_path",
-                            F.regexp_replace(F.col("_metadata.file_path"),
-                                             "^file:(//)?", ""))
-                .withColumn("pos", F.col("_metadata.row_index"))
-            )
+            raw = table.read_parquet([f.path for f in straddling],
+                                     filepos=("file_path", "pos"))
             marks = (raw.filter(F.coalesce(pred, F.lit(False)))
                         .select("file_path", "pos"))
             # never re-mark rows an existing DV already deletes (keeps DV row

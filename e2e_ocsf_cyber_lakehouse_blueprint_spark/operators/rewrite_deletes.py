@@ -146,14 +146,8 @@ class RewriteDeletesJob:
         ]
         if not cand:
             return None, 0
-        raw = (
-            spark.read.schema(table.schema)
-            .parquet(*[f.path for f in cand])
-            .withColumn("file_path",
-                        F.regexp_replace(F.col("_metadata.file_path"),
-                                         "^file:(//)?", ""))
-            .withColumn("pos", F.col("_metadata.row_index"))
-        )
+        raw = table.read_parquet([f.path for f in cand],
+                                 filepos=("file_path", "pos"))
         seq_df = spark.createDataFrame(
             [(f.path, f.data_sequence) for f in cand], "path string, _seq long")
         raw = raw.join(F.broadcast(seq_df),
@@ -161,6 +155,9 @@ class RewriteDeletesJob:
         by_keys = {}
         for d in eqdels:
             by_keys.setdefault(tuple(d.eq_columns), []).append(d)
+        # eqdel key names are write-era names; map forward across renames
+        cur_of = {o: cur for cur, olds in table.rename_map().items()
+                  for o in olds}
         marks = None
         for keys, group in by_keys.items():
             kdf = None
@@ -174,7 +171,7 @@ class RewriteDeletesJob:
                 kdf = one if kdf is None else kdf.unionByName(one)
             cond = F.col("_seq") < F.col("_delseq")
             for i, k in enumerate(keys):
-                cond = cond & (raw[k] == F.col(f"_ek_{i}"))
+                cond = cond & (raw[cur_of.get(k, k)] == F.col(f"_ek_{i}"))
             part = (raw.join(F.broadcast(kdf), cond, "left_semi")
                        .select("file_path", "pos"))
             marks = part if marks is None else marks.unionByName(part)

@@ -94,7 +94,8 @@ class UpdateJob:
         table = self.table
         table.refresh()
         files = table.live_data_files()
-        rewrite = prune_files(files, self.predicates, table.schema, table.spec)
+        rewrite = prune_files(files, self.predicates, table.schema,
+                              table.spec, aliases=table.rename_map())
         n_untouched = len(files) - len(rewrite)
         if not rewrite:
             return UpdateResult(None, len(files), n_untouched, 0, 0, 0, 0,

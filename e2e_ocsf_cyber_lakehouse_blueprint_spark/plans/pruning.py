@@ -38,6 +38,20 @@ def _norm_value(value: Any, dtype: T.DataType | None) -> Any:
     return value
 
 
+def _stat_name(f: DataFile, col: str, names: Sequence[str] | None) -> str:
+    """The name this FILE records stats under for logical column ``col``:
+    a file written before a RENAME COLUMN keeps the era's name, so stats
+    lookups walk the historical names (newest first) and use the first one
+    the file actually has bounds/nulls/blooms for."""
+    if not names:
+        return col
+    for n in names:
+        if (n in f.lower_bounds or n in f.null_counts
+                or bloom_key(n) in f.blooms):
+            return n
+    return col
+
+
 def _survives_bloom(f: DataFile, col: str, op: str, value: Any) -> bool:
     """Per-file bloom bitset (format/bloom.py): definite-absence proof for
     point lookups on files whose min/max AND hash bounds stay wide (fresh
@@ -56,8 +70,10 @@ def _survives_bloom(f: DataFile, col: str, op: str, value: Any) -> bool:
 
 
 def _survives_bounds(f: DataFile, col: str, op: str, value: Any,
-                     dtype: T.DataType | None) -> bool:
+                     dtype: T.DataType | None,
+                     alias_names: Sequence[str] | None = None) -> bool:
     """False only when the predicate is provably unsatisfiable for this file."""
+    col = _stat_name(f, col, alias_names)
     nc = f.null_counts.get(col)
     if op == "isnull":
         return nc is None or nc > 0
@@ -205,15 +221,24 @@ def prune_files(
     predicates: Sequence[Predicate] | None,
     schema: T.StructType | None = None,
     spec: PartitionSpec | None = None,
+    aliases: dict[str, list[str]] | None = None,
 ) -> list[DataFile]:
+    """``aliases`` maps a current column name to its historical names
+    (RENAME COLUMN): stats are recorded under the write-era name, so the
+    bounds lookup resolves per file (newest name first)."""
     if not predicates:
         return list(files)
     dtypes = {f.name: f.dataType for f in schema.fields} if schema else {}
+    names = {
+        col: [col] + list(reversed(olds))
+        for col, olds in (aliases or {}).items()
+    }
     out = []
     for f in files:
         keep = True
         for col, op, value in predicates:
-            if not _survives_bounds(f, col, op, value, dtypes.get(col)):
+            if not _survives_bounds(f, col, op, value, dtypes.get(col),
+                                    names.get(col)):
                 keep = False
                 break
             if spec is not None and not _survives_partition(f, spec, col, op, value):

@@ -62,6 +62,7 @@ table-maintenance statements the engine owns:
     DESCRIBE REFS <tbl>
     ALTER TABLE <tbl> ADD COLUMNS (name type[, ...])
     ALTER TABLE <tbl> DROP COLUMN <name>
+    ALTER TABLE <tbl> RENAME COLUMN <old> TO <new>
         metadata-only schema evolution: scans pin the table schema, so
         pre-evolution files surface added columns as NULL and dropped
         columns vanish without any rewrite (bytes reclaimed as
@@ -365,6 +366,10 @@ _STATEMENTS: list[tuple[re.Pattern, str]] = [
     (re.compile(
         rf"ALTER\s+TABLE\s+(?P<tbl>{_ID})\s+DROP\s+COLUMN\s+(?P<col>[\w$]+)\s*;?\s*$",
         re.IGNORECASE), "drop_column"),
+    (re.compile(
+        rf"ALTER\s+TABLE\s+(?P<tbl>{_ID})\s+RENAME\s+COLUMN\s+"
+        rf"(?P<old>[\w$]+)\s+TO\s+(?P<new>[\w$]+)\s*;?\s*$",
+        re.IGNORECASE), "rename_column"),
     (re.compile(
         rf"ALTER\s+TABLE\s+(?P<tbl>{_ID})\s+CLUSTER\s+BY\s*\((?P<cols>[^)]+)\)\s*;?\s*$",
         re.IGNORECASE), "cluster_by"),
@@ -825,6 +830,9 @@ def _dispatch(action: str, table: Table, m: re.Match,
         return None
     if action == "drop_column":
         table.drop_column(m.group("col"))
+        return None
+    if action == "rename_column":
+        table.rename_column(m.group("old"), m.group("new"))
         return None
     if action == "cluster_by":
         table.set_cluster_keys(_cols(m.group("cols")))

@@ -148,9 +148,7 @@ class IncrementalTableReader:
         if not new_files:
             self.cp.write({"last_snapshot_id": cur.snapshot_id, "batch_id": batch_id})
             return None
-        df = self.table.spark.read.schema(self.table.schema).parquet(
-            *[f.path for f in new_files]
-        )
+        df = self.table.read_parquet([f.path for f in new_files])
         b = Batch(batch_id, [f.path for f in new_files], df)
         b._snapshot_id = cur.snapshot_id  # type: ignore[attr-defined]
         return b
