@@ -43,6 +43,9 @@ table-maintenance statements the engine owns:
     RESTORE TABLE <tbl> TO VERSION AS OF <n>
     RESTORE TABLE <tbl> TO TIMESTAMP AS OF '<iso-ts>'
     DESCRIBE HISTORY <tbl>
+    SHOW CREATE TABLE <tbl>
+        round-trippable DDL (columns, PARTITIONED BY transforms,
+        TBLPROPERTIES, + ALTER ... CLUSTER BY when cluster keys are set)
     TABLE CHANGES <tbl> FROM VERSION <n> [TO VERSION <m>]
         row-level change feed (_change_type/_commit_snapshot_id) after
         snapshot n (exclusive) up to m (inclusive; default current)
@@ -309,6 +312,9 @@ _STATEMENTS: list[tuple[re.Pattern, str]] = [
     (re.compile(
         rf"DESCRIBE\s+HISTORY\s+(?P<tbl>{_ID})\s*;?\s*$", re.IGNORECASE),
      "history"),
+    (re.compile(
+        rf"SHOW\s+CREATE\s+TABLE\s+(?P<tbl>{_ID})\s*;?\s*$", re.IGNORECASE),
+     "show_create"),
     (re.compile(
         rf"DESCRIBE\s+FILES\s+(?P<tbl>{_ID})\s*;?\s*$", re.IGNORECASE),
      "files"),
@@ -769,6 +775,8 @@ def _dispatch(action: str, table: Table, m: re.Match,
         return table.restore(target.snapshot_id)
     if action == "history":
         return history(table)
+    if action == "show_create":
+        return show_create_table(table, m.group("tbl"))
     if action == "files":
         return files(table)
     if action == "partitions":
@@ -934,3 +942,41 @@ def history(table: Table) -> DataFrame:
         "version long, timestamp timestamp_ntz, operation string, "
         "parent_version long, summary map<string,string>",
     )
+
+
+# properties that are internal bookkeeping, not user declarations — a
+# re-created table must NOT inherit them (rename history / retired partition
+# fields describe THIS table's file eras, which a fresh table has none of)
+_INTERNAL_PROPS = ("schema.renames", "partition.retired-fields")
+
+
+def show_create_table(table: Table, name: str) -> DataFrame:
+    """SHOW CREATE TABLE analogue: one row, ``createtab_stmt`` (Spark's
+    convention) holding DDL that ROUND-TRIPS through this module's own
+    grammar — CREATE TABLE with columns / PARTITIONED BY transforms /
+    TBLPROPERTIES, followed by ALTER statements for cluster keys (the
+    grammar declares those post-create, matching the reference's
+    `post_setup_ocsf_tables.py` flow)."""
+    cols = ",\n  ".join(
+        f"{f.name} {f.dataType.simpleString().upper()}"
+        for f in table.schema.fields)
+    stmt = f"CREATE TABLE {name} (\n  {cols}\n)"
+    if table.spec.fields:
+        def transform_sql(pf) -> str:
+            t = pf.transform
+            if t in ("identity", "days"):
+                return f"{t}({pf.source}) AS {pf.name}"
+            fn, n = t[:t.index("[")], t[t.index("[") + 1:-1]
+            return f"{fn}({n}, {pf.source}) AS {pf.name}"
+        stmt += ("\nPARTITIONED BY ("
+                 + ", ".join(transform_sql(pf) for pf in table.spec.fields)
+                 + ")")
+    props = {k: v for k, v in sorted(table.meta.properties.items())
+             if k not in _INTERNAL_PROPS}
+    if props:
+        stmt += ("\nTBLPROPERTIES ("
+                 + ", ".join(f"'{k}'='{v}'" for k, v in props.items()) + ")")
+    if table.meta.cluster_keys:
+        stmt += (f";\nALTER TABLE {name} CLUSTER BY "
+                 f"({', '.join(table.meta.cluster_keys)})")
+    return table.spark.createDataFrame([(stmt,)], "createtab_stmt string")

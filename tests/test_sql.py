@@ -626,3 +626,31 @@ def test_maintenance_after_schema_evolution(cat):
         tuple(r) for r in t.scan(columns=["conv_id", "turn_idx", "text"]).collect())
     assert after == before
     assert t.scan().filter(F.col("score").isNotNull()).count() == 0
+
+
+def test_show_create_table_round_trips(cat):
+    """SHOW CREATE TABLE emits DDL the module's own grammar re-executes:
+    a table rebuilt from the emitted statements matches the original's
+    schema, partition transforms, user properties, and cluster keys."""
+    c, _ = cat
+    run_sql(c, "ALTER TABLE ops.transcripts CLUSTER BY (conv_id, turn_idx)")
+    run_sql(c, "ALTER TABLE ops.transcripts SET TBLPROPERTIES "
+               "('stats.columns'='conv_id,turn_idx,ts')")
+    stmt = run_sql(c, "SHOW CREATE TABLE ops.transcripts").first()["createtab_stmt"]
+    rebuilt = stmt.replace("ops.transcripts", "ops.rebuilt")
+    for s in rebuilt.split(";\n"):
+        run_sql(c, s)
+    a, b = c.load_table("ops.transcripts"), c.load_table("ops.rebuilt")
+    assert b.schema == a.schema
+    assert [f.to_dict() for f in b.spec.fields] == [f.to_dict() for f in a.spec.fields]
+    assert b.meta.cluster_keys == a.meta.cluster_keys
+    assert b.meta.properties.get("stats.columns") == "conv_id,turn_idx,ts"
+    assert (b.meta.properties.get("write.target-file-size-bytes")
+            == a.meta.properties.get("write.target-file-size-bytes"))
+
+
+def test_show_create_table_excludes_internal_bookkeeping(cat):
+    c, _ = cat
+    run_sql(c, "ALTER TABLE ops.transcripts RENAME COLUMN tool TO tool_name")
+    stmt = run_sql(c, "SHOW CREATE TABLE ops.transcripts").first()["createtab_stmt"]
+    assert "tool_name" in stmt and "schema.renames" not in stmt
