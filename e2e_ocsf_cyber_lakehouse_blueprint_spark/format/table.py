@@ -1086,7 +1086,8 @@ class Table:
         return self.meta.snapshot_by_id(int(r["snapshot_id"]))
 
     def _set_ref(self, name: str, ref_type: str,
-                 snapshot_id: int | None, *, replace: bool) -> None:
+                 snapshot_id: int | None, *, replace: bool,
+                 max_ref_age_ms: int | None = None) -> None:
         if name == "main":
             raise ValueError("'main' is reserved for the current pointer")
 
@@ -1099,20 +1100,43 @@ class Table:
             if existing is not None and not replace:
                 raise ValueError(f"ref {name!r} already exists ({existing['type']})")
             refs = dict(meta.refs)
-            refs[name] = {"snapshot_id": int(sid), "type": ref_type}
+            rec = {"snapshot_id": int(sid), "type": ref_type,
+                   "created_ms": snap.now_ms()}
+            if max_ref_age_ms is not None:
+                rec["max_ref_age_ms"] = int(max_ref_age_ms)
+            refs[name] = rec
             return dataclasses.replace(meta, refs=refs, version=meta.version + 1)
 
         self._commit_meta(mutate, f"create_{ref_type}")
 
-    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+    def create_tag(self, name: str, snapshot_id: int | None = None,
+                   max_ref_age_ms: int | None = None) -> None:
         """Immutable named pointer (Iceberg tag). Pins its snapshot against
-        expiration until :meth:`drop_ref`."""
-        self._set_ref(name, "tag", snapshot_id, replace=False)
+        expiration until :meth:`drop_ref` — or, with ``max_ref_age_ms``
+        (Iceberg's RETAIN clause), until snapshot expiration finds the ref
+        older than its retention and retires it automatically."""
+        self._set_ref(name, "tag", snapshot_id, replace=False,
+                      max_ref_age_ms=max_ref_age_ms)
 
-    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
+    def create_branch(self, name: str, snapshot_id: int | None = None,
+                      max_ref_age_ms: int | None = None) -> None:
         """Mutable named pointer (Iceberg branch): advance it with
-        :meth:`append_to_branch`, merge with :meth:`fast_forward_main`."""
-        self._set_ref(name, "branch", snapshot_id, replace=False)
+        :meth:`append_to_branch`, merge with :meth:`fast_forward_main`.
+        ``max_ref_age_ms`` ages an abandoned branch out at expiration time."""
+        self._set_ref(name, "branch", snapshot_id, replace=False,
+                      max_ref_age_ms=max_ref_age_ms)
+
+    def aged_out_refs(self, now_ms: int | None = None) -> list[str]:
+        """Refs whose ``max_ref_age_ms`` retention has lapsed. Age is
+        measured from the last pointer move (creation, or the latest
+        append_to_branch advance), so only ABANDONED refs age out."""
+        now = now_ms if now_ms is not None else snap.now_ms()
+        out = []
+        for name, r in self.meta.refs.items():
+            age = r.get("max_ref_age_ms")
+            if age is not None and now - int(r.get("created_ms", now)) > int(age):
+                out.append(name)
+        return sorted(out)
 
     def drop_ref(self, name: str) -> None:
         def mutate(meta: snap.TableMetadata) -> snap.TableMetadata:
@@ -1168,7 +1192,12 @@ class Table:
 
         def refs_update(meta: snap.TableMetadata, snapshot: snap.Snapshot):
             refs = dict(meta.refs)
-            refs[name] = {"snapshot_id": snapshot.snapshot_id, "type": "branch"}
+            # advance the pointer, preserve retention fields; an actively
+            # written branch renews its age clock (created_ms) — only an
+            # ABANDONED branch ages out
+            refs[name] = dict(refs.get(name, {"type": "branch"}),
+                              snapshot_id=snapshot.snapshot_id,
+                              created_ms=snap.now_ms())
             return refs
 
         return self._commit(build, advance=False, refs_update=refs_update)
@@ -1212,8 +1241,18 @@ class Table:
 
     # ----------------------------------------------------- snapshot expiry
 
-    def expire_snapshots(self, keep_last: int = 3) -> tuple[list[int], list[str]]:
-        """Drop all but the newest ``keep_last`` snapshots (current always kept).
+    def expire_snapshots(self, keep_last: int = 3,
+                         older_than_ms: int | None = None,
+                         ) -> tuple[list[int], list[str]]:
+        """Drop all but the newest ``keep_last`` snapshots (current always
+        kept). With ``older_than_ms`` (Iceberg ``expire_snapshots(older_than,
+        retain_last)``), only snapshots COMMITTED BEFORE that timestamp are
+        eligible — ``keep_last`` then acts as a minimum to retain, so a quiet
+        table never expires below it and a busy one keeps its recent history.
+
+        Refs carrying ``max_ref_age_ms`` whose retention lapsed are retired
+        in the same commit (Iceberg's ref-aging), so an abandoned branch or
+        expired tag stops pinning its snapshots exactly when expiration runs.
 
         Returns (expired snapshot ids, data-file paths whose refcount dropped
         to zero) — the GC candidates. Physical deletion is the orphan-GC job's
@@ -1221,20 +1260,29 @@ class Table:
         mutation separated.
         """
         ordered = sorted(self.meta.snapshots, key=lambda s: s.sequence_number)
-        if len(ordered) <= keep_last:
+        dead_ref_names = set(self.aged_out_refs())
+        if len(ordered) <= keep_last and not dead_ref_names:
             return [], []
-        keep = ordered[-keep_last:]
+        keep = list(ordered[-keep_last:])
+        if older_than_ms is not None:
+            # age gate: anything committed at/after the cutoff survives
+            keep += [s for s in ordered if s.timestamp_ms >= older_than_ms
+                     and s not in keep]
         cur = self.current_snapshot()
         if cur and cur not in keep:
             keep.append(cur)
-        # named refs (branches/tags) pin their target snapshot for as long
-        # as the ref exists — drop_ref() is how a tag ages out
-        ref_ids = {int(r["snapshot_id"]) for r in self.meta.refs.values()}
+        # surviving named refs (branches/tags) pin their target snapshot for
+        # as long as the ref exists — aged-out refs no longer pin
+        ref_ids = {int(r["snapshot_id"])
+                   for name, r in self.meta.refs.items()
+                   if name not in dead_ref_names}
         keep += [s for s in ordered
                  if s.snapshot_id in ref_ids
                  and s.snapshot_id not in {k.snapshot_id for k in keep}]
         keep_ids = {s.snapshot_id for s in keep}
         expired = [s for s in ordered if s.snapshot_id not in keep_ids]
+        if not expired and not dead_ref_names:
+            return [], []
 
         def refs(snapshots: list[snap.Snapshot]) -> set[str]:
             out: set[str] = set()
@@ -1259,7 +1307,9 @@ class Table:
             mf.write_manifest_list(mlist, mf.read_manifest_list(cur2.manifest_list))
             new_snap = snap.Snapshot(
                 sid, parent_id, seq, snap.now_ms(), "expire", mlist,
-                {"expired-snapshots": len(expired)},
+                {"expired-snapshots": len(expired),
+                 **({"aged-out-refs": ",".join(sorted(dead_ref_names))}
+                    if dead_ref_names else {})},
             )
             # same strict total order on commit timestamps as _commit enforces
             prev_max = max((s.timestamp_ms for s in meta.snapshots), default=0)
@@ -1269,6 +1319,8 @@ class Table:
                 meta,
                 snapshots=retained + [new_snap],
                 current_snapshot_id=new_snap.snapshot_id,
+                refs={k: v for k, v in meta.refs.items()
+                      if k not in dead_ref_names},
                 version=meta.version + 1,
             )
             try:

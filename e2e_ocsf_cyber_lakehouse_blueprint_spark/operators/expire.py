@@ -150,18 +150,24 @@ class ExpireSnapshotsJob:
         table: Table,
         *,
         keep_last: int = 3,
+        older_than_ms: int | None = None,
         delete_orphans: bool = True,
         grace_period_sec: float = 0.0,
         listing_df: DataFrame | None = None,
     ):
         self.table = table
         self.keep_last = keep_last
+        # age-based retention (Iceberg expire_snapshots older_than): only
+        # snapshots committed before this cutoff are eligible; keep_last
+        # becomes the retain-last floor
+        self.older_than_ms = older_than_ms
         self.delete_orphans = delete_orphans
         self.grace_period_sec = grace_period_sec
         self.listing_df = listing_df  # injectable (object-store inventory)
 
     def run(self) -> ExpireResult:
-        expired_ids, _dead = self.table.expire_snapshots(self.keep_last)
+        expired_ids, _dead = self.table.expire_snapshots(
+            self.keep_last, older_than_ms=self.older_than_ms)
         if not self.delete_orphans:
             return ExpireResult(expired_ids, 0, 0, 0, 0)
         meta_deleted = gc_metadata_files(self.table, self.grace_period_sec)

@@ -25,7 +25,9 @@ Policy (each stage is the same resumable, ledgered job a user runs by hand):
 Policy knobs are table properties so they travel with the table:
 ``maintenance.cluster.curve`` (zorder|hilbert, default zorder),
 ``maintenance.expire.keep-last`` (default 3; 0 disables expiration),
-``maintenance.expire.grace-sec`` (orphan grace period, default 3600).
+``maintenance.expire.grace-sec`` (orphan grace period, default 3600),
+``maintenance.expire.max-snapshot-age-sec`` (0 = pure keep-last; >0 makes
+expiration age-based with keep-last as the retained floor).
 """
 
 from __future__ import annotations
@@ -97,8 +99,14 @@ def run_maintenance(
     keep_last = table.property_int("maintenance.expire.keep-last", 3)
     if keep_last > 0:
         grace = table.property_int("maintenance.expire.grace-sec", 3600)
+        # age-based retention: with max-snapshot-age-sec set, only snapshots
+        # older than the window expire and keep-last is the retained floor
+        max_age = table.property_int("maintenance.expire.max-snapshot-age-sec", 0)
+        older_than = (int(time.time() * 1000) - max_age * 1000
+                      if max_age > 0 else None)
         expiration = ExpireSnapshotsJob(
-            table, keep_last=keep_last, grace_period_sec=float(grace)
+            table, keep_last=keep_last, older_than_ms=older_than,
+            grace_period_sec=float(grace)
         ).run()
 
     # manifest-layer compaction: micro-batch appends add one manifest per

@@ -36,6 +36,11 @@ table-maintenance statements the engine owns:
     UPDATE <tbl> SET col = <sql-expr>[, ...] [WHERE <conjunction>]
         right-hand sides are Spark SQL expressions over the OLD row values
     VACUUM <tbl> [RETAIN <n> HOURS]
+    EXPIRE SNAPSHOTS <tbl> [OLDER THAN '<iso-ts>'] [KEEP LAST <n>]
+        age-based snapshot retention (Iceberg expire_snapshots): only
+        snapshots committed before the cutoff expire; KEEP LAST (default 3)
+        is the retained floor. Refs created with RETAIN <n> DAYS age out in
+        the same commit once abandoned past their retention.
     MAINTAIN <tbl>
         managed pass (pipelines.autoOptimize.managed analogue): compact,
         cluster iff cluster keys are set and data arrived since the last
@@ -60,6 +65,7 @@ table-maintenance statements the engine owns:
     ALTER TABLE <tbl> ADD CONSTRAINT <name> CHECK (<expr>)
     ALTER TABLE <tbl> DROP CONSTRAINT <name>
     ALTER TABLE <tbl> CREATE BRANCH|TAG <name> [AS OF VERSION <n>]
+        [RETAIN <n> DAYS]
     ALTER TABLE <tbl> DROP BRANCH|TAG <name>
     ALTER TABLE <tbl> FAST FORWARD TO <branch>
     DESCRIBE REFS <tbl>
@@ -303,6 +309,11 @@ _STATEMENTS: list[tuple[re.Pattern, str]] = [
         rf"VACUUM\s+(?P<tbl>{_ID})(?:\s+RETAIN\s+(?P<hours>\d+(?:\.\d+)?)\s+HOURS?)?\s*;?\s*$",
         re.IGNORECASE), "vacuum"),
     (re.compile(
+        rf"EXPIRE\s+SNAPSHOTS\s+(?P<tbl>{_ID})"
+        rf"(?:\s+OLDER\s+THAN\s+'(?P<ts>[^']+)')?"
+        rf"(?:\s+KEEP\s+LAST\s+(?P<n>\d+))?\s*;?\s*$",
+        re.IGNORECASE), "expire_snapshots"),
+    (re.compile(
         rf"RESTORE\s+TABLE\s+(?P<tbl>{_ID})\s+TO\s+VERSION\s+AS\s+OF\s+(?P<version>\d+)\s*;?\s*$",
         re.IGNORECASE), "restore_version"),
     (re.compile(
@@ -353,7 +364,8 @@ _STATEMENTS: list[tuple[re.Pattern, str]] = [
         re.IGNORECASE), "drop_constraint"),
     (re.compile(
         rf"ALTER\s+TABLE\s+(?P<tbl>{_ID})\s+CREATE\s+(?P<kind>BRANCH|TAG)\s+"
-        rf"(?P<name>[\w$-]+)(?:\s+AS\s+OF\s+VERSION\s+(?P<version>\d+))?\s*;?\s*$",
+        rf"(?P<name>[\w$-]+)(?:\s+AS\s+OF\s+VERSION\s+(?P<version>\d+))?"
+        rf"(?:\s+RETAIN\s+(?P<retain>\d+)\s+DAYS?)?\s*;?\s*$",
         re.IGNORECASE), "create_ref"),
     (re.compile(
         rf"ALTER\s+TABLE\s+(?P<tbl>{_ID})\s+DROP\s+(?:BRANCH|TAG)\s+"
@@ -765,6 +777,13 @@ def _dispatch(action: str, table: Table, m: re.Match,
         return ExpireSnapshotsJob(
             table, grace_period_sec=hours * 3600.0
         ).run()
+    if action == "expire_snapshots":
+        older = (_parse_sql_timestamp_ms(m.group("ts"))
+                 if m.group("ts") else None)
+        keep = int(m.group("n")) if m.group("n") else 3
+        return ExpireSnapshotsJob(
+            table, keep_last=keep, older_than_ms=older
+        ).run()
     if action == "restore_version":
         return table.restore(int(m.group("version")))
     if action == "restore_timestamp":
@@ -817,10 +836,12 @@ def _dispatch(action: str, table: Table, m: re.Match,
     if action == "create_ref":
         sid = m.group("version")
         sid = int(sid) if sid is not None else None
+        retain = m.group("retain")
+        age_ms = int(retain) * 86400_000 if retain is not None else None
         if m.group("kind").upper() == "BRANCH":
-            table.create_branch(m.group("name"), sid)
+            table.create_branch(m.group("name"), sid, max_ref_age_ms=age_ms)
         else:
-            table.create_tag(m.group("name"), sid)
+            table.create_tag(m.group("name"), sid, max_ref_age_ms=age_ms)
         return None
     if action == "drop_ref":
         table.drop_ref(m.group("name"))

@@ -128,3 +128,77 @@ def test_gc_listing_is_distributed_and_injectable(spark, table_with_history, mon
     assert res.deleted_files == 1
     for p in live:
         assert os.path.exists(p)
+
+
+def test_expire_older_than_keeps_recent_history(spark, table_with_history):
+    """Age-based retention: snapshots committed at/after the cutoff survive
+    even beyond keep_last; older ones expire down to the keep_last floor."""
+    t, _ = table_with_history
+    snaps = sorted(t.snapshots, key=lambda s: s.sequence_number)
+    assert len(snaps) == 3
+    # cutoff between snapshot 1 and 2: the two newest are "recent"
+    cutoff = snaps[1].timestamp_ms
+    expired, _ = t.expire_snapshots(keep_last=1, older_than_ms=cutoff)
+    assert expired == [snaps[0].snapshot_id]
+    ids = {s.snapshot_id for s in t.snapshots}
+    assert snaps[1].snapshot_id in ids and snaps[2].snapshot_id in ids
+
+
+def test_expire_older_than_respects_keep_last_floor(spark, table_with_history):
+    t, _ = table_with_history
+    # cutoff in the far future: everything is "old", keep_last floors at 2
+    future = max(s.timestamp_ms for s in t.snapshots) + 10_000_000
+    t.expire_snapshots(keep_last=2, older_than_ms=future)
+    ops = [s.operation for s in sorted(t.snapshots,
+                                       key=lambda s: s.sequence_number)]
+    # 2 retained + the expire commit itself
+    assert len(t.snapshots) == 3 and ops[-1] == "expire"
+
+
+def test_ref_aging_retires_abandoned_refs(spark, table_with_history):
+    t, _ = table_with_history
+    snaps = sorted(t.snapshots, key=lambda s: s.sequence_number)
+    t.create_tag("ephemeral", snaps[0].snapshot_id, max_ref_age_ms=1)
+    t.create_tag("durable", snaps[0].snapshot_id)  # no retention: pins forever
+    import time as _time
+    _time.sleep(0.01)
+    assert t.aged_out_refs() == ["ephemeral"]
+    t.expire_snapshots(keep_last=1)
+    assert "ephemeral" not in t.refs and "durable" in t.refs
+    # the durable tag still pins the old snapshot
+    assert snaps[0].snapshot_id in {s.snapshot_id for s in t.snapshots}
+
+
+def test_branch_advance_renews_ref_age_clock(spark, table_with_history):
+    t, df = table_with_history
+    t.create_branch("dev", max_ref_age_ms=3_600_000)
+    before = int(t.refs["dev"]["created_ms"])
+    import time as _time
+    _time.sleep(0.002)
+    t.append_to_branch("dev", df.limit(5), n_files=1)
+    after = int(t.refs["dev"]["created_ms"])
+    assert after > before
+    assert t.refs["dev"].get("max_ref_age_ms") == 3_600_000
+    assert t.aged_out_refs() == []
+
+
+def test_sql_expire_snapshots_and_retain_refs(spark, tmp_path):
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.catalog import Catalog
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.sql import run_sql
+
+    df = generate_transcripts(spark, n_convs=20, hot_convs=1, hot_turns=20)
+    c = Catalog(spark, str(tmp_path / "wh"))
+    c.create_database("ops")
+    t = c.create_table("ops.t", schema(), PartitionSpec.of(days("ts_day", "ts")))
+    t.append(df, n_files=1)
+    t.append(df, n_files=1)
+    t.append(df, n_files=1)
+    run_sql(c, "ALTER TABLE ops.t CREATE TAG rc RETAIN 0 DAYS")
+    import time as _time
+    _time.sleep(0.01)
+    res = run_sql(c, "EXPIRE SNAPSHOTS ops.t OLDER THAN '2100-01-01 00:00:00' "
+                     "KEEP LAST 1")
+    t.refresh()
+    assert res.expired_snapshot_ids
+    assert "rc" not in t.refs
+    assert t.scan().count() == 3 * df.count()
