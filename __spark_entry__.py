@@ -44,6 +44,8 @@ from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.update import UpdateJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.expire import ExpireSnapshotsJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.manifests import RewriteManifestsJob
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.merge import MergeIntoJob
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.clone import clone_table
+from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.copy_into import copy_into
 from e2e_ocsf_cyber_lakehouse_blueprint_spark.sources.transcripts import (
     TRANSCRIPTS_FROM_EVENTS_SQL,
     transcripts_from_events,
@@ -601,6 +603,42 @@ def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the added files, never a full-table diff."""
     t, s1 = _make_two_phase_table(spark, sf_dir)
     return t.changes_between(s1.snapshot_id, columns=_TCOLS)
+
+
+def q_clone_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SHALLOW CLONE (format/clone.py): clone the table at its
+    first snapshot, then keep mutating the SOURCE — the clone's scan must
+    still equal that snapshot's rows (snapshot isolation across tables).
+    Shallow = pure metadata commit; no data file is copied or rewritten."""
+    t, s1 = _make_two_phase_table(spark, sf_dir)
+    loc = tempfile.mkdtemp(prefix="clonetbl-")
+    c = clone_table(t, os.path.join(loc, "clone"), snapshot_id=s1.snapshot_id)
+    # the source keeps moving after the clone; the clone must not see it
+    t.append(transcripts_from_events(spark, sf_dir).limit(100), n_files=1)
+    return c.scan(columns=_TCOLS)
+
+
+def q_copy_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent COPY INTO (operators/copy_into.py): land the events-derived
+    transcripts as raw parquet files, load them in 3-file commit batches, then
+    re-run against the same landing dir — the second pass must ingest zero
+    rows (file-level exactly-once via the checkpointed FileStreamSource plus
+    snapshot markers). The final scan equals the full dataset exactly once."""
+    tune_session(spark)
+    df = transcripts_from_events(spark, sf_dir)
+    loc = tempfile.mkdtemp(prefix="citbl-")
+    land = os.path.join(loc, "landing")
+    df.repartition(6).write.parquet(land)
+    t = Table.create(
+        spark, os.path.join(loc, "transcripts"),
+        T.StructType.fromDDL(TRANSCRIPT_DDL_NTZ),
+        PartitionSpec.of(days("ts_day", "ts")),
+    )
+    copy_into(t, land, max_files_per_batch=3)
+    again = copy_into(t, land)
+    if again.rows != 0 or again.batches != 0:
+        raise AssertionError(f"COPY INTO re-run ingested data: {again}")
+    return t.scan(columns=_TCOLS)
 
 
 _MAINT_ORACLE = f"WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL}) SELECT conv_id, turn_idx, role, text, tool, ts FROM t"
@@ -1370,6 +1408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "branch_publish": q_branch_publish,
         "time_travel": q_time_travel,
         "snapshot_changes": q_snapshot_changes,
+        "clone_pit": q_clone_pit,
+        "copy_into": q_copy_into,
         "partition_evolution": q_partition_evolution,
         "bronze_ingest": q_bronze_ingest,
         "silver_extract": q_silver_extract,
@@ -1434,6 +1474,8 @@ def oracle_sql() -> dict[str, str]:
         "branch_publish": _BRANCH_ORACLE,
         "time_travel": _TIME_TRAVEL_ORACLE,
         "snapshot_changes": _SNAPSHOT_CHANGES_ORACLE,
+        "clone_pit": _TIME_TRAVEL_ORACLE,
+        "copy_into": _MAINT_ORACLE,
         "partition_evolution": _MAINT_ORACLE,
         "bronze_ingest": """
             SELECT event_id, ts AS _event_time, CAST(ts AS DATE) AS _event_date,
