@@ -71,7 +71,12 @@ _WIDEN = {("integer", "long"), ("float", "double"), ("int", "bigint"), ("date", 
 # promotions Spark's parquet reader applies when reading OLD files with the
 # widened schema (int32->int64, float->double — verified; date->timestamp is
 # a write-side cast only, the parquet reader will not upcast it).
-_WIDEN_TABLE = {("integer", "long"), ("int", "bigint"), ("float", "double")}
+_WIDEN_TABLE = {
+    ("integer", "long"), ("int", "bigint"), ("float", "double"),
+    # int32 fits exactly in a double's 53-bit mantissa (lossless); int64
+    # does NOT, so bigint->double is deliberately absent
+    ("int", "double"), ("integer", "double"),
+}
 
 
 class Table:
@@ -937,6 +942,8 @@ class Table:
         added_files: list[DataFile],
         operation: str = "replace",
         summary_extra: dict | None = None,
+        starting_sequence_number: int | None = None,
+        preserve_sequence: bool = False,
     ) -> snap.Snapshot:
         """Copy-on-write file replacement (compaction / clustering / MERGE).
 
@@ -945,8 +952,30 @@ class Table:
         with surviving entries only (Avro manifest rewrite per BASELINE.json
         north_star). Rebase validation: every deleted path must still be live,
         else CommitConflict.
+
+        Concurrent-delete safety (Iceberg RewriteDataFiles semantics): a
+        delete committed between the job's READ and this COMMIT would
+        otherwise be silently lost — the rewrite folds the old delete state
+        and its outputs get a fresh sequence the new delete no longer applies
+        to (row resurrection). Callers pass ``starting_sequence_number`` (the
+        table's sequence at plan time) to arm the rebase checks:
+
+        - a live positional delete with sequence > starting that covers any
+          replaced file -> CommitConflict always (its row positions refer to
+          a file this commit removes);
+        - a live equality delete with sequence > starting whose key bounds
+          may match a replaced file -> with ``preserve_sequence`` (pure
+          reorganizations: compaction, clustering) the outputs are stamped
+          with the STARTING sequence, so the newer eqdel still applies to
+          them and the commit proceeds; without it (row-changing rewrites:
+          MERGE / UPDATE / DELETE) -> CommitConflict.
+
+        The retry loop re-runs these checks against fresh metadata on every
+        rebase attempt.
         """
         deleted = set(deleted_paths)
+        if preserve_sequence and starting_sequence_number is None:
+            raise ValueError("preserve_sequence requires starting_sequence_number")
 
         def build(meta: snap.TableMetadata):
             sid, parent_id, seq = self._next_ids(meta)
@@ -975,6 +1004,56 @@ class Table:
                     f"{len(missing)} files to replace are no longer live "
                     f"(concurrent rewrite): {sorted(missing)[:3]}..."
                 )
+            adds = added_files
+            for f in adds:
+                # a positional delete pins row positions in specific files; if
+                # a concurrent rewrite retired one of them, committing would
+                # silently strand this delete (its rows never match a scan)
+                if f.content == "posdel":
+                    gone = set(f.covered_paths) - (live - deleted)
+                    if gone:
+                        raise CommitConflict(
+                            "positional delete targets files no longer live "
+                            f"(concurrent rewrite): {sorted(gone)[:3]}..."
+                        )
+            if starting_sequence_number is not None:
+                start_seq = starting_sequence_number
+                input_entries = [
+                    e for _, entries in loaded for e in entries
+                    if e["status"] != mf.STATUS_DELETED and e["path"] in deleted
+                ]
+                for _, entries in loaded:
+                    for e in entries:
+                        if (e["status"] == mf.STATUS_DELETED
+                                or int(e.get("data_sequence") or 0) <= start_seq):
+                            continue
+                        c = e.get("content", "data")
+                        if c == "posdel" and deleted.intersection(
+                                e.get("covered_paths") or []):
+                            raise CommitConflict(
+                                "concurrent DELETE added positional deletes "
+                                f"against a replaced file: {e['path']}"
+                            )
+                        if c == "eqdel" and not preserve_sequence:
+                            d = DataFile.from_entry(e)
+                            if any(
+                                int(ie.get("data_sequence") or 0) < d.data_sequence
+                                and _eq_bounds_may_match(DataFile.from_entry(ie), d)
+                                for ie in input_entries
+                            ):
+                                raise CommitConflict(
+                                    "concurrent equality delete applies to a "
+                                    f"replaced file: {e['path']}"
+                                )
+                if preserve_sequence:
+                    # Iceberg useStartingSequenceNumber: reorganized data is
+                    # the SAME rows, so outputs keep the plan-time sequence —
+                    # deletes committed since then still apply to them.
+                    adds = [
+                        dataclasses.replace(f, data_sequence=start_seq)
+                        if f.content == "data" and f.data_sequence == 0 else f
+                        for f in added_files
+                    ]
             stale_posdel = {
                 e["path"]
                 for _, entries in loaded
@@ -988,14 +1067,21 @@ class Table:
             # fold the delete and re-stamp outputs with the new sequence, so
             # after the last pre-delete file is rewritten away the key list
             # can never match a scanned row again
-            min_live_seq = min(
-                (int(e.get("data_sequence") or 0)
-                 for _, entries in loaded for e in entries
-                 if e["status"] != mf.STATUS_DELETED
-                 and e.get("content", "data") == "data"
-                 and e["path"] not in deleted),
-                default=None,
+            live_data_seqs = [
+                int(e.get("data_sequence") or 0)
+                for _, entries in loaded for e in entries
+                if e["status"] != mf.STATUS_DELETED
+                and e.get("content", "data") == "data"
+                and e["path"] not in deleted
+            ]
+            # post-commit live data includes this commit's outputs (at their
+            # effective sequence): an eqdel newer than preserved-sequence
+            # outputs still applies to them and must NOT be dropped as stale
+            live_data_seqs.extend(
+                f.data_sequence if f.data_sequence else seq
+                for f in adds if f.content == "data"
             )
+            min_live_seq = min(live_data_seqs, default=None)
             stale_eqdel = {
                 e["path"]
                 for _, entries in loaded
@@ -1023,18 +1109,18 @@ class Table:
                     new_records.append(
                         mf.write_manifest(mpath, survivors, sid, mf.STATUS_EXISTING)
                     )
-            if added_files:
+            if adds:
                 mpath = self._new_manifest_path()
                 new_records.append(
-                    mf.write_manifest(mpath, added_files, sid, mf.STATUS_ADDED,
+                    mf.write_manifest(mpath, adds, sid, mf.STATUS_ADDED,
                                       sequence_number=seq)
                 )
             mlist = self._manifest_list_path(sid)
             mf.write_manifest_list(mlist, new_records)
             summary = {
                 "deleted-data-files": len(deleted),
-                "added-data-files": len(added_files),
-                "added-records": sum(f.record_count for f in added_files),
+                "added-data-files": len(adds),
+                "added-records": sum(f.record_count for f in adds),
             }
             summary.update(summary_extra or {})
             s = snap.Snapshot(sid, parent_id, seq, snap.now_ms(), operation, mlist, summary)
@@ -1385,6 +1471,57 @@ class Table:
                 version=meta.version + 1)
 
         self._commit_meta(mutate, "add_columns")
+
+    def widen_column(self, name: str, new_type: T.DataType) -> None:
+        """ALTER TABLE ... ALTER COLUMN <c> TYPE <t> — METADATA-ONLY lossless
+        type widening (Delta type-widening / Iceberg type-promotion analogue;
+        the implicit merge-schema append path shares the same ``_WIDEN_TABLE``).
+
+        Every scan pins the table schema, and Spark 4's parquet reader
+        upcasts narrower physical types under a pinned wider read schema
+        (int32->int64/double, float->double — verified), so files written
+        before the widening surface at the new type with zero data movement.
+        Min/max bounds decode numerically and keep pruning; equality-delete
+        key files written at the old type compare under Spark's implicit
+        numeric casts.
+
+        Rejected (would silently corrupt derived artifacts, not the data):
+        partition-source columns (transform output depends on the stored
+        type) and hash/bloom stat columns (xxhash64(int) != xxhash64(bigint),
+        so existing per-file bitsets/bounds would mis-prune probes)."""
+        field = next((f for f in self.schema.fields if f.name == name), None)
+        if field is None:
+            raise ValueError(f"unknown column {name!r}")
+        old_s, new_s = field.dataType.simpleString(), new_type.simpleString()
+        if old_s == new_s:
+            raise ValueError(f"column {name!r} is already {new_s}")
+        if (old_s, new_s) not in _WIDEN_TABLE:
+            raise ValueError(
+                f"cannot widen {name!r} from {old_s} to {new_s} losslessly; "
+                f"allowed: {sorted(_WIDEN_TABLE)}")
+        sources = {d.get("source") for d in self.meta.partition_spec}
+        if name in sources:
+            raise ValueError(
+                f"column {name!r} is a partition-spec source; its transform "
+                "values depend on the stored type — evolve the partition "
+                "spec away from it first")
+        if name in self.hash_stat_columns() or name in self.bloom_stat_columns():
+            raise ValueError(
+                f"column {name!r} has per-file hash/bloom stats, which are "
+                "type-dependent (xxhash64 of int != bigint); remove it from "
+                "stats.hash-columns / stats.bloom-columns first")
+        new_schema = T.StructType([
+            T.StructField(f.name, new_type, f.nullable, f.metadata)
+            if f.name == name else f
+            for f in self.schema.fields
+        ])
+
+        def mutate(meta: snap.TableMetadata) -> snap.TableMetadata:
+            return dataclasses.replace(
+                meta, schema_json=new_schema.jsonValue(),
+                version=meta.version + 1)
+
+        self._commit_meta(mutate, "widen_column")
 
     def rename_column(self, old: str, new: str) -> None:
         """ALTER TABLE ... RENAME COLUMN analogue — METADATA-ONLY rename,

@@ -235,6 +235,8 @@ class ClusteringJob:
         snap = self.table.commit_rewrite(
             deleted, added, operation="replace",
             summary_extra={"job": "cluster", "curve": self.curve, "job-id": job_id},
+            starting_sequence_number=snapshot.sequence_number,
+            preserve_sequence=True,
         )
         ledger.record_job_done({"snapshot_id": snap.snapshot_id})
         return ClusteringResult(

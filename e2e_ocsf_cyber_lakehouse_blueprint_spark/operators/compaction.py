@@ -637,6 +637,8 @@ class CompactionJob:
         snap = self.table.commit_rewrite(
             deleted, added, operation="replace",
             summary_extra={"job": "compact", "job-id": job_id},
+            starting_sequence_number=snapshot.sequence_number,
+            preserve_sequence=True,
         )
         ledger.record_job_done({"snapshot_id": snap.snapshot_id})
         return CompactionResult(

@@ -297,6 +297,8 @@ class DeleteJob:
         t0 = time.time()
         table = self.table
         table.refresh()
+        start = table.current_snapshot()
+        start_seq = start.sequence_number if start else None
         untouched, dropped, rewrite = self.classify()
         n_total = len(untouched) + len(dropped) + len(rewrite)
         if not dropped and not rewrite:
@@ -305,7 +307,7 @@ class DeleteJob:
         spark = table.spark
         schema = table.schema
         if self.mode == "merge-on-read":
-            return self._run_mor(untouched, dropped, rewrite, t0)
+            return self._run_mor(untouched, dropped, rewrite, t0, start_seq)
         outs: list[DataFile] = []
         pred = table._residual(self.predicates)
         if rewrite:
@@ -345,7 +347,7 @@ class DeleteJob:
             summary["change-data-dir"] = cdir
         snap = table.commit_rewrite(
             [f.path for f in removed], outs, operation="delete",
-            summary_extra=summary,
+            summary_extra=summary, starting_sequence_number=start_seq,
         )
 
         record_rewrite_lineage(table, "delete", snap, removed, outs)
@@ -386,7 +388,8 @@ class DeleteJob:
             table, ch.withColumn(CHANGE_TYPE_COL, F.lit("delete")))
 
     def _run_mor(self, untouched: list[DataFile], dropped: list[DataFile],
-                 straddling: list[DataFile], t0: float) -> DeleteResult:
+                 straddling: list[DataFile], t0: float,
+                 start_seq: int | None = None) -> DeleteResult:
         """Merge-on-read: matching rows in straddling files are MARKED in a
         positional-delete (deletion-vector) file — (file_path, pos) rows
         keyed by ``_metadata`` — instead of rewriting data. Provably
@@ -441,7 +444,7 @@ class DeleteJob:
             summary["change-data-dir"] = cdir
         snap = table.commit_rewrite(
             [f.path for f in dropped], outs, operation="delete",
-            summary_extra=summary,
+            summary_extra=summary, starting_sequence_number=start_seq,
         )
         record_rewrite_lineage(table, "delete", snap, dropped, outs)
         covered = set()

@@ -361,6 +361,8 @@ class MergeIntoJob:
         snap = table.commit_rewrite(
             [f.path for f in affected], outs, operation="overwrite",
             summary_extra=summary,
+            starting_sequence_number=(
+                snapshot.sequence_number if snapshot else None),
         )
 
         # lineage: per-partition input/output mapping for the audit ledger

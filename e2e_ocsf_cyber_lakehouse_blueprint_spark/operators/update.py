@@ -93,6 +93,8 @@ class UpdateJob:
         t0 = time.time()
         table = self.table
         table.refresh()
+        start = table.current_snapshot()
+        start_seq = start.sequence_number if start else None
         files = table.live_data_files()
         rewrite = prune_files(files, self.predicates, table.schema,
                               table.spec, aliases=table.rename_map())
@@ -143,7 +145,7 @@ class UpdateJob:
             summary["change-data-dir"] = cdir
         snap = table.commit_rewrite(
             [f.path for f in rewrite], outs, operation="overwrite",
-            summary_extra=summary,
+            summary_extra=summary, starting_sequence_number=start_seq,
         )
         record_rewrite_lineage(table, "update", snap, rewrite, outs)
         n_in = sum(f.record_count for f in rewrite) - n_dv_masked
