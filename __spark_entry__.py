@@ -477,6 +477,44 @@ FROM t WHERE turn_idx >= 0
 """
 
 
+def q_widen_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ALTER COLUMN ... TYPE (format/table.py widen_column via
+    sql.py): metadata-only lossless type widening across file eras. Half the
+    rows are written while turn_idx is INT, the column is widened to BIGINT,
+    the other half arrives as BIGINT; the scan must surface one BIGINT column
+    over both eras (Spark 4 parquet upcast under the pinned read schema) and
+    still prune old-era files from their int-typed min/max bounds."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.catalog import Catalog
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.sql import run_sql
+
+    tune_session(spark)
+    df = transcripts_from_events(spark, sf_dir)
+    c = Catalog(spark, tempfile.mkdtemp(prefix="sqlwh-"))
+    c.create_database("ops")
+    t = c.create_table(
+        "ops.transcripts",
+        T.StructType.fromDDL(TRANSCRIPT_DDL_NTZ),
+        PartitionSpec.of(days("ts_day", "ts"),
+                         bucket("conv_bucket", "conv_id", 4)),
+        properties={"write.target-file-size-bytes": str(8 * 1024 * 1024),
+                    "stats.columns": "conv_id,turn_idx,ts"},
+    )
+    t.append(df.filter(F.col("turn_idx") % 2 == 0), n_files=4)
+    run_sql(c, "ALTER TABLE ops.transcripts ALTER COLUMN turn_idx TYPE BIGINT")
+    t.refresh()
+    t.append(df.filter(F.col("turn_idx") % 2 == 1)
+               .withColumn("turn_idx", F.col("turn_idx").cast("bigint")),
+             n_files=4)
+    return t.scan([("turn_idx", ">=", 0)], columns=_TCOLS)
+
+
+_WIDEN_COLUMN_ORACLE = f"""
+WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role, text, tool, ts
+FROM t WHERE turn_idx >= 0
+"""
+
+
 def q_incremental_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (liquid) re-clustering: cluster, append a small delta,
     re-cluster. The second pass skips files whose manifest entry already
@@ -1395,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_ctas": q_sql_ctas,
         "schema_evolution": q_schema_evolution,
         "rename_column": q_rename_column,
+        "widen_column": q_widen_column,
         "incremental_cluster": q_incremental_cluster,
         "maintain_delete": q_maintain_delete,
         "maintain_delete_eq": q_maintain_delete_eq,
@@ -1461,6 +1500,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_ctas": _SQL_CTAS_ORACLE,
         "schema_evolution": _SCHEMA_EVOLUTION_ORACLE,
         "rename_column": _RENAME_COLUMN_ORACLE,
+        "widen_column": _WIDEN_COLUMN_ORACLE,
         "incremental_cluster": _MAINT_ORACLE,
         "maintain_delete": _DELETE_ORACLE,
         "maintain_delete_eq": _DELETE_EQ_ORACLE,

@@ -72,6 +72,7 @@ table-maintenance statements the engine owns:
     ALTER TABLE <tbl> ADD COLUMNS (name type[, ...])
     ALTER TABLE <tbl> DROP COLUMN <name>
     ALTER TABLE <tbl> RENAME COLUMN <old> TO <new>
+    ALTER TABLE <tbl> ALTER COLUMN <col> TYPE <type>   (lossless widen)
         metadata-only schema evolution: scans pin the table schema, so
         pre-evolution files surface added columns as NULL and dropped
         columns vanish without any rewrite (bytes reclaimed as
@@ -388,6 +389,10 @@ _STATEMENTS: list[tuple[re.Pattern, str]] = [
         rf"ALTER\s+TABLE\s+(?P<tbl>{_ID})\s+RENAME\s+COLUMN\s+"
         rf"(?P<old>[\w$]+)\s+TO\s+(?P<new>[\w$]+)\s*;?\s*$",
         re.IGNORECASE), "rename_column"),
+    (re.compile(
+        rf"ALTER\s+TABLE\s+(?P<tbl>{_ID})\s+ALTER\s+COLUMN\s+"
+        rf"(?P<col>[\w$]+)\s+TYPE\s+(?P<typ>[\w()\s,]+?)\s*;?\s*$",
+        re.IGNORECASE), "widen_column"),
     (re.compile(
         rf"ALTER\s+TABLE\s+(?P<tbl>{_ID})\s+CLUSTER\s+BY\s*\((?P<cols>[^)]+)\)\s*;?\s*$",
         re.IGNORECASE), "cluster_by"),
@@ -862,6 +867,15 @@ def _dispatch(action: str, table: Table, m: re.Match,
         return None
     if action == "rename_column":
         table.rename_column(m.group("old"), m.group("new"))
+        return None
+    if action == "widen_column":
+        try:
+            new_type = T.StructType.fromDDL(
+                f"__c {m.group('typ')}").fields[0].dataType
+        except Exception as e:
+            raise ValueError(
+                f"unparseable type in ALTER COLUMN TYPE: {e}")
+        table.widen_column(m.group("col"), new_type)
         return None
     if action == "cluster_by":
         table.set_cluster_keys(_cols(m.group("cols")))
