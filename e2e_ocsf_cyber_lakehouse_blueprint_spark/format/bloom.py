@@ -176,17 +176,21 @@ def harvest_key_stats(
     dominant per-write serial floor once footer stats removed the wide
     scan. This fusion runs a single scan that ships only
     ``(file, h1, h2)`` longs (hashes computed JVM-side by Catalyst, never
-    strings) into ``groupBy(file).applyInPandas``, where numpy folds the k
-    double-hash positions into the m-bit set with vectorized scatter-OR and
-    takes min/max of h1 in the same pass. ~2.3x faster than the two-job
-    scheme at bench scale and one fewer Spark job per write.
+    strings).
 
-    Scale shape: one task per output file (a maintenance job's write is
-    many files, so the stage fills the cluster), each group holding one
-    file's rows (~target-file-size / row-width), Arrow-batched. NULL keys
-    are masked JVM-side into a boolean column so int64 hash precision
-    survives the pandas transfer (a nullable long would degrade to
-    float64).
+    MAP-SIDE PARTIALS, no row shuffle: rows arrive file-contiguous from the
+    scan, so a ``mapInPandas`` pass folds each Arrow batch into per-(file,
+    column) partial bitsets (numpy scatter-OR) and h1 min/max. Only those
+    ~1 KiB partials — one per batch per column, not one row per key — cross
+    the wire into the final ``groupBy(file)`` merge. The previous
+    ``groupBy(file).applyInPandas`` single-stage version shuffled every
+    (file, h1, h2) row: ~25 bytes/turn, i.e. a full-data exchange per write
+    at the 10^12-turn design point, and the measured non-scaling component
+    of the post-write harvest in the two-cluster-size protocol.
+
+    NULL keys are masked JVM-side into a boolean column, and partial bounds
+    travel as non-null int64 + presence flag, so int64 hash precision
+    survives the pandas transfer (a nullable long would degrade to float64).
 
     Returns ``{file_path: {"hash_bounds": {col: (lo, hi)},
     "blooms": {bloom(col): encoded}}}``.
@@ -211,36 +215,69 @@ def harvest_key_stats(
     keyed = df.select(*sel)
 
     hash_set, bloom_set = set(hash_cols), set(bloom_cols)
+    partial_schema = ("_fp string, _col string, _has boolean, _lo long, "
+                      "_hi long, _bits binary")
 
-    def per_file(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def partials(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {"_fp": [], "_col": [], "_has": [], "_lo": [], "_hi": [],
+                   "_bits": []}
+            # a scan partition packs whole files sequentially, so a batch
+            # holds at most a couple of file runs; group within the batch
+            for fp, g in pdf.groupby("_fp", sort=False):
+                for c in all_cols:
+                    mask = g[f"_nn_{c}"].to_numpy(dtype=bool)
+                    h1 = g[f"_h1_{c}"].to_numpy(dtype=np.int64)[mask]
+                    has = bool(h1.size)
+                    lo = int(h1.min()) if has else 0
+                    hi = int(h1.max()) if has else 0
+                    raw = None
+                    if c in bloom_set:
+                        bits = np.zeros(m // 64, dtype=np.uint64)
+                        if has:
+                            h2 = g[f"_h2_{c}"].to_numpy(dtype=np.int64)[mask]
+                            with np.errstate(over="ignore"):
+                                p1 = (h1 % m).astype(np.uint64)
+                                p2 = (h2 % m).astype(np.uint64)
+                                for i in range(k):
+                                    # hashes reduced mod m BEFORE the
+                                    # double-hash walk, same as _positions
+                                    # and harvest_blooms — no overflow, bit
+                                    # placement identical
+                                    pos = (p1 + np.uint64(i) * p2) % np.uint64(m)
+                                    np.bitwise_or.at(
+                                        bits, pos // np.uint64(64),
+                                        np.uint64(1) << (pos % np.uint64(64)))
+                        raw = bits.tobytes()
+                    out["_fp"].append(fp)
+                    out["_col"].append(c)
+                    out["_has"].append(has)
+                    out["_lo"].append(lo)
+                    out["_hi"].append(hi)
+                    out["_bits"].append(raw)
+            yield pd.DataFrame(out)
+
+    def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
         fp = pdf["_fp"].iloc[0]
         out = {"_fp": [], "_col": [], "_lo": [], "_hi": [], "_bloom": []}
         for c in all_cols:
-            mask = pdf[f"_nn_{c}"].to_numpy(dtype=bool)
-            h1 = pdf[f"_h1_{c}"].to_numpy(dtype=np.int64)[mask]
+            sub = pdf[pdf["_col"] == c]
+            hasm = sub["_has"].to_numpy(dtype=bool)
             lo = hi = None
-            if c in hash_set and h1.size:
-                lo, hi = int(h1.min()), int(h1.max())
+            if c in hash_set and hasm.any():
+                lo = int(sub["_lo"].to_numpy(dtype=np.int64)[hasm].min())
+                hi = int(sub["_hi"].to_numpy(dtype=np.int64)[hasm].max())
             enc = None
             if c in bloom_set:
-                words: dict[int, int] = {}
-                if h1.size:
-                    h2 = pdf[f"_h2_{c}"].to_numpy(dtype=np.int64)[mask]
-                    with np.errstate(over="ignore"):
-                        p1 = (h1 % m).astype(np.uint64)
-                        p2 = (h2 % m).astype(np.uint64)
-                        bits = np.zeros(m // 64, dtype=np.uint64)
-                        for i in range(k):
-                            # hashes reduced mod m BEFORE the double-hash
-                            # walk, same as _positions and harvest_blooms —
-                            # no overflow possible, bit placement identical
-                            pos = (p1 + np.uint64(i) * p2) % np.uint64(m)
-                            np.bitwise_or.at(
-                                bits, pos // np.uint64(64),
-                                np.uint64(1) << (pos % np.uint64(64)))
-                    nz = np.nonzero(bits)[0]
-                    words = {int(w): int(bits[w]) for w in nz}
-                enc = encode_bloom(m, k, words)
+                bits = np.zeros(m // 64, dtype=np.uint64)
+                for raw in sub["_bits"]:
+                    if raw is not None:
+                        bits |= np.frombuffer(bytes(raw), dtype=np.uint64)
+                nz = np.nonzero(bits)[0]
+                enc = encode_bloom(
+                    m, k, {int(w): int(bits[w]) for w in nz})
             out["_fp"].append(fp)
             out["_col"].append(c)
             out["_lo"].append(lo)
@@ -249,8 +286,9 @@ def harvest_key_stats(
         return pd.DataFrame(out)
 
     rows = (
-        keyed.groupBy("_fp")
-        .applyInPandas(per_file,
+        keyed.mapInPandas(partials, partial_schema)
+        .groupBy("_fp")
+        .applyInPandas(merge,
                        "_fp string, _col string, _lo long, _hi long, _bloom string")
         .collect()
     )
