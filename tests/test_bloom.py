@@ -199,3 +199,32 @@ def test_fused_key_stats_null_handling(spark):
     assert decode_bloom(enc_b)[2] == {}
     assert not bloom_might_contain(enc_b, "k1")
     assert fused["b"]["hash_bounds"] == {}
+
+
+def test_fused_key_stats_cross_batch_merge(spark):
+    """Force each file's rows across MANY Arrow batches (tiny
+    maxRecordsPerBatch) so the map-side partial bitsets actually exercise
+    the per-file merge: OR-ing partial blooms and folding partial h1
+    bounds must be bit-for-bit identical to the single-batch result."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.bloom import (
+        harvest_key_stats,
+    )
+
+    rows = [(f"f{i // 400}", f"conv-{i % 211}" if i % 13 else None)
+            for i in range(1200)]
+    df = spark.createDataFrame(rows, "fp string, c string").coalesce(2)
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "37")  # ~11 batches per file per partition
+        small = harvest_key_stats(df, "fp", ["c"], ["c"], m=2048)
+    finally:
+        spark.conf.set(key, prev) if prev else spark.conf.unset(key)
+    big = harvest_key_stats(df, "fp", ["c"], ["c"], m=2048)
+
+    legacy = harvest_blooms(df, "fp", ["c"], m=2048)
+    assert set(small) == set(big) == {"f0", "f1", "f2"}
+    for fp in small:
+        assert small[fp]["blooms"] == big[fp]["blooms"] == legacy[fp], fp
+        assert small[fp]["hash_bounds"] == big[fp]["hash_bounds"], fp
