@@ -34,6 +34,7 @@ from .compaction import (
     write_group_global_range,
 )
 from .ledger import Ledger, partition_key, spill_metrics, split_size_for_rewrites
+from ..timing import phase_timer
 
 _KEY_COL = "_zkey"
 
@@ -207,7 +208,8 @@ class ClusteringJob:
         snapshot = self.table.current_snapshot()
         if snapshot is None:
             return ClusteringResult(None, self.curve, 0, 0, 0, 0, 0)
-        plans = self._plan()
+        with phase_timer("cluster.plan"):
+            plans = self._plan()
         if not plans:
             # incremental no-op: everything already carries the current spec
             return ClusteringResult(snapshot.snapshot_id, self.curve, 0, 0, 0, 0, 0,
@@ -232,12 +234,13 @@ class ClusteringJob:
                 skipped += 1
             deleted.extend(f.path for f in plan.input_files)
             added.extend(outs)
-        snap = self.table.commit_rewrite(
-            deleted, added, operation="replace",
-            summary_extra={"job": "cluster", "curve": self.curve, "job-id": job_id},
-            starting_sequence_number=snapshot.sequence_number,
-            preserve_sequence=True,
-        )
+        with phase_timer("cluster.commit"):
+            snap = self.table.commit_rewrite(
+                deleted, added, operation="replace",
+                summary_extra={"job": "cluster", "curve": self.curve, "job-id": job_id},
+                starting_sequence_number=snapshot.sequence_number,
+                preserve_sequence=True,
+            )
         ledger.record_job_done({"snapshot_id": snap.snapshot_id})
         return ClusteringResult(
             snapshot_id=snap.snapshot_id,

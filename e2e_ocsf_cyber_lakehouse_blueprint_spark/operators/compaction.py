@@ -37,6 +37,7 @@ from ..format.manifest import DataFile
 from ..format.stats import harvest_file_stats
 from ..format.table import Table
 from .ledger import Ledger, partition_key, spill_metrics, split_size_for_rewrites
+from ..timing import phase_timer
 
 DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024
 
@@ -398,7 +399,8 @@ def run_grouped_rewrites(
 
     fresh: list[tuple[object, str, int | None]] = []
     if groups:
-        with ThreadPoolExecutor(max_workers=max(1, min(max_concurrency, len(groups)))) as pool:
+        with phase_timer(f"{job_tag}.writes"), ThreadPoolExecutor(
+                max_workers=max(1, min(max_concurrency, len(groups)))) as pool:
             for group, out_dir, started in pool.map(rewrite_group, groups):
                 fresh.extend((plan, out_dir, started) for plan in group.plans)
 
@@ -409,11 +411,12 @@ def run_grouped_rewrites(
         # dirs so the harvest's schema read never sees an empty relation
         harvest_dirs = [d for d in sorted({d for _, d, _ in staged})
                         if _dir_has_parquet(d)]
-        files = harvest_file_stats(
-            spark, harvest_dirs, table.schema,
-            pcol_names, table.hash_stat_columns(), table.stat_columns(),
-            table.bloom_stat_columns(), table.bloom_bits(),
-        ) if harvest_dirs else []
+        with phase_timer(f"{job_tag}.harvest"):
+            files = harvest_file_stats(
+                spark, harvest_dirs, table.schema,
+                pcol_names, table.hash_stat_columns(), table.stat_columns(),
+                table.bloom_stat_columns(), table.bloom_bits(),
+            ) if harvest_dirs else []
         if stamp_sort_order is not None:
             # layout provenance (Iceberg sort_order_id analogue): lets the
             # next clustering pass skip files already written in this spec
@@ -603,14 +606,15 @@ class CompactionJob:
         snapshot = self.table.current_snapshot()
         if snapshot is None:
             return CompactionResult(None, 0, 0, 0, 0, 0, 0)
-        plans = plan_compaction(
-            self.table,
-            target_file_size=self.target_file_size,
-            small_file_ratio=self.small_file_ratio,
-            min_input_files=self.min_input_files,
-            only_partitions=self.only_partitions,
-            delete_ratio_threshold=self.delete_ratio_threshold,
-        )
+        with phase_timer("compact.plan"):
+            plans = plan_compaction(
+                self.table,
+                target_file_size=self.target_file_size,
+                small_file_ratio=self.small_file_ratio,
+                min_input_files=self.min_input_files,
+                only_partitions=self.only_partitions,
+                delete_ratio_threshold=self.delete_ratio_threshold,
+            )
         if dry_run or not plans:
             return CompactionResult(
                 snapshot.snapshot_id, len(plans),
@@ -634,12 +638,13 @@ class CompactionJob:
                 skipped += 1
             deleted.extend(f.path for f in plan.input_files)
             added.extend(outs)
-        snap = self.table.commit_rewrite(
-            deleted, added, operation="replace",
-            summary_extra={"job": "compact", "job-id": job_id},
-            starting_sequence_number=snapshot.sequence_number,
-            preserve_sequence=True,
-        )
+        with phase_timer("compact.commit"):
+            snap = self.table.commit_rewrite(
+                deleted, added, operation="replace",
+                summary_extra={"job": "compact", "job-id": job_id},
+                starting_sequence_number=snapshot.sequence_number,
+                preserve_sequence=True,
+            )
         ledger.record_job_done({"snapshot_id": snap.snapshot_id})
         return CompactionResult(
             snapshot_id=snap.snapshot_id,
