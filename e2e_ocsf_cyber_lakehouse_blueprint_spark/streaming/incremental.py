@@ -17,6 +17,16 @@ Exactly-once: the checkpoint commit happens only after the downstream append
 snapshot commits; a crash in between reprocesses the batch, and the target
 append is idempotent per batch id (batch-id marker in the snapshot summary lets
 reruns detect an already-applied batch).
+
+Planned batches are WRITE-AHEAD LOGGED: ``next_batch`` persists the batch's
+exact file set (or snapshot span) under ``pending`` in the checkpoint BEFORE
+returning it, and re-produces that exact batch after a crash — the same
+offsets-log contract as Spark's own FileStreamSource. Without the WAL, a
+re-listing heal after a crash-between-commit-and-checkpoint would absorb
+files that arrived AFTER the crashed batch into the already-applied batch id,
+then mark them processed without ever ingesting them (silent data loss), or —
+with ``max_files`` truncation shifting the sorted window — re-ingest the
+crashed batch's files under the next id (duplicates).
 """
 
 from __future__ import annotations
@@ -93,6 +103,12 @@ class FileStreamSource:
 
     def next_batch(self, max_files: int | None = None) -> Batch | None:
         state = self.cp.read()
+        pending = state.get("pending")
+        if pending:
+            # a planned batch was never committed (crash mid-apply):
+            # re-produce EXACTLY it, ignoring any files that arrived since
+            return Batch(int(pending["batch_id"]), list(pending["files"]),
+                         self._read(list(pending["files"])))
         seen = set(state.get("processed", []))
         new = [p for p in self._list() if p not in seen]
         if max_files:
@@ -100,18 +116,21 @@ class FileStreamSource:
         if not new:
             return None
         batch_id = int(state.get("batch_id", -1)) + 1
+        # WAL the plan before handing it out (see module doc)
+        self.cp.write({**state, "pending": {"batch_id": batch_id, "files": new}})
+        return Batch(batch_id, new, self._read(new))
+
+    def _read(self, files: list[str]) -> DataFrame:
         reader = self.spark.read
         if self.schema is not None:
             reader = reader.schema(self.schema)
         if self.fmt == "json":
-            df = reader.json(new)
-        elif self.fmt == "parquet":
-            df = reader.parquet(*new)
-        elif self.fmt == "text":
-            df = reader.text(new)
-        else:
-            raise ValueError(self.fmt)
-        return Batch(batch_id, new, df)
+            return reader.json(files)
+        if self.fmt == "parquet":
+            return reader.parquet(*files)
+        if self.fmt == "text":
+            return reader.text(files)
+        raise ValueError(self.fmt)
 
     def commit(self, batch: Batch) -> None:
         state = self.cp.read()
@@ -129,10 +148,18 @@ class IncrementalTableReader:
 
     def next_batch(self) -> Batch | None:
         self.table.refresh()
+        state = self.cp.read()
+        pending = state.get("pending")
+        if pending:
+            # crash mid-apply: re-produce the planned batch verbatim — later
+            # commits get their own batch ids after this one lands
+            b = Batch(int(pending["batch_id"]), list(pending["files"]),
+                      self.table.read_parquet(list(pending["files"])))
+            b._snapshot_id = pending["snapshot_id"]  # type: ignore[attr-defined]
+            return b
         cur = self.table.current_snapshot()
         if cur is None:
             return None
-        state = self.cp.read()
         last = state.get("last_snapshot_id")
         if last == cur.snapshot_id:
             return None
@@ -148,8 +175,11 @@ class IncrementalTableReader:
         if not new_files:
             self.cp.write({"last_snapshot_id": cur.snapshot_id, "batch_id": batch_id})
             return None
-        df = self.table.read_parquet([f.path for f in new_files])
-        b = Batch(batch_id, [f.path for f in new_files], df)
+        paths = [f.path for f in new_files]
+        self.cp.write({**state, "pending": {
+            "batch_id": batch_id, "snapshot_id": cur.snapshot_id,
+            "files": paths}})
+        b = Batch(batch_id, paths, self.table.read_parquet(paths))
         b._snapshot_id = cur.snapshot_id  # type: ignore[attr-defined]
         return b
 
@@ -176,15 +206,26 @@ class ChangeFeedReader:
         from ..operators.change_feed import change_feed
 
         self.table.refresh()
+        state = self.cp.read()
+        pending = state.get("pending")
         cur = self.table.current_snapshot()
+        if pending:
+            # crash mid-apply: replay the exact planned snapshot span
+            b = Batch(int(pending["batch_id"]), [],
+                      change_feed(self.table, pending.get("from_snapshot_id"),
+                                  pending["snapshot_id"]))
+            b._snapshot_id = pending["snapshot_id"]  # type: ignore[attr-defined]
+            return b
         if cur is None:
             return None
-        state = self.cp.read()
         last = state.get("last_snapshot_id")
         if last == cur.snapshot_id:
             return None
-        df = change_feed(self.table, last, cur.snapshot_id)
         batch_id = int(state.get("batch_id", -1)) + 1
+        self.cp.write({**state, "pending": {
+            "batch_id": batch_id, "from_snapshot_id": last,
+            "snapshot_id": cur.snapshot_id}})
+        df = change_feed(self.table, last, cur.snapshot_id)
         b = Batch(batch_id, [], df)
         b._snapshot_id = cur.snapshot_id  # type: ignore[attr-defined]
         return b
