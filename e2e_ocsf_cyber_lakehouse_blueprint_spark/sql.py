@@ -224,14 +224,26 @@ def _parse_literal(s: str):
 
 
 def _split_on_and(s: str) -> list[str]:
-    """Split a WHERE body on top-level AND (outside quotes)."""
-    out, cur, in_q = [], [], False
+    """Split a WHERE body on top-level AND (outside quotes AND parentheses).
+
+    Paren-awareness is a soundness requirement, not cosmetics: splitting
+    inside ``NOT (a = 1 AND b = 2 AND c = 3)`` would yield a clean-looking
+    middle term ``b = 2`` that _select_pushdown would claim as a pruning
+    predicate — but the NOT-group is satisfied by rows with b != 2, so
+    pruning on it silently drops rows. Kept whole, the group fails _TERM_RE
+    and is skipped (SELECT pushdown) or rejected loudly (DELETE/UPDATE)."""
+    out, cur, in_q, depth = [], [], False, 0
     i, n = 0, len(s)
     while i < n:
         ch = s[i]
         if ch == "'":
             in_q = not in_q
-        if not in_q and s[i:i + 3].upper() == "AND" and (i == 0 or s[i - 1].isspace()) \
+        elif not in_q and ch == "(":
+            depth += 1
+        elif not in_q and ch == ")":
+            depth -= 1
+        if not in_q and depth == 0 and s[i:i + 3].upper() == "AND" \
+                and (i == 0 or s[i - 1].isspace()) \
                 and (i + 3 >= n or s[i + 3].isspace()):
             out.append("".join(cur))
             cur = []

@@ -559,6 +559,44 @@ def test_select_pushdown_prunes_files(cat, monkeypatch):
         f"ts < '{day} 00:00:00' OR role = 'user'").count()
 
 
+def test_select_pushdown_not_group_claims_nothing(cat, monkeypatch):
+    """``NOT (a AND b AND c)`` must not leak its inner conjuncts as pruning
+    predicates: a paren-blind AND-split once yielded the clean middle term
+    ``turn_idx = 0`` — pruning on it drops files full of rows the NOT-group
+    KEEPS (silent loss). The group must stay one (unparseable) term."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.table import Table
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.sql import (
+        _select_pushdown, _split_on_and)
+
+    # splitter: NOT-group survives whole; trailing conjunct still splits off
+    body = "NOT (conv_id = 'x' AND turn_idx = 0 AND role = 'user') AND ts IS NOT NULL"
+    assert _split_on_and(body) == [
+        "NOT (conv_id = 'x' AND turn_idx = 0 AND role = 'user')",
+        "ts IS NOT NULL",
+    ]
+
+    c, df = cat
+    t = c.load_table("ops.transcripts")
+    run_sql(c, "OPTIMIZE ops.transcripts ZORDER BY (conv_id, turn_idx, ts)")
+    stmt = ("SELECT COUNT(*) AS n FROM ops.transcripts "
+            "WHERE NOT (conv_id = 'x' AND turn_idx = 0 AND role = 'user')")
+    assert _select_pushdown(stmt, t) is None
+
+    seen = {}
+    orig = Table.plan_scan
+
+    def spy(self, predicates=None, snapshot_id=None):
+        if predicates:
+            seen["preds"] = predicates
+        return orig(self, predicates, snapshot_id)
+
+    monkeypatch.setattr(Table, "plan_scan", spy)
+    out = run_sql(c, stmt)
+    assert "preds" not in seen
+    assert out.first()["n"] == t.scan().filter(
+        "NOT (conv_id = 'x' AND turn_idx = 0 AND role = 'user')").count()
+
+
 def test_alter_add_columns_null_fills_old_files(cat):
     """ADD COLUMNS is metadata-only: pre-evolution files surface the new
     columns as NULL (scans pin the table schema), post-evolution appends
