@@ -145,7 +145,10 @@ def change_feed(
         if cdir is not None:
             sl = (spark.read.parquet(cdir)
                   .withColumn(COMMIT_COL, F.lit(s.snapshot_id)))
-        elif s.operation == "append":
+        elif s.operation in ("append", "clone"):
+            # a clone's first snapshot is its initial row population: the
+            # feed reports those rows as inserted at clone time, matching
+            # Delta's table_changes over a cloned table from version 0
             added = _added_files(table, s)
             if not added:
                 continue

@@ -247,3 +247,17 @@ def test_feed_rejects_non_ancestor_from(cdf_table):
     br = t.append_to_branch("side", df.limit(2), n_files=1)
     with pytest.raises(ValueError, match="not an ancestor"):
         change_feed(t, br.snapshot_id)
+
+
+def test_clone_initial_rows_feed_as_inserts(cdf_table, tmp_path):
+    """A clone's first snapshot populates the table: table_changes from the
+    table start reports those rows as inserts at the clone commit (Delta's
+    behavior for a cloned table's version 0), not a loud failure."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.clone import clone_table
+
+    t, df = cdf_table
+    c = clone_table(t, str(tmp_path / "c"))
+    feed = change_feed(c, None, None)
+    by_type = dict(feed.groupBy("_change_type").count().collect())
+    assert by_type == {"insert": df.count()}
+    assert _rows(feed) == _rows(t.scan())
