@@ -1446,6 +1446,8 @@ class Table:
         existing = {f.name for f in self.schema.fields}
         pnames = {f.name for f in self.spec.fields}
         hist = {o: cur for cur, olds in self.rename_map().items() for o in olds}
+        dropped = set(json.loads(
+            self.meta.properties.get("schema.dropped-names", "[]")))
         seen: set[str] = set()
         for f in fields:
             if f.name in existing:
@@ -1457,6 +1459,11 @@ class Table:
                 raise ValueError(
                     f"{f.name!r} is a historical name of column "
                     f"{hist[f.name]!r}; files still carry it under that column")
+            if f.name in dropped:
+                raise ValueError(
+                    f"{f.name!r} was DROPPED: existing files still carry its "
+                    "bytes, which a pinned-schema read would resurrect in "
+                    "place of NULLs — pick a fresh name")
             if f.name in seen:
                 raise ValueError(f"duplicate column {f.name!r} in ADD COLUMNS")
             seen.add(f.name)
@@ -1559,6 +1566,12 @@ class Table:
                 raise ValueError(
                     f"{new!r} is a historical name of column {cur!r}; "
                     "files still carry it under that column")
+        if new in set(json.loads(
+                self.meta.properties.get("schema.dropped-names", "[]"))):
+            raise ValueError(
+                f"{new!r} names a DROPPED column whose bytes remain in "
+                "existing files; renaming onto it would coalesce those stale "
+                "values into the scan — pick a fresh name")
         _, checks = self.constraints()
         pat = re.compile(rf"\b{re.escape(old)}\b")
         hits = [cn for cn, expr in checks.items() if pat.search(expr)]
@@ -1643,10 +1656,28 @@ class Table:
                     "file(s); run REWRITE DELETES (eqdel->posdel) first")
         new_schema = T.StructType(
             [f for f in self.schema.fields if f.name != name])
-
+        # the dropped column's bytes stay in existing files (and, if it was
+        # ever renamed, under its historical names too). Record every such
+        # physical name as a ghost: re-introducing one via ADD COLUMNS or
+        # RENAME would make pinned-schema reads resurrect the stale bytes
+        # instead of NULLs — silent corruption, so reuse is rejected forever
+        # (Iceberg sidesteps this with field ids; Delta needs column mapping).
+        # Computed INSIDE mutate from the fresh metadata of each retry
+        # attempt, so a concurrent rename committed between attempts is not
+        # clobbered by a stale precomputed history.
         def mutate(meta: snap.TableMetadata) -> snap.TableMetadata:
+            props = dict(meta.properties)
+            raw = props.get("schema.renames", "")
+            history: dict[str, list[str]] = json.loads(raw) if raw else {}
+            ghosts = [name] + history.pop(name, [])
+            props["schema.renames"] = json.dumps(
+                {k: v for k, v in history.items() if v}, sort_keys=True)
+            dropped = set(json.loads(props.get("schema.dropped-names", "[]")))
+            props["schema.dropped-names"] = json.dumps(
+                sorted(dropped | set(ghosts)))
             return dataclasses.replace(
                 meta, schema_json=new_schema.jsonValue(),
+                properties=props,
                 version=meta.version + 1)
 
         self._commit_meta(mutate, "drop_column")

@@ -197,3 +197,36 @@ def test_sql_rename_column(spark, tmp_path, small_df):
     got = run_sql(cat, "SELECT conv_id, turn_idx, content FROM db.t "
                        "WHERE content IS NOT NULL").count()
     assert got == small_df.count()
+
+
+def test_dropped_names_never_reusable(spark, tmp_table_dir, small_df):
+    """DROP COLUMN leaves the column's bytes in existing files; re-introducing
+    the name (or any historical physical name it once carried) via ADD COLUMNS
+    or RENAME would make the pinned-schema scan resurrect those stale bytes in
+    place of NULLs — silent corruption, so every such ghost name is reserved
+    forever in `schema.dropped-names`."""
+    t = Table.create(spark, tmp_table_dir, transcripts_schema(), default_spec())
+    t.append(small_df, n_files=1)
+
+    t.rename_column("tool", "tool_name")
+    t.drop_column("tool_name")
+    # the drop retires the rename-history entry into the ghost set: both the
+    # final name and the original physical name are rejected everywhere
+    for ghost in ("tool_name", "tool"):
+        with pytest.raises(ValueError, match="DROPPED"):
+            t.add_columns([T.StructField(ghost, T.StringType())])
+        with pytest.raises(ValueError, match="DROPPED"):
+            t.rename_column("role", ghost)
+
+    # ghosts accumulate across drops rather than replacing each other
+    t.drop_column("text")
+    with pytest.raises(ValueError, match="DROPPED"):
+        t.add_columns([T.StructField("text", T.StringType())])
+    with pytest.raises(ValueError, match="DROPPED"):
+        t.add_columns([T.StructField("tool", T.StringType())])
+
+    # a fresh name is fine — and reads as NULL on old-era files, which is
+    # exactly the behavior reusing a ghost name could not deliver
+    t.add_columns([T.StructField("tool_v2", T.StringType())])
+    assert t.scan().where(F.col("tool_v2").isNotNull()).count() == 0
+    assert t.scan().count() == small_df.count()
