@@ -30,6 +30,15 @@ def main() -> None:
     ap.add_argument("--trials", type=int, default=8)
     ap.add_argument("--n-small", type=int, default=2)
     ap.add_argument("--n-big", type=int, default=8)
+    ap.add_argument("--big-per-small", type=int, default=1,
+                    help="big-arm trials per small-arm trial in each round. "
+                    "The per-phase minimum converges asymmetrically: the big "
+                    "arm needs B simultaneously unstolen host cores where the "
+                    "small arm needs only S, so with equal trial counts the "
+                    "big arm's minimum sits further above its true capacity "
+                    "floor and the efficiency estimate is biased LOW. Extra "
+                    "big-arm trials tighten the slow-converging minimum; the "
+                    "interleaved small trials remain the same-window control.")
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
 
@@ -38,8 +47,9 @@ def main() -> None:
     env.pop("SPARK_GRAFT_TIMING", None)  # probe must never run inside measured trials
 
     results: dict[int, list[dict]] = {}
+    round_arms = (args.n_small,) + (args.n_big,) * args.big_per_small
     for i in range(args.trials):
-        for cpus in (args.n_small, args.n_big):
+        for cpus in round_arms:
             proc = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py"),
                  "--use-template", args.template_root, "--cpus", str(cpus)],
