@@ -58,6 +58,48 @@ _META_PATH = "_meta_file_path"
 _META_SIZE = "_meta_file_size"
 
 
+def layout_hash_cols(
+    hash_cols: list[str],
+    bloom_cols: list[str],
+    properties: dict,
+    sort_order: str | None,
+) -> list[str]:
+    """Which 'stats.hash-columns' a post-write harvest should actually scan.
+
+    Derived xxh64 bounds localize per file ONLY under a hash-leading curve
+    layout: zorder/hilbert interleave ``xxhash64(conv_col)`` bits at the top
+    of the key, so each output file covers a narrow hash range while its
+    string bounds stay wide (functions/zorder.py). A lexicographic layout
+    (bin-pack compaction's ``sortWithinPartitions(conv_id, ...)``, plain
+    appends) is the opposite — string bounds are tight and the per-file hash
+    range of any many-key file is ~the full 64-bit space: such bounds never
+    prune, but harvesting them costs one extra scan of the key column per
+    write. At the 10^12-turn design point that is pure read amplification,
+    so non-curve layouts skip the hash harvest (merge scoping and pruning
+    treat absent hash bounds conservatively — operators/merge.py,
+    plans/pruning.py). Two overrides:
+
+    - when 'stats.bloom-columns' is set the fused key scan runs for the
+      bitsets regardless, and the hash bounds ride along for free;
+    - 'stats.hash-columns.always=true' restores the unconditional harvest
+      (e.g. workloads appending near-single-key files, where even an
+      unordered file's hash range is tight enough to prune).
+    """
+    if not hash_cols:
+        return []
+    if bloom_cols or properties.get("stats.hash-columns.always") == "true":
+        return hash_cols
+    if not sort_order:
+        return []
+    curve, _, rest = sort_order.partition("(")
+    if curve not in ("zorder", "hilbert"):
+        return []
+    # only the curve's leading (hash) dimension gets a tight per-file range;
+    # the value dimensions (turn_idx, ts) are not hashed by the key kernel
+    hash_dim = rest.rstrip(")").split(",")[0].strip()
+    return [c for c in hash_cols if c == hash_dim]
+
+
 def harvest_file_stats(
     spark: SparkSession,
     staging_dir: str | list[str],

@@ -33,7 +33,7 @@ from . import manifest as mf
 from . import snapshot as snap
 from .manifest import DataFile
 from .partition import PartitionSpec
-from .stats import harvest_file_stats
+from .stats import harvest_file_stats, layout_hash_cols
 from ..plans.pruning import Predicate, prune_files, prune_manifest_records
 
 
@@ -695,9 +695,17 @@ class Table:
         if spec.fields:
             writer = writer.partitionBy(*spec.column_names)
         writer.parquet(staging)
+        # appends (and merge/update/upsert rewrites routed through here) are
+        # lexicographic layouts — per-file xxh64 ranges are ~full-width and
+        # never prune, so the hash harvest is skipped unless blooms already
+        # pay for the key scan (stats.layout_hash_cols; curve rewrites pass
+        # their sort spec via run_grouped_rewrites instead)
         return harvest_file_stats(
             self.spark, staging, self.schema,
-            [f.name for f in spec.fields], self.hash_stat_columns(),
+            [f.name for f in spec.fields],
+            layout_hash_cols(self.hash_stat_columns(),
+                             self.bloom_stat_columns(),
+                             self.meta.properties, None),
             self.stat_columns(), self.bloom_stat_columns(), self.bloom_bits(),
         )
 

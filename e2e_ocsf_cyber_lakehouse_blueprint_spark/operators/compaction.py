@@ -34,7 +34,7 @@ from dataclasses import dataclass
 from pyspark.sql import functions as F
 
 from ..format.manifest import DataFile
-from ..format.stats import harvest_file_stats
+from ..format.stats import harvest_file_stats, layout_hash_cols
 from ..format.table import Table
 from .ledger import Ledger, partition_key, spill_metrics, split_size_for_rewrites
 from ..timing import phase_timer
@@ -414,7 +414,11 @@ def run_grouped_rewrites(
         with phase_timer(f"{job_tag}.harvest"):
             files = harvest_file_stats(
                 spark, harvest_dirs, table.schema,
-                pcol_names, table.hash_stat_columns(), table.stat_columns(),
+                pcol_names,
+                layout_hash_cols(table.hash_stat_columns(),
+                                 table.bloom_stat_columns(),
+                                 table.meta.properties, stamp_sort_order),
+                table.stat_columns(),
                 table.bloom_stat_columns(), table.bloom_bits(),
             ) if harvest_dirs else []
         if stamp_sort_order is not None:

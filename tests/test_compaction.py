@@ -206,3 +206,80 @@ def test_auto_compact_scopes_to_touched_partitions(spark, tmp_table_dir):
     # ...but day0's untouched partitions were left alone (cold history)
     still_live = {f.path for f in t.live_data_files()}
     assert frag_before <= still_live
+
+
+# ------------------------------------------- layout-aware xxh64 harvest
+
+def test_hash_bounds_follow_layout(spark, tmp_table_dir):
+    """xxh64 bounds are harvested only where they can prune: curve layouts
+    (zorder/hilbert hash the conv dimension) get them; lexicographic appends
+    and bin-pack compaction skip the key scan (stats.layout_hash_cols) —
+    their per-file hash range is ~full-width and scoping/pruning treat the
+    absent bounds conservatively."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.clustering import (
+        ClusteringJob,
+    )
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.stats import (
+        hash_bound_key,
+    )
+
+    df = generate_transcripts(spark, n_convs=40, hot_convs=1, hot_turns=50,
+                              span_days=2)
+    t = Table.create(
+        spark, tmp_table_dir, schema(), PartitionSpec.of(days("ts_day", "ts")),
+        properties={"stats.hash-columns": "conv_id",
+                    "write.target-file-size-bytes": str(1024 * 1024)},
+    )
+    for _ in range(3):
+        t.append(df, n_files=2, sort_within=("conv_id", "turn_idx"))
+    hkey = hash_bound_key("conv_id")
+    assert all(hkey not in f.lower_bounds for f in t.live_data_files())
+
+    CompactionJob(t, min_input_files=2).run()
+    assert all(hkey not in f.lower_bounds for f in t.live_data_files())
+    # string bounds still tight enough to scope merges (conv-sorted bins)
+    assert all("conv_id" in f.lower_bounds for f in t.live_data_files())
+
+    ClusteringJob(t, curve="zorder", incremental=False).run()
+    clustered = t.live_data_files()
+    assert clustered and all(hkey in f.lower_bounds for f in clustered)
+
+
+def test_hash_bounds_always_property_override(spark, tmp_table_dir):
+    """stats.hash-columns.always=true restores the unconditional harvest for
+    workloads whose unordered files are near-single-key (tight hash range)."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.stats import (
+        hash_bound_key,
+    )
+
+    df = generate_transcripts(spark, n_convs=20, hot_convs=1, hot_turns=20,
+                              span_days=1)
+    t = Table.create(
+        spark, tmp_table_dir, schema(), PartitionSpec.of(days("ts_day", "ts")),
+        properties={"stats.hash-columns": "conv_id",
+                    "stats.hash-columns.always": "true"},
+    )
+    t.append(df, n_files=2)
+    hkey = hash_bound_key("conv_id")
+    assert all(hkey in f.lower_bounds for f in t.live_data_files())
+
+
+def test_layout_hash_cols_unit():
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.stats import (
+        layout_hash_cols,
+    )
+
+    # lexicographic layouts (no sort spec) skip the scan
+    assert layout_hash_cols(["conv_id"], [], {}, None) == []
+    # curve layouts keep the hash (leading) dimension only
+    assert layout_hash_cols(["conv_id"], [], {},
+                            "zorder(conv_id,turn_idx,ts)") == ["conv_id"]
+    assert layout_hash_cols(["conv_id", "role"], [], {},
+                            "hilbert(conv_id,turn_idx,ts)") == ["conv_id"]
+    # blooms already pay for the key scan -> hash bounds ride along free
+    assert layout_hash_cols(["conv_id"], ["conv_id"], {}, None) == ["conv_id"]
+    # explicit opt-out of the optimization
+    assert layout_hash_cols(["conv_id"], [],
+                            {"stats.hash-columns.always": "true"},
+                            None) == ["conv_id"]
+    assert layout_hash_cols([], [], {}, "zorder(conv_id,turn_idx,ts)") == []
