@@ -192,6 +192,16 @@ def harvest_key_stats(
     travel as non-null int64 + presence flag, so int64 hash precision
     survives the pandas transfer (a nullable long would degrade to float64).
 
+    BLOOM-FREE FAST PATH: when ``bloom_cols`` is empty the bitset machinery
+    is dead weight, yet the pandas stages would still pay Python worker
+    spawn + numpy/pandas import on first use in a JVM. Hash bounds alone
+    are a plain ``groupBy(file).agg(min/max(xxhash64))`` —
+    whole-stage-codegen'd, map-side-combined, zero Python processes — so
+    that path is taken instead and rows ship through pandas only when
+    bitsets are actually requested. (stats.harvest_file_stats routes
+    bloom-free harvests to its own agg already; this guard makes the fused
+    entry point safe to call directly with either shape.)
+
     Returns ``{file_path: {"hash_bounds": {col: (lo, hi)},
     "blooms": {bloom(col): encoded}}}``.
     """
@@ -203,6 +213,24 @@ def harvest_key_stats(
     all_cols = list(dict.fromkeys([*hash_cols, *bloom_cols]))
     if not all_cols:
         return {}
+    if not bloom_cols:
+        # null keys hash to NULL (not the xxhash64 seed) so min/max skip them,
+        # matching the pandas path's isNotNull mask
+        sel = [F.col(path_col).alias("_fp")] + [
+            F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c))).alias(f"_h_{c}")
+            for c in all_cols
+        ]
+        aggs = []
+        for c in all_cols:
+            aggs.append(F.min(f"_h_{c}").alias(f"_lo_{c}"))
+            aggs.append(F.max(f"_h_{c}").alias(f"_hi_{c}"))
+        acc: dict[str, dict] = {}
+        for r in df.select(*sel).groupBy("_fp").agg(*aggs).collect():
+            e = acc.setdefault(r["_fp"], {"hash_bounds": {}, "blooms": {}})
+            for c in all_cols:
+                if r[f"_lo_{c}"] is not None:
+                    e["hash_bounds"][c] = (r[f"_lo_{c}"], r[f"_hi_{c}"])
+        return acc
     sel = [F.col(path_col).alias("_fp")]
     for c in all_cols:
         h1 = F.xxhash64(F.col(c))

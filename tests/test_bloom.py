@@ -228,3 +228,26 @@ def test_fused_key_stats_cross_batch_merge(spark):
     for fp in small:
         assert small[fp]["blooms"] == big[fp]["blooms"] == legacy[fp], fp
         assert small[fp]["hash_bounds"] == big[fp]["hash_bounds"], fp
+
+
+def test_bloomfree_agg_path_matches_pandas_path(spark):
+    """With no bloom columns harvest_key_stats takes the pure-Catalyst
+    groupBy/agg path (zero Python workers — the post-curve-write hot path);
+    its hash bounds must equal the pandas path's for the same data,
+    including NULL masking and all-null files."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.bloom import (
+        harvest_key_stats,
+    )
+
+    rows = [(f"f{i // 300}", f"conv-{i % 113}" if i % 7 else None)
+            for i in range(900)] + [("fnull", None)] * 5
+    df = spark.createDataFrame(rows, "fp string, c string")
+
+    agg_path = harvest_key_stats(df, "fp", ["c"], [])
+    pandas_path = harvest_key_stats(df, "fp", ["c"], ["c"], m=1024)
+
+    assert set(agg_path) == set(pandas_path) == {"f0", "f1", "f2", "fnull"}
+    for fp in agg_path:
+        assert agg_path[fp]["hash_bounds"] == pandas_path[fp]["hash_bounds"], fp
+        assert agg_path[fp]["blooms"] == {}
+    assert agg_path["fnull"]["hash_bounds"] == {}
