@@ -336,6 +336,76 @@ def _make_catalog_table(spark: SparkSession, sf_dir: str, *, n_files: int = 6):
     return c, t, df
 
 
+def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized view (operators/matview.py —
+    the DLT gold-table semantics the reference delegates to Databricks,
+    `gold_ocsf_iam_event_classes_delta_sinks.py` targets): a per-role
+    aggregate is created over the transcripts table, then a CoW DELETE and
+    an eqdel UPSERT land in the source and each refresh applies ONLY the
+    change feed (O(changes) arithmetic for count/sum/avg, scoped dirty-group
+    recompute for min/max and eqdel keys) — never a source rescan. The
+    oracle recomputes the same aggregate from the final state, so equality
+    proves incremental == from-scratch."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.matview import (
+        Agg, MatViewDefn, create_materialized_view, read_view, refresh,
+    )
+
+    c, t, df = _make_catalog_table(spark, sf_dir, n_files=4)
+    t.set_property("write.change-data-feed.enabled", "true")
+    defn = MatViewDefn(
+        group_keys=("role",),
+        aggs=(
+            Agg("count_star", None, "n_rows"),
+            Agg("count", "tool", "n_tool"),
+            Agg("sum", "turn_idx", "sum_turn"),
+            Agg("min", "ts", "first_ts"),
+            Agg("max", "ts", "last_ts"),
+            Agg("avg", "turn_idx", "avg_turn"),
+        ),
+    )
+    mv = create_materialized_view(c, "ops.role_stats", "ops.transcripts", defn)
+    DeleteJob(t.refresh(), [("role", "=", "tool"), ("turn_idx", "<", 3)]).run()
+    r1 = refresh(mv)
+    batch = (df.filter(F.col("turn_idx") % 4 == 1)
+             .withColumn("text", F.concat(F.lit("u:"), F.col("text"))))
+    upsert(t.refresh(), batch, ["conv_id", "turn_idx"], n_files=2)
+    r2 = refresh(mv)
+    if r1.mode != "incremental" or r2.mode != "incremental":
+        raise AssertionError(
+            f"mv refresh fell back to {r1.mode}/{r2.mode} — the incremental "
+            f"path must carry this query ({r1.fallback_reason or r2.fallback_reason})")
+    return read_view(c.load_table("ops.role_stats")).select(
+        "role",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_tool").cast("long").alias("n_tool"),
+        F.col("sum_turn").cast("long").alias("sum_turn"),
+        "first_ts", "last_ts",
+        F.round("avg_turn", 6).alias("avg_turn"),
+    )
+
+
+_MV_INCREMENTAL_ORACLE = f"""
+WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+a AS (
+  SELECT * FROM t WHERE NOT COALESCE(role = 'tool' AND turn_idx < 3, FALSE)
+),
+fin AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts FROM a WHERE turn_idx % 4 <> 1
+  UNION ALL
+  SELECT conv_id, turn_idx, role, 'u:' || text AS text, tool, ts FROM t
+  WHERE turn_idx % 4 = 1
+)
+SELECT role,
+       CAST(COUNT(*) AS BIGINT)        AS n_rows,
+       CAST(COUNT(tool) AS BIGINT)     AS n_tool,
+       CAST(SUM(turn_idx) AS BIGINT)   AS sum_turn,
+       MIN(ts)                         AS first_ts,
+       MAX(ts)                         AS last_ts,
+       ROUND(AVG(turn_idx), 6)         AS avg_turn
+FROM fin GROUP BY role
+"""
+
+
 def q_sql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT through the SQL dialect over a catalog table
     (sql.py:_run_select): the FROM clause resolves to the table's
@@ -1429,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintain_hilbert": q_maintain_hilbert,
         "maintain_merge": q_maintain_merge,
         "sql_merge_into": q_sql_merge_into,
+        "mv_incremental": q_mv_incremental,
         "sql_select": q_sql_select,
         "sql_ctas": q_sql_ctas,
         "schema_evolution": q_schema_evolution,
@@ -1496,6 +1567,7 @@ def oracle_sql() -> dict[str, str]:
         "maintain_hilbert": _MAINT_ORACLE,
         "maintain_merge": _MERGE_ORACLE,
         "sql_merge_into": _SQL_MERGE_ORACLE,
+        "mv_incremental": _MV_INCREMENTAL_ORACLE,
         "sql_select": _SQL_SELECT_ORACLE,
         "sql_ctas": _SQL_CTAS_ORACLE,
         "schema_evolution": _SCHEMA_EVOLUTION_ORACLE,

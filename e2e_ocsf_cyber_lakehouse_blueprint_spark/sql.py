@@ -95,6 +95,13 @@ table-maintenance statements the engine owns:
         [PATTERN = '<glob>']
         idempotent batch ingestion: loads exactly the landing files not yet
         ingested for this (table, source) pair; re-runs are no-ops
+    CREATE MATERIALIZED VIEW [IF NOT EXISTS] <db.mv> AS
+        SELECT k1[, ...], fn(col) AS alias[, ...] FROM <db.src>
+        [WHERE <spark-sql-expr>] GROUP BY k1[, ...]
+        fn in count|sum|min|max|avg (count(*) allowed); materialized as an
+        engine table and kept fresh from the source's change feed at
+        O(changed rows + dirty groups) — the DLT gold-table semantics
+    REFRESH MATERIALIZED VIEW <db.mv> [FULL]
     INSERT INTO <tbl> SELECT ...
     DROP TABLE [IF EXISTS] <db.tbl>
     SHOW TABLES [IN <db>]
@@ -425,6 +432,17 @@ _CATALOG_STATEMENTS: list[tuple[re.Pattern, str]] = [
     (re.compile(
         r"CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<db>[\w$-]+)\s*;?\s*$",
         re.IGNORECASE), "create_database"),
+    (re.compile(
+        rf"CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        rf"(?P<tbl>{_ID})\s+AS\s+SELECT\s+(?P<select>.+?)\s+"
+        rf"FROM\s+(?P<src>{_ID})"
+        rf"(?:\s+WHERE\s+(?P<where>.+?))?"
+        rf"\s+GROUP\s+BY\s+(?P<keys>[\w$,\s]+?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL), "create_matview"),
+    (re.compile(
+        rf"REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<tbl>{_ID})"
+        rf"(?:\s+(?P<full>FULL))?\s*;?\s*$",
+        re.IGNORECASE), "refresh_matview"),
     (re.compile(  # CLONE must match before CTAS / column-list CREATE TABLE
         rf"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<tbl>{_ID})\s+"
         rf"(?P<depth>SHALLOW|DEEP)\s+CLONE\s+(?P<src>{_ID})"
@@ -468,6 +486,41 @@ def _balanced_prefix(s: str, what: str) -> tuple[str, str]:
         if depth == 0:
             return s[:i], s[i + 1:]
     raise ValueError(f"{what}: unbalanced parentheses")
+
+
+_MV_AGG_RE = re.compile(
+    r"(?P<fn>count|sum|min|max|avg)\s*\(\s*(?P<arg>\*|[\w$]+)\s*\)\s+"
+    r"AS\s+(?P<alias>[\w$]+)\s*$", re.IGNORECASE)
+
+
+def _parse_matview_defn(select: str, keys: str, where: str | None):
+    """``SELECT k1, fn(col) AS a, ... GROUP BY k1`` -> MatViewDefn. Bare
+    select items must be group keys; every aggregate needs an alias (the
+    view's physical column name)."""
+    from .operators.matview import Agg, MatViewDefn
+
+    group_keys = tuple(_cols(keys))
+    aggs = []
+    for item in _split_top_level(select):
+        item = item.strip()
+        am = _MV_AGG_RE.match(item)
+        if am:
+            fn, arg = am.group("fn").lower(), am.group("arg")
+            aggs.append(Agg("count_star" if (fn, arg) == ("count", "*")
+                            else fn,
+                            None if arg == "*" else arg,
+                            am.group("alias")))
+        elif re.match(r"[\w$]+$", item):
+            if item not in group_keys:
+                raise ValueError(
+                    f"materialized-view select column {item!r} is neither "
+                    "an aggregate nor a GROUP BY key")
+        else:
+            raise ValueError(
+                "materialized-view select items must be group keys or "
+                f"count|sum|min|max|avg(col) AS alias, got: {item!r}")
+    return MatViewDefn(group_keys=group_keys, aggs=tuple(aggs),
+                       filter=where.strip() if where else None)
 
 
 def _dispatch_catalog(action: str, catalog: Catalog, m: re.Match) -> Any:
@@ -534,6 +587,20 @@ def _dispatch_catalog(action: str, catalog: Catalog, m: re.Match) -> Any:
         t = catalog.create_table(name, df.schema, spec, properties=props)
         t.append(df)
         return t
+    if action == "create_matview":
+        from .operators.matview import create_materialized_view
+
+        name = m.group("tbl")
+        if "IF NOT EXISTS" in m.string.upper() and catalog.table_exists(name):
+            return catalog.load_table(name)
+        defn = _parse_matview_defn(
+            m.group("select"), m.group("keys"), m.group("where"))
+        return create_materialized_view(catalog, name, m.group("src"), defn)
+    if action == "refresh_matview":
+        from .operators.matview import refresh
+
+        return refresh(catalog.load_table(m.group("tbl")),
+                       full=bool(m.group("full")))
     if action == "drop_table":
         name = m.group("tbl")
         if m.group("if_exists") and not catalog.table_exists(name):

@@ -692,3 +692,59 @@ def test_show_create_table_excludes_internal_bookkeeping(cat):
     run_sql(c, "ALTER TABLE ops.transcripts RENAME COLUMN tool TO tool_name")
     stmt = run_sql(c, "SHOW CREATE TABLE ops.transcripts").first()["createtab_stmt"]
     assert "tool_name" in stmt and "schema.renames" not in stmt
+
+
+def test_create_and_refresh_materialized_view(cat):
+    c, _ = cat
+    t = c.load_table("ops.transcripts")
+    t.set_property("write.change-data-feed.enabled", "true")
+    mv = run_sql(c, """
+        CREATE MATERIALIZED VIEW ops.role_stats AS
+        SELECT role, count(*) AS n_rows, sum(turn_idx) AS sum_turn,
+               min(ts) AS first_ts, avg(turn_idx) AS avg_turn
+        FROM ops.transcripts
+        WHERE turn_idx >= 1
+        GROUP BY role""")
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.matview import (
+        read_view,
+    )
+
+    def expected():
+        return sorted(
+            tuple(r) for r in
+            t.refresh().scan().filter("turn_idx >= 1").groupBy("role").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("turn_idx").alias("sum_turn"),
+                F.min("ts").alias("first_ts"),
+                F.avg("turn_idx").alias("avg_turn"),
+            ).collect())
+
+    def got():
+        return sorted(tuple(r) for r in
+                      read_view(c.load_table("ops.role_stats")).collect())
+
+    assert got() == expected()
+    # source changes -> REFRESH statement catches the view up incrementally
+    run_sql(c, "DELETE FROM ops.transcripts WHERE turn_idx < 2")
+    res = run_sql(c, "REFRESH MATERIALIZED VIEW ops.role_stats")
+    assert res.mode == "incremental"
+    assert got() == expected()
+    res = run_sql(c, "REFRESH MATERIALIZED VIEW ops.role_stats FULL")
+    assert res.mode == "full"
+    assert got() == expected()
+    # IF NOT EXISTS short-circuits; the view shows in the catalog
+    run_sql(c, "CREATE MATERIALIZED VIEW IF NOT EXISTS ops.role_stats AS "
+               "SELECT role, count(*) AS n FROM ops.transcripts GROUP BY role")
+    assert "role_stats" in run_sql(c, "SHOW TABLES IN ops")
+
+
+def test_matview_sql_rejects_bad_select_items(cat):
+    c, _ = cat
+    with pytest.raises(ValueError, match="neither an aggregate"):
+        run_sql(c, "CREATE MATERIALIZED VIEW ops.bad AS "
+                   "SELECT role, tool, count(*) AS n "
+                   "FROM ops.transcripts GROUP BY role")
+    with pytest.raises(ValueError, match="select items"):
+        run_sql(c, "CREATE MATERIALIZED VIEW ops.bad AS "
+                   "SELECT role, count(*) "
+                   "FROM ops.transcripts GROUP BY role")
