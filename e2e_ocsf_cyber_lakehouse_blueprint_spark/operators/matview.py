@@ -75,7 +75,8 @@ if TYPE_CHECKING:  # pragma: no cover
 GK_COL = "_mv_gk"
 ROWS_COL = "_mv_rows"
 
-_FNS = ("count_star", "count", "sum", "min", "max", "avg")
+_FNS = ("count_star", "count", "sum", "min", "max", "avg",
+        "approx_count_distinct")
 _NUMERIC_PREFIXES = ("int", "bigint", "smallint", "tinyint", "float",
                      "double", "decimal", "long", "short", "byte")
 
@@ -176,6 +177,15 @@ def _cnt_name(a: Agg) -> str:
     return f"_mv_cnt_{a.alias}"
 
 
+def _hll_name(a: Agg) -> str:
+    return f"_mv_hll_{a.alias}"
+
+
+def _hll_estimate(sketch: Column) -> Column:
+    return (F.when(sketch.isNull(), F.lit(0).cast("long"))
+            .otherwise(F.hll_sketch_estimate(sketch).cast("long")))
+
+
 def state_columns(defn: MatViewDefn) -> list[str]:
     """The view table's full (stable) column order."""
     cols = [GK_COL, *defn.group_keys, ROWS_COL]
@@ -185,6 +195,8 @@ def state_columns(defn: MatViewDefn) -> list[str]:
             cols.append(_cnt_name(a))
         elif a.fn == "avg":
             cols.extend([_sum_name(a), _cnt_name(a)])
+        elif a.fn == "approx_count_distinct":
+            cols.append(_hll_name(a))
     return cols
 
 
@@ -207,6 +219,11 @@ def full_state(df: DataFrame, defn: MatViewDefn) -> DataFrame:
                           F.count(x).alias(_cnt_name(a))])
         elif a.fn in ("min", "max"):
             exprs.append(getattr(F, a.fn)(x).alias(a.alias))
+        elif a.fn == "approx_count_distinct":
+            # Datasketches HLL: register-max union is lossless at equal lgK,
+            # so incrementally-unioned state estimates EXACTLY like this
+            # one-pass sketch — the refresh invariant stays bit-equal
+            exprs.append(F.hll_sketch_agg(x).alias(_hll_name(a)))
     out = (df.withColumn(GK_COL, _gk(defn.group_keys))
            .groupBy(GK_COL, *defn.group_keys).agg(*exprs))
     for a in defn.aggs:
@@ -217,6 +234,8 @@ def full_state(df: DataFrame, defn: MatViewDefn) -> DataFrame:
                 a.alias,
                 F.when(F.col(_cnt_name(a)) > 0,
                        F.col(_sum_name(a)) / F.col(_cnt_name(a))))
+        elif a.fn == "approx_count_distinct":
+            out = out.withColumn(a.alias, _hll_estimate(F.col(_hll_name(a))))
     return out.select(*state_columns(defn))
 
 
@@ -398,6 +417,13 @@ def _incremental_refresh(mv: Table, source: Table, defn: MatViewDefn,
             d_exprs.extend([
                 F.max(F.when(w == 1, x)).alias(f"_ins_{a.alias}"),
                 F.max(F.when(w == -1, x)).alias(f"_ret_{a.alias}")])
+        elif a.fn == "approx_count_distinct":
+            # inserts union into the sketch; ANY retraction of a non-null
+            # value dirties the group (HLL is not retractable)
+            d_exprs.extend([
+                F.hll_sketch_agg(F.when(w == 1, x)).alias(f"_ins_{a.alias}"),
+                F.max(F.when((w == -1) & x.isNotNull(), F.lit(1))
+                      .otherwise(F.lit(0))).alias(f"_ret_{a.alias}")])
     touched = (arith.withColumn(GK_COL, _gk(defn.group_keys))
                .groupBy(GK_COL, *defn.group_keys).agg(*d_exprs))
 
@@ -439,6 +465,15 @@ def _incremental_refresh(mv: Table, source: Table, defn: MatViewDefn,
                 F.when(new_cnt > 0, new_sum / new_cnt).alias(a.alias),
                 new_sum.cast("double").alias(_sum_name(a)),
                 new_cnt.cast("long").alias(_cnt_name(a))])
+        elif a.fn == "approx_count_distinct":
+            s_sk = F.col(f"_s_{_hll_name(a)}")
+            ins_sk = F.col(f"_ins_{a.alias}")
+            merged = (F.when(s_sk.isNull(), ins_sk)
+                      .when(ins_sk.isNull(), s_sk)
+                      .otherwise(F.hll_union(s_sk, ins_sk)))
+            dirty_conds.append(F.col(f"_ret_{a.alias}") == 1)
+            built.extend([_hll_estimate(merged).alias(a.alias),
+                          merged.alias(_hll_name(a))])
         elif a.fn in ("min", "max"):
             pick = F.least if a.fn == "min" else F.greatest
             cand = pick(s_val, F.col(f"_ins_{a.alias}"))  # nulls skipped

@@ -98,7 +98,9 @@ table-maintenance statements the engine owns:
     CREATE MATERIALIZED VIEW [IF NOT EXISTS] <db.mv> AS
         SELECT k1[, ...], fn(col) AS alias[, ...] FROM <db.src>
         [WHERE <spark-sql-expr>] GROUP BY k1[, ...]
-        fn in count|sum|min|max|avg (count(*) allowed); materialized as an
+        fn in count|sum|min|max|avg|approx_count_distinct (count(*)
+        allowed; approx distinct rides a mergeable HLL sketch);
+        materialized as an
         engine table and kept fresh from the source's change feed at
         O(changed rows + dirty groups) — the DLT gold-table semantics
     REFRESH MATERIALIZED VIEW <db.mv> [FULL]
@@ -489,7 +491,8 @@ def _balanced_prefix(s: str, what: str) -> tuple[str, str]:
 
 
 _MV_AGG_RE = re.compile(
-    r"(?P<fn>count|sum|min|max|avg)\s*\(\s*(?P<arg>\*|[\w$]+)\s*\)\s+"
+    r"(?P<fn>count|sum|min|max|avg|approx_count_distinct)"
+    r"\s*\(\s*(?P<arg>\*|[\w$]+)\s*\)\s+"
     r"AS\s+(?P<alias>[\w$]+)\s*$", re.IGNORECASE)
 
 

@@ -271,3 +271,35 @@ def test_random_op_sequence_stays_exact(cat, base, spark):
                 equality_delete(src, k)
         refresh(mv)
         assert_view_current(mv, src)
+
+
+def test_approx_count_distinct_incremental(cat, base):
+    """HLL sketch state: inserts MERGE (register-max union == one-pass
+    sketch, so incremental estimate equals full recompute exactly);
+    retraction of a non-null value dirties the group."""
+    defn = MatViewDefn(
+        group_keys=("role",),
+        aggs=(Agg("approx_count_distinct", "conv_id", "n_convs"),
+              Agg("count_star", None, "n_rows")),
+    )
+    src = make_source(cat, base)
+    mv = create_materialized_view(cat, "default.mv9", "default.src", defn)
+    assert_view_current(mv, src, defn)
+    # insert-only window: pure sketch-union arithmetic, no recompute
+    src.append(base.filter(F.col("turn_idx") == 0)
+               .withColumn("conv_id", F.concat("conv_id", F.lit("-x"))),
+               n_files=1)
+    assert refresh(mv).mode == "incremental"
+    assert_view_current(mv, src, defn)
+    # sanity: estimates at this scale are exact-ish and must reflect -x convs
+    got = {r["role"]: r["n_convs"]
+           for r in read_view(mv.refresh()).collect()}
+    exact = {r["role"]: r["n"]
+             for r in src.refresh().scan().groupBy("role")
+             .agg(F.countDistinct("conv_id").alias("n")).collect()}
+    for role, est in got.items():
+        assert abs(est - exact[role]) <= max(2, 0.05 * exact[role])
+    # retraction dirties and recomputes the touched groups
+    DeleteJob(src, [("turn_idx", "=", 1)]).run()
+    assert refresh(mv).mode == "incremental"
+    assert_view_current(mv, src, defn)
