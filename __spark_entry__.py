@@ -336,6 +336,45 @@ def _make_catalog_table(spark: SparkSession, sf_dir: str, *, n_files: int = 6):
     return c, t, df
 
 
+def q_sql_merge_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended MERGE grammar (sql.py -> MergeIntoJob extended path):
+    ``WHEN MATCHED AND <cond> THEN UPDATE SET col = <expr over t./s.>``
+    plus ``WHEN NOT MATCHED AND <cond> THEN INSERT *`` — Delta's full
+    conditional-clause surface. Unmet matched rows must be kept verbatim
+    and unmet source rows never inserted; role is a deterministic function
+    of turn_idx in this corpus, so the oracle states the same legs in SQL."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.sql import run_sql
+
+    c, t, df = _make_catalog_table(spark, sf_dir, n_files=4)
+    src = df.filter(F.col("turn_idx") % 6 == 1).withColumn(
+        "text", F.concat(F.lit("s:"), F.col("text")))
+    src = src.unionByName(
+        src.withColumn("conv_id", F.concat("conv_id", F.lit("-nw"))))
+    src.createOrReplaceTempView("cond_merge_src")
+    run_sql(c, """
+        MERGE INTO ops.transcripts AS t USING cond_merge_src AS s
+        ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+        WHEN MATCHED AND t.role = 'assistant'
+            THEN UPDATE SET text = concat('m:', s.text)
+        WHEN NOT MATCHED AND s.role = 'tool' THEN INSERT *
+    """)
+    return t.refresh().scan(columns=_TCOLS)
+
+
+_SQL_MERGE_COND_ORACLE = f"""
+WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+SELECT conv_id, turn_idx, role, text, tool, ts FROM t
+WHERE NOT (turn_idx % 6 = 1 AND role = 'assistant')
+UNION ALL
+SELECT conv_id, turn_idx, role, 'm:s:' || text AS text, tool, ts FROM t
+WHERE turn_idx % 6 = 1 AND role = 'assistant'
+UNION ALL
+SELECT conv_id || '-nw' AS conv_id, turn_idx, role, 's:' || text AS text,
+       tool, ts FROM t
+WHERE turn_idx % 6 = 1 AND role = 'tool'
+"""
+
+
 def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained materialized view (operators/matview.py —
     the DLT gold-table semantics the reference delegates to Databricks,
@@ -1500,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintain_merge": q_maintain_merge,
         "sql_merge_into": q_sql_merge_into,
         "mv_incremental": q_mv_incremental,
+        "sql_merge_conditional": q_sql_merge_conditional,
         "sql_select": q_sql_select,
         "sql_ctas": q_sql_ctas,
         "schema_evolution": q_schema_evolution,
@@ -1568,6 +1608,7 @@ def oracle_sql() -> dict[str, str]:
         "maintain_merge": _MERGE_ORACLE,
         "sql_merge_into": _SQL_MERGE_ORACLE,
         "mv_incremental": _MV_INCREMENTAL_ORACLE,
+        "sql_merge_conditional": _SQL_MERGE_COND_ORACLE,
         "sql_select": _SQL_SELECT_ORACLE,
         "sql_ctas": _SQL_CTAS_ORACLE,
         "schema_evolution": _SCHEMA_EVOLUTION_ORACLE,

@@ -226,11 +226,22 @@ class MergeIntoJob:
         when_not_matched: str = "insert",  # insert | ignore
         salt_buckets: int | None = None,
         sort_keys: Sequence[str] | None = None,
+        update_set: dict[str, str] | None = None,
+        matched_condition: str | None = None,
+        not_matched_condition: str | None = None,
     ):
+        """``update_set`` maps target columns to Spark SQL expressions over
+        the matched pair (qualify ambiguous refs with ``t.``/``s.``); None
+        means ``UPDATE SET *`` (source row replaces). ``matched_condition``/
+        ``not_matched_condition`` are the Delta ``WHEN [NOT] MATCHED AND``
+        predicates (NULL = false, per SQL); unmet matched rows are kept
+        verbatim, unmet source rows are not inserted."""
         if when_matched not in ("update", "delete"):
             raise ValueError(when_matched)
         if when_not_matched not in ("insert", "ignore"):
             raise ValueError(when_not_matched)
+        if update_set is not None and when_matched != "update":
+            raise ValueError("update_set requires when_matched='update'")
         self.table = table
         self.key_cols = list(key_cols)
         self.dedup_order_col = dedup_order_col
@@ -238,33 +249,47 @@ class MergeIntoJob:
         self.when_not_matched = when_not_matched
         self.salt_buckets = salt_buckets
         self.sort_keys = list(sort_keys or key_cols)
+        self.update_set = update_set
+        self.matched_condition = matched_condition
+        self.not_matched_condition = not_matched_condition
+
+    @property
+    def _extended(self) -> bool:
+        return (self.update_set is not None
+                or self.matched_condition is not None
+                or self.not_matched_condition is not None)
 
     def _dedup_source(self, source: DataFrame) -> DataFrame:
         """Last-writer-wins among duplicate source keys (deterministic)."""
+        order = ([F.col(self.dedup_order_col).desc_nulls_last()]
+                 if self.dedup_order_col in source.columns else [])
+        order += [F.col(c) for c in source.columns
+                  if c not in self.key_cols and c != self.dedup_order_col]
         w = Window.partitionBy(*self.key_cols).orderBy(
-            F.col(self.dedup_order_col).desc_nulls_last(),
-            *[F.col(c) for c in source.columns if c not in self.key_cols],
-        )
+            *(order or [F.col(self.key_cols[0])]))
         return (
             source.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
 
-    def _write_cdf(self, tgt, source, upd, ins, cols) -> str | None:
+    def _write_cdf(self, tgt, source, upd, ins, cols, pre=None) -> str | None:
         """Change-data-feed rows for this MERGE (when enabled): matched
         target rows as preimages (or ``delete`` when matched rows are
         deleted), the update leg as postimages, the insert leg as inserts.
         Reuses the already-built legs — the only extra plan is the preimage
-        semi-join, scoped to the affected files."""
+        semi-join, scoped to the affected files. The extended path passes
+        its condition-filtered preimage leg explicitly."""
         from .change_feed import CHANGE_TYPE_COL, cdf_enabled, write_change_data
 
         if not cdf_enabled(self.table):
             return None
         pre_type = ("delete" if self.when_matched == "delete"
                     else "update_preimage")
-        pre = (tgt.join(source.select(*self.key_cols), self.key_cols, "semi")
-               .select(*cols).withColumn(CHANGE_TYPE_COL, F.lit(pre_type)))
+        if pre is None:
+            pre = (tgt.join(source.select(*self.key_cols), self.key_cols,
+                            "semi").select(*cols))
+        pre = pre.withColumn(CHANGE_TYPE_COL, F.lit(pre_type))
         ch = pre
         if self.when_matched == "update":
             ch = ch.unionByName(
@@ -280,7 +305,25 @@ class MergeIntoJob:
         snapshot = table.current_snapshot()
         schema = table.schema
         cols = [f.name for f in schema.fields]
-        source = self._dedup_source(source.select(*cols))
+        # a per-column-SET / DELETE merge may take a NARROW source (keys +
+        # referenced columns); legs that materialize full rows from the
+        # source still demand the whole schema
+        avail = [c for c in cols if c in source.columns]
+        missing = [c for c in cols if c not in source.columns]
+        if missing:
+            needs_full = (self.when_not_matched == "insert"
+                          or (self.when_matched == "update"
+                              and self.update_set is None))
+            if needs_full:
+                raise ValueError(
+                    f"MERGE source is missing table columns {missing} — "
+                    "INSERT * and UPDATE SET * need the full row; use "
+                    "per-column SET (and drop the INSERT clause) for a "
+                    "narrow source")
+            missing_keys = [k for k in self.key_cols if k not in avail]
+            if missing_keys:
+                raise ValueError(f"MERGE source lacks key columns {missing_keys}")
+        source = self._dedup_source(source.select(*avail))
 
         files_all = table.live_data_files()
         # scoping strategy by table size: the driver-side bounds join is
@@ -302,16 +345,59 @@ class MergeIntoJob:
         tgt = table.read_data_files(affected)
 
         # 3-way merge (exchange-reused shuffles on the same keys)
-        if self.salt_buckets and self.when_matched == "update":
+        pre = None
+        if self._extended:
+            # per-column SET / conditional clauses need BOTH sides of each
+            # matched pair in scope (t./s. qualified); same single equi-join
+            # shape, AQE skew-split covers hot keys (explicit salting stays
+            # on the replace-row fast path only)
+            dtypes = {f.name: f.dataType for f in schema.fields}
+
+            def tcol(c):
+                return F.col(c) if c in self.key_cols else F.expr(f"t.`{c}`")
+
+            def scol(c):
+                return F.col(c) if c in self.key_cols else F.expr(f"s.`{c}`")
+
+            j = tgt.alias("t").join(source.alias("s"), self.key_cols, "inner")
+            mcond = (F.coalesce(F.expr(self.matched_condition), F.lit(False))
+                     if self.matched_condition else F.lit(True))
+            if self.when_matched == "update" and self.update_set is not None:
+                sel = [(F.expr(self.update_set[c]).cast(dtypes[c])
+                        if c in self.update_set else tcol(c)).alias(c)
+                       for c in cols]
+            elif self.when_matched == "update":        # UPDATE SET *
+                sel = [scol(c).alias(c) for c in cols]
+            else:                                      # DELETE: rows removed
+                sel = [tcol(c).alias(c) for c in cols]
+            upd = j.filter(mcond).select(*sel)
+            pre = j.filter(mcond).select(*[tcol(c).alias(c) for c in cols])
+            keep = tgt.join(source.select(*self.key_cols),
+                            self.key_cols, "left_anti")
+            if self.matched_condition:
+                # matched pairs failing the condition keep the TARGET row
+                keep = keep.unionByName(
+                    j.filter(~mcond).select(*[tcol(c).alias(c) for c in cols]))
+            ins = None
+            if self.when_not_matched == "insert":
+                ins = source.alias("s").join(tgt.select(*self.key_cols),
+                                             self.key_cols, "left_anti")
+                if self.not_matched_condition:
+                    ins = ins.filter(F.coalesce(
+                        F.expr(self.not_matched_condition), F.lit(False)))
+                ins = ins.select(*cols)
+        elif self.salt_buckets and self.when_matched == "update":
             upd = salted_join(
                 tgt.select(*self.key_cols),
                 source, self.key_cols,
                 how="inner", salt_buckets=self.salt_buckets,
             ).select(*cols)
+            keep = tgt.join(source.select(*self.key_cols), self.key_cols, "left_anti")
+            ins = source.join(tgt.select(*self.key_cols), self.key_cols, "left_anti")
         else:
             upd = tgt.select(*self.key_cols).join(source, self.key_cols, "inner").select(*cols)
-        keep = tgt.join(source.select(*self.key_cols), self.key_cols, "left_anti")
-        ins = source.join(tgt.select(*self.key_cols), self.key_cols, "left_anti")
+            keep = tgt.join(source.select(*self.key_cols), self.key_cols, "left_anti")
+            ins = source.join(tgt.select(*self.key_cols), self.key_cols, "left_anti")
 
         parts = [keep]
         if self.when_matched == "update":
@@ -344,18 +430,27 @@ class MergeIntoJob:
                  - table.deleted_row_count(affected))
         n_src = source.count()
         n_out = sum(f.record_count for f in outs)
-        if self.when_matched == "update" and self.when_not_matched == "insert":
+        if self._extended:
+            # conditional clauses break the linear-combination shortcut:
+            # count the (narrow) legs directly — both are bounded by the
+            # merge's blast radius, not the table
+            n_matched = upd.count()
+            n_ins = (ins.count() if self.when_not_matched == "insert" else 0)
+        elif self.when_matched == "update" and self.when_not_matched == "insert":
             n_matched = n_tgt + n_src - n_out
+            n_ins = n_src - n_matched
         elif self.when_matched == "delete" and self.when_not_matched == "insert":
             n_matched = (n_tgt + n_src - n_out) // 2
+            n_ins = n_src - n_matched
         elif self.when_matched == "delete":
             n_matched = n_tgt - n_out
+            n_ins = 0
         else:  # update + ignore: output rows == target rows; count the leg
             n_matched = upd.count()
+            n_ins = 0
         n_keep = n_tgt - n_matched
-        n_ins = (n_src - n_matched) if self.when_not_matched == "insert" else 0
         summary = {"job": "merge", "matched": n_matched, "inserted": n_ins}
-        cdir = self._write_cdf(tgt, source, upd, ins, cols)
+        cdir = self._write_cdf(tgt, source, upd, ins, cols, pre=pre)
         if cdir:
             summary["change-data-dir"] = cdir
         snap = table.commit_rewrite(

@@ -28,11 +28,15 @@ table-maintenance statements the engine owns:
         last-writer-wins at O(batch) cost, no target rows read
     MERGE INTO <tbl> [AS t] USING (<select-query>)|<view> [AS s]
         ON t.k1 = s.k1 [AND ...]
-        WHEN MATCHED THEN UPDATE SET * | WHEN MATCHED THEN DELETE
-        [WHEN NOT MATCHED THEN INSERT *]
+        WHEN MATCHED [AND <cond>] THEN
+            UPDATE SET * | UPDATE SET c = <expr>[, ...] | DELETE
+        [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]
         the Databricks/Delta upsert statement, dispatched to MergeIntoJob
-        (manifest-scoped copy-on-write rewrite; UPDATE SET * replaces the
-        matched row with the source row)
+        (manifest-scoped copy-on-write rewrite). UPDATE SET * replaces the
+        matched row with the source row; per-column SET expressions see the
+        matched pair (qualify refs with t./s.); AND-conditions gate each
+        clause — unmet matched rows are kept verbatim, unmet source rows
+        are not inserted. Insert-only MERGE (no WHEN MATCHED) is accepted.
     UPDATE <tbl> SET col = <sql-expr>[, ...] [WHERE <conjunction>]
         right-hand sides are Spark SQL expressions over the OLD row values
     VACUUM <tbl> [RETAIN <n> HOURS]
@@ -723,9 +727,18 @@ def run_sql(catalog: Catalog, statement: str) -> Any:
 
 
 _MERGE_TAIL_RE = re.compile(
-    r"\s*(?:(?:AS\s+)?(?!ON\b)[A-Za-z_][\w$]*\s+)?ON\s+(?P<on>.+?)\s+"
-    r"WHEN\s+MATCHED\s+THEN\s+(?P<matched>UPDATE\s+SET\s+\*|DELETE)"
-    r"(?P<ins>\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\*?)?\s*;?\s*$",
+    r"\s*(?:(?:AS\s+)?(?!ON\b)[A-Za-z_][\w$]*\s+)?ON\s+(?P<on>.+?)"
+    r"(?=\s+WHEN\s)(?P<clauses>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_MERGE_MATCHED_RE = re.compile(
+    r"WHEN\s+MATCHED\s*(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+"
+    r"(?:DELETE|UPDATE\s+SET\s+(?P<set>.+))\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_MERGE_NOT_MATCHED_RE = re.compile(
+    r"WHEN\s+NOT\s+MATCHED\s*(?:AND\s+(?P<cond>.+?)\s+)?THEN\s+"
+    r"INSERT\s*\*?\s*$",
     re.IGNORECASE | re.DOTALL)
 
 _MERGE_ON_TERM_RE = re.compile(
@@ -750,12 +763,14 @@ def _parse_merge_on(body: str) -> list[str]:
 
 def _run_merge(table: Table, m: re.Match,
                catalog: Catalog | None = None) -> Any:
-    """``MERGE INTO t USING (<query>)|<view> ON t.k = s.k [AND ...] WHEN
-    MATCHED THEN UPDATE SET * | DELETE [WHEN NOT MATCHED THEN INSERT *]`` —
-    the Databricks/Delta statement reference users upsert with, dispatched
-    to MergeIntoJob (scoped rewrite; salted/AQE join). UPDATE SET * replaces
-    the matched row with the source row; the utility grammar does not take
-    per-column SET lists (use UPDATE ... SET for that)."""
+    """``MERGE INTO t USING (<query>)|<view> ON t.k = s.k [AND ...]
+    WHEN MATCHED [AND <cond>] THEN UPDATE SET * | UPDATE SET c = expr[, ...]
+    | DELETE [WHEN NOT MATCHED [AND <cond>] THEN INSERT *]`` — the
+    Databricks/Delta statement reference users upsert with, dispatched to
+    MergeIntoJob (scoped rewrite; salted/AQE join). UPDATE SET * replaces
+    the matched row with the source row; per-column SET expressions see the
+    matched pair (qualify with ``t.``/``s.``); AND-conditions gate each
+    clause (unmet matched rows are kept, unmet sources not inserted)."""
     from .operators.merge import MergeIntoJob
 
     rest = m.group("rest").strip()
@@ -772,16 +787,39 @@ def _run_merge(table: Table, m: re.Match,
     tm = _MERGE_TAIL_RE.match(tail)
     if tm is None:
         raise ValueError(
-            "MERGE needs ON <equi-keys> WHEN MATCHED THEN UPDATE SET * | "
-            f"DELETE [WHEN NOT MATCHED THEN INSERT *], got: {tail!r}")
+            "MERGE needs ON <equi-keys> then WHEN [NOT] MATCHED clauses, "
+            f"got: {tail!r}")
     key_cols = _parse_merge_on(tm.group("on"))
-    when_matched = ("delete" if tm.group("matched").upper() == "DELETE"
-                    else "update")
-    when_not_matched = "insert" if tm.group("ins") else "ignore"
-    return MergeIntoJob(
-        table, key_cols=key_cols,
-        when_matched=when_matched, when_not_matched=when_not_matched,
-    ).run(source)
+    kw: dict[str, Any] = {"when_matched": None, "when_not_matched": "ignore"}
+    clauses = re.split(r"(?i)\s+(?=WHEN\s+(?:NOT\s+)?MATCHED\b)",
+                       tm.group("clauses").strip())
+    for clause in clauses:
+        mm = _MERGE_MATCHED_RE.match(clause)
+        nm = _MERGE_NOT_MATCHED_RE.match(clause)
+        if mm is not None:
+            if kw["when_matched"] is not None:
+                raise ValueError("at most one WHEN MATCHED clause")
+            body = mm.group("set")
+            kw["when_matched"] = "delete" if body is None else "update"
+            if body is not None and body.strip() != "*":
+                kw["update_set"] = parse_set(body)
+            if mm.group("cond"):
+                kw["matched_condition"] = mm.group("cond").strip()
+        elif nm is not None:
+            kw["when_not_matched"] = "insert"
+            if nm.group("cond"):
+                kw["not_matched_condition"] = nm.group("cond").strip()
+        else:
+            raise ValueError(f"unparseable MERGE clause: {clause!r}")
+    if kw["when_matched"] is None:
+        kw["when_matched"] = "update" if kw["when_not_matched"] == "insert" \
+            else None
+        if kw["when_matched"] is None:
+            raise ValueError("MERGE needs at least one WHEN clause")
+        # insert-only MERGE: matched rows are untouched -> update with an
+        # always-false condition keeps them verbatim
+        kw["matched_condition"] = "false"
+    return MergeIntoJob(table, key_cols=key_cols, **kw).run(source)
 
 
 def _dispatch(action: str, table: Table, m: re.Match,

@@ -748,3 +748,127 @@ def test_matview_sql_rejects_bad_select_items(cat):
         run_sql(c, "CREATE MATERIALIZED VIEW ops.bad AS "
                    "SELECT role, count(*) "
                    "FROM ops.transcripts GROUP BY role")
+
+
+def _merge_fixture(cat):
+    """(catalog, table, base df) with CDF on and a deterministic source view."""
+    c, df = cat
+    t = c.load_table("ops.transcripts")
+    t.set_property("write.change-data-feed.enabled", "true")
+    return c, t, df
+
+
+def test_merge_per_column_set(cat):
+    c, t, df = _merge_fixture(cat)
+    before = {(r["conv_id"], r["turn_idx"]): (r["text"], r["tool"])
+              for r in t.scan().collect()}
+    src = df.filter(F.col("turn_idx") % 5 == 0).select(
+        "conv_id", "turn_idx", F.lit("patched").alias("text"),
+        F.lit("sqltool").alias("tool"))
+    src.createOrReplaceTempView("patch_src")
+    run_sql(c, """
+        MERGE INTO ops.transcripts AS t USING patch_src AS s
+        ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+        WHEN MATCHED THEN UPDATE SET text = concat(s.text, ':', t.text),
+                                     tool = s.tool
+    """)
+    after = {(r["conv_id"], r["turn_idx"]): (r["text"], r["tool"], r["role"])
+             for r in t.refresh().scan().collect()}
+    assert len(after) == len(before)
+    matched = unmatched = 0
+    for k, (text, tool, _role) in after.items():
+        if k[1] % 5 == 0 and not k[0].endswith("-b"):   # keys in the source
+            matched += 1
+            assert text == "patched:" + before[k][0]   # t./s. both visible
+            assert tool == "sqltool"
+        else:
+            unmatched += 1
+            assert (text, tool) == before[k]           # untouched columns
+    assert matched and unmatched
+
+
+def test_merge_matched_and_condition_keeps_unmet_rows(cat):
+    c, t, df = _merge_fixture(cat)
+    before = {(r["conv_id"], r["turn_idx"]): r["text"]
+              for r in t.scan().collect()}
+    df.filter(F.col("turn_idx") < 4).select(
+        "conv_id", "turn_idx", "role", F.lit("cond").alias("text"),
+        "tool", "ts").createOrReplaceTempView("cond_src")
+    res = run_sql(c, """
+        MERGE INTO ops.transcripts AS t USING cond_src AS s
+        ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+        WHEN MATCHED AND t.role = 'user' THEN UPDATE SET *
+    """)
+    after = {(r["conv_id"], r["turn_idx"]): (r["text"], r["role"])
+             for r in t.refresh().scan().collect()}
+    assert len(after) == len(before)
+    changed = sum(1 for k, (text, role) in after.items()
+                  if text == "cond" and role == "user")
+    assert changed == res.rows_updated > 0
+    for k, (text, role) in after.items():
+        if role != "user" or k[1] >= 4:
+            assert text == before[k]                   # unmet rows verbatim
+
+
+def test_merge_not_matched_condition_filters_inserts(cat):
+    c, t, df = _merge_fixture(cat)
+    n_before = t.scan().count()
+    df.filter(F.col("turn_idx") < 2).select(
+        F.concat("conv_id", F.lit("-new")).alias("conv_id"),
+        "turn_idx", "role", "text", "tool", "ts",
+    ).createOrReplaceTempView("ins_src")
+    res = run_sql(c, """
+        MERGE INTO ops.transcripts AS t USING ins_src AS s
+        ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+        WHEN NOT MATCHED AND s.role = 'assistant' THEN INSERT *
+    """)
+    t.refresh()
+    inserted = t.scan().filter(F.col("conv_id").endswith("-new"))
+    assert inserted.count() == res.rows_inserted > 0
+    assert {r["role"] for r in inserted.collect()} == {"assistant"}
+    # matched rows untouched by the insert-only merge
+    assert t.scan().count() == n_before + res.rows_inserted
+
+
+def test_merge_delete_with_condition(cat):
+    c, t, df = _merge_fixture(cat)
+    df.filter(F.col("turn_idx") < 4).select("conv_id", "turn_idx", "role") \
+        .createOrReplaceTempView("del_src")
+    res = run_sql(c, """
+        MERGE INTO ops.transcripts AS t USING del_src AS s
+        ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+        WHEN MATCHED AND t.role = 'tool' THEN DELETE
+    """)
+    t.refresh()
+    survivors = t.scan().filter(
+        (F.col("turn_idx") < 4) & (F.col("role") == "tool")
+        & ~F.col("conv_id").endswith("-b"))         # -b keys not in source
+    assert survivors.count() == 0
+    assert res.rows_deleted > 0
+    assert t.scan().filter((F.col("turn_idx") < 4)
+                           & (F.col("role") != "tool")).count() > 0
+
+
+def test_merge_extended_writes_change_feed(cat):
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.change_feed import (
+        change_feed,
+    )
+
+    c, t, df = _merge_fixture(cat)
+    from_snap = t.current_snapshot().snapshot_id
+    df.filter(F.col("turn_idx") < 2).select("conv_id", "turn_idx") \
+        .withColumn("role", F.lit("x")).createOrReplaceTempView("cdf_src")
+    run_sql(c, """
+        MERGE INTO ops.transcripts AS t USING cdf_src AS s
+        ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+        WHEN MATCHED AND t.role = 'user' THEN UPDATE SET text = 'cdfpatch'
+    """)
+    feed = change_feed(t.refresh(), from_snap)
+    by_type = {r["_change_type"]: r["n"] for r in
+               feed.groupBy("_change_type").count()
+               .withColumnRenamed("count", "n").collect()}
+    assert by_type.get("update_preimage", 0) == by_type.get(
+        "update_postimage", 0) > 0
+    pre = feed.filter("_change_type = 'update_preimage'")
+    assert {r["role"] for r in pre.select("role").distinct().collect()} \
+        == {"user"}  # ONLY condition-met rows have change records
