@@ -159,6 +159,38 @@ def _maintenance_bench(spark, sf: float, workdir: str, *, cpus: int = DEFAULT_CP
         timings["delete_cow"] = time.time() - t0
         assert rc.rows_deleted > 0
 
+        # materialized view kept fresh incrementally: full build once, then
+        # a 3-conversation upsert lands and the refresh applies ONLY the
+        # change feed (eqdel keys cover the group key, so dirty groups come
+        # straight from the key tuples — no source rescan)
+        from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.matview import (
+            Agg, MatViewDefn, create_materialized_view_table,
+        )
+        from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.matview import (
+            refresh as mv_refresh,
+        )
+
+        t0 = time.time()
+        mv = create_materialized_view_table(
+            spark, os.path.join(workdir, "bench_mv"), table,
+            MatViewDefn(
+                group_keys=("conv_id",),
+                aggs=(Agg("count_star", None, "n_turns"),
+                      Agg("sum", "turn_idx", "sum_turn"),
+                      Agg("max", "ts", "last_ts")),
+            ),
+        )
+        timings["mv_build_full"] = time.time() - t0
+        batch = (
+            table.scan([("conv_id", "in", convs)])
+            .withColumn("text", F.concat(F.lit("mv:"), F.col("text")))
+        )
+        upsert(table, batch, ["conv_id", "turn_idx"], n_files=1)
+        t0 = time.time()
+        mres = mv_refresh(mv)
+        assert mres.mode == "incremental", mres.fallback_reason
+        timings["mv_refresh_incremental"] = time.time() - t0
+
         t0 = time.time()
         ExpireSnapshotsJob(table, keep_last=1).run()
         timings["expire_gc"] = time.time() - t0

@@ -18,6 +18,10 @@ Policy (each stage is the same resumable, ledgered job a user runs by hand):
 - **No cluster keys** → plain FFD bin-packing compaction (no-op when
   nothing is fragmented).
 - Then snapshot expiration + orphan GC by the retention policy.
+- **Materialized views bound to the table** (``mv.source-location``) are
+  refreshed incrementally when a catalog is in scope — the DLT behavior of
+  "the platform keeps gold fresh" (pass ``catalog=`` or run ``MAINTAIN``
+  through the SQL dialect).
 - Finally manifest-layer compaction (``operators/manifests.py``) when the
   manifest count passed ``maintenance.manifest.max-count`` — micro-batch
   appends add one manifest per commit, and planning must stay O(live files).
@@ -51,7 +55,29 @@ class MaintenanceResult:
     expiration: ExpireResult | None
     manifests: RewriteManifestsResult | None = None
     rewrite_deletes: "object | None" = None  # RewriteDeletesResult
+    views_refreshed: "list | None" = None    # [(name, RefreshResult)]
     elapsed_sec: float = 0.0
+
+
+def refresh_dependent_views(catalog, table: Table) -> list:
+    """Incrementally refresh every materialized view in ``catalog`` whose
+    source is ``table`` — metadata-bounded discovery (each candidate's
+    properties are one JSON read), then the normal change-feed refresh."""
+    import os
+
+    from .matview import PROP_SOURCE, refresh
+
+    loc = os.path.abspath(table.location)
+    results = []
+    for db in sorted(os.listdir(catalog.warehouse)):
+        if not os.path.isdir(os.path.join(catalog.warehouse, db)):
+            continue
+        for name in catalog.list_tables(db):
+            t = catalog.load_table(f"{db}.{name}")
+            src = t.meta.properties.get(PROP_SOURCE)
+            if src is not None and os.path.abspath(src) == loc:
+                results.append((f"{db}.{name}", refresh(t)))
+    return results
 
 
 def stale_partitions(table: Table) -> set[str] | None:
@@ -78,6 +104,7 @@ def run_maintenance(
     *,
     max_concurrency: int = 8,
     force_cluster: bool = False,
+    catalog=None,
 ) -> MaintenanceResult:
     t0 = time.time()
     table.refresh()
@@ -131,11 +158,15 @@ def run_maintenance(
         from .rewrite_deletes import RewriteDeletesJob
         rewrite_deletes = RewriteDeletesJob(table).run()
 
+    views = (refresh_dependent_views(catalog, table)
+             if catalog is not None else None)
+
     return MaintenanceResult(
         compaction=compaction,
         clustering=clustering,
         expiration=expiration,
         manifests=manifests,
         rewrite_deletes=rewrite_deletes,
+        views_refreshed=views,
         elapsed_sec=time.time() - t0,
     )

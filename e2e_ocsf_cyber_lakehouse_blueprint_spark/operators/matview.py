@@ -46,9 +46,14 @@ encoding of the group tuple, so NULL group-key values survive the engine's
 null-unsafe equality-delete matching.
 
 Scale shape: refresh = one shuffle over the feed (∝ changes) + one equi-join
-against the stored state (∝ touched groups) + a scoped scan for dirty groups
-(file-pruned by the view table's manifest stats on ``_mv_gk``; at 10^12-turn
-scale the feed window is bounded by maintenance cadence, not table size).
+against the stored state (∝ touched groups) + a scoped scan for dirty groups.
+The dirty/eqdel recompute scans are pushed down as IN predicates over the
+(collected, capped) dirty key values, so manifest bounds + per-file blooms
+prune the source to the touched files — a 3-conversation dirty set reads a
+handful of files, never the table; past the 10k-key cap the recompute falls
+back to an unpruned scan + semi-join (the window is then large enough that
+a wide scan is the honest cost). At 10^12-turn scale the feed window is
+bounded by maintenance cadence, not table size.
 Falls back to a full recompute — one aggregate over the source — when the
 feed is unavailable (CDF disabled for a row-changing commit, expired parent,
 RESTORE in the window).
@@ -239,6 +244,19 @@ def full_state(df: DataFrame, defn: MatViewDefn) -> DataFrame:
     return out.select(*state_columns(defn))
 
 
+
+def _in_pruning_predicates(df: DataFrame, col: str,
+                           cap: int = 10_000) -> list | None:
+    """``[(col, "in", values)]`` when ``df[col]`` has at most ``cap``
+    distinct non-null values, else None (fall back to an unpruned scan +
+    semi-join). The IN list drives manifest-bounds and bloom file pruning
+    so a small dirty set never rescans the table."""
+    vals = [r[col] for r in df.select(col).distinct().limit(cap + 1).collect()]
+    if 0 < len(vals) <= cap and all(v is not None for v in vals):
+        return [(col, "in", vals)]
+    return None
+
+
 def _source_rows(source: Table, defn: MatViewDefn,
                  snapshot_id: int | None = None) -> DataFrame:
     df = source.scan(snapshot_id=snapshot_id)
@@ -246,6 +264,27 @@ def _source_rows(source: Table, defn: MatViewDefn,
 
 
 # ---------------------------------------------------------------- lifecycle
+
+def create_materialized_view_table(
+    spark,
+    location: str,
+    source: Table,
+    defn: MatViewDefn,
+    properties: dict[str, str] | None = None,
+) -> Table:
+    """Create + initially populate a materialized view as a bare engine
+    table at ``location`` (no catalog required)."""
+    defn.validate(source.schema)
+    schema = full_state(_source_rows(source, defn).limit(0), defn).schema
+    props = dict(properties or {})
+    props[PROP_SOURCE] = source.location
+    props[PROP_DEFN] = defn.to_json()
+    # stats on the upsert key make later refreshes' eqdel application prune
+    props.setdefault("stats.columns", GK_COL)
+    mv = Table.create(spark, location, schema, properties=props)
+    refresh(mv, full=True)
+    return mv.refresh()
+
 
 def create_materialized_view(
     catalog: "Catalog",
@@ -258,17 +297,12 @@ def create_materialized_view(
 
     The view is an ordinary engine table (scans, DESCRIBE, time travel all
     work); ``mv.*`` properties carry the definition and source binding."""
+    if catalog.table_exists(name):
+        raise ValueError(f"table {name} already exists")
     source = catalog.load_table(source_name)
-    defn.validate(source.schema)
-    schema = full_state(_source_rows(source, defn).limit(0), defn).schema
-    props = dict(properties or {})
-    props[PROP_SOURCE] = source.location
-    props[PROP_DEFN] = defn.to_json()
-    # stats on the upsert key make later refreshes' eqdel application prune
-    props.setdefault("stats.columns", GK_COL)
-    mv = catalog.create_table(name, schema, properties=props)
-    refresh(mv, full=True)
-    return mv.refresh()
+    return create_materialized_view_table(
+        catalog.spark, catalog._loc(name), source, defn,
+        properties=properties)
 
 
 def is_materialized_view(table: Table) -> bool:
@@ -360,11 +394,15 @@ def _dirty_from_eqdel(source: Table, defn: MatViewDefn, snap, eq_cols,
         # the key tuples carry the group columns directly — exact superset
         hit = keys.select(*defn.group_keys)
     else:
-        # scan the commit's PARENT snapshot for rows the keys matched; the
-        # eqdel's recorded key bounds prune the file set before any read
+        # scan the commit's PARENT snapshot for rows the keys matched,
+        # pruned by an IN predicate over the (small, already-distinct)
+        # key tuples' first column — manifest bounds + blooms drop the
+        # untouched files before any read
         if snap.parent_snapshot_id is None:
             raise ValueError("eqdel commit has no parent snapshot")
-        pre = source.scan(snapshot_id=snap.parent_snapshot_id)
+        pre = source.scan(
+            predicates=_in_pruning_predicates(keys, eq_cols[0]),
+            snapshot_id=snap.parent_snapshot_id)
         cond = reduce(lambda a, b: a & b,
                       [pre[c] == keys[c] for c in eq_cols])
         hit = pre.join(F.broadcast(keys), cond, "left_semi")
@@ -488,17 +526,27 @@ def _incremental_refresh(mv: Table, source: Table, defn: MatViewDefn,
     j = j.withColumn("_new_rows", new_rows).withColumn("_dirty", is_dirty)
     j = j.persist()
     try:
-        dirty = j.filter(F.col("_dirty")).select(GK_COL, *defn.group_keys)
+        dirty_full = j.filter(F.col("_dirty")).select(GK_COL, *defn.group_keys)
         for snap, eq_cols, key_paths in eqdels:
-            dirty = dirty.unionByName(
+            dirty_full = dirty_full.unionByName(
                 _dirty_from_eqdel(source, defn, snap, eq_cols, key_paths))
-        dirty = dirty.select(GK_COL).distinct().persist()
+        dirty_full = dirty_full.distinct().persist()
+        dirty = dirty_full.select(GK_COL)
 
         updated = (j.filter(~F.col("_dirty") & (F.col("_new_rows") > 0))
                    .join(dirty, GK_COL, "left_anti").select(*built))
+        # the dirty-group recompute must NOT rescan the source: when the
+        # dirty key set is small (the normal case — bounded by the window's
+        # changes), push it down as an IN predicate so manifest bounds +
+        # blooms prune the scan to the touched files; the semi-join stays
+        # for exactness either way
+        src_scan = source.scan(
+            predicates=_in_pruning_predicates(dirty_full, defn.group_keys[0]),
+            snapshot_id=cur)
+        if defn.filter:
+            src_scan = src_scan.filter(defn.filter)
         recomputed = full_state(
-            _source_rows(source, defn, snapshot_id=cur)
-            .withColumn(GK_COL, _gk(defn.group_keys))
+            src_scan.withColumn(GK_COL, _gk(defn.group_keys))
             .join(dirty, GK_COL, "left_semi").drop(GK_COL),
             defn)
         write_rows = updated.unionByName(recomputed)
@@ -532,6 +580,6 @@ def _incremental_refresh(mv: Table, source: Table, defn: MatViewDefn,
     finally:
         j.unpersist()
         try:
-            dirty.unpersist()
+            dirty_full.unpersist()
         except NameError:  # pragma: no cover
             pass

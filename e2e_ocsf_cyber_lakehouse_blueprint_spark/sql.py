@@ -48,7 +48,8 @@ table-maintenance statements the engine owns:
     MAINTAIN <tbl>
         managed pass (pipelines.autoOptimize.managed analogue): compact,
         cluster iff cluster keys are set and data arrived since the last
-        clustering, then expire/GC per the table's retention properties
+        clustering, then expire/GC per the table's retention properties,
+        then refresh every materialized view whose source is this table
     RESTORE TABLE <tbl> TO VERSION AS OF <n>
     RESTORE TABLE <tbl> TO TIMESTAMP AS OF '<iso-ts>'
     DESCRIBE HISTORY <tbl>
@@ -929,7 +930,7 @@ def _dispatch(action: str, table: Table, m: re.Match,
         return manifests(table)
     if action == "maintain":
         from .operators.maintain import run_maintenance
-        return run_maintenance(table)
+        return run_maintenance(table, catalog=catalog)
     if action == "analyze":
         from .operators.analyze import analyze_table
         cols = _cols(m.group("cols")) if m.group("cols") else None

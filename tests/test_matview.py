@@ -303,3 +303,33 @@ def test_approx_count_distinct_incremental(cat, base):
     DeleteJob(src, [("turn_idx", "=", 1)]).run()
     assert refresh(mv).mode == "incremental"
     assert_view_current(mv, src, defn)
+
+
+def test_maintain_refreshes_dependent_views(cat, base):
+    """MAINTAIN on the source table keeps its materialized views fresh (the
+    DLT 'platform keeps gold current' behavior)."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.sql import run_sql
+
+    src = make_source(cat, base)
+    mv = create_materialized_view(cat, "default.mv10", "default.src", DEFN)
+    src.append(base.filter(F.col("turn_idx") == 0), n_files=1)
+    res = run_sql(cat, "MAINTAIN default.src")
+    assert res.views_refreshed and res.views_refreshed[0][0] == "default.mv10"
+    assert res.views_refreshed[0][1].mode == "incremental"
+    assert_view_current(mv, src)
+
+
+def test_in_pruning_predicates(spark):
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.matview import (
+        _in_pruning_predicates,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",), ("a",)], "k string")
+    preds = _in_pruning_predicates(df, "k")
+    assert preds is not None and preds[0][1] == "in" \
+        and sorted(preds[0][2]) == ["a", "b"]
+    # NULL values or an oversized set fall back to the unpruned scan
+    dfn = spark.createDataFrame([("a",), (None,)], "k string")
+    assert _in_pruning_predicates(dfn, "k") is None
+    big = spark.range(50).selectExpr("cast(id as string) as k")
+    assert _in_pruning_predicates(big, "k", cap=10) is None
