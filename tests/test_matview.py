@@ -333,3 +333,36 @@ def test_in_pruning_predicates(spark):
     assert _in_pruning_predicates(dfn, "k") is None
     big = spark.range(50).selectExpr("cast(id as string) as k")
     assert _in_pruning_predicates(big, "k", cap=10) is None
+
+
+def test_refresh_crash_before_commit_is_exactly_once(cat, base, monkeypatch):
+    """A refresh that dies after computing (and even writing staging data)
+    but BEFORE the commit leaves no visible change and no advanced pointer;
+    the retry applies the identical window exactly once."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.table import Table
+
+    src = make_source(cat, base)
+    mv = create_materialized_view(cat, "default.mv11", "default.src", DEFN)
+    src.append(base.filter(F.col("turn_idx") == 0), n_files=1)
+    before_rows = canon(read_view(mv.refresh()), DEFN)
+    before_ptr = last_refresh_snapshot(mv.refresh())
+
+    real_commit = Table._commit_append
+
+    def boom(self, *a, **kw):
+        raise RuntimeError("injected crash before commit")
+
+    monkeypatch.setattr(Table, "_commit_append", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        refresh(mv)
+    monkeypatch.setattr(Table, "_commit_append", real_commit)
+
+    mv = mv.refresh()
+    assert canon(read_view(mv), DEFN) == before_rows       # nothing visible
+    assert last_refresh_snapshot(mv) == before_ptr         # pointer intact
+    res = refresh(mv)
+    assert res.mode == "incremental"
+    assert_view_current(mv, src)
+    # and the retry advanced the pointer atomically with the data
+    assert last_refresh_snapshot(mv.refresh()) == \
+        src.refresh().current_snapshot().snapshot_id
