@@ -100,6 +100,12 @@ def _maintenance_bench(spark, sf: float, workdir: str, *, cpus: int = DEFAULT_CP
             # FPR ~2e-4 where the 8Kbit default would saturate.
             "stats.bloom-columns": "conv_id",
             "stats.bloom-bits": str(1 << 18),
+            # blooms only on curve-layout outputs: append/compaction-era
+            # files are rewritten by the very next pass, so their bitsets
+            # (a full key-column read per write) would be thrown away
+            # within one maintenance cycle. Merge runs post-cluster, where
+            # every live file carries a bloom.
+            "stats.bloom.layouts": "curve",
         },
     )
     table.append(df, n_files=8)

@@ -100,6 +100,35 @@ def layout_hash_cols(
     return [c for c in hash_cols if c == hash_dim]
 
 
+def layout_bloom_cols(
+    bloom_cols: list[str],
+    properties: dict,
+    sort_order: str | None,
+) -> list[str]:
+    """Which 'stats.bloom-columns' a post-write harvest should build bitsets
+    for, by layout ('stats.bloom.layouts' property):
+
+    - ``all`` (default): every write — Delta's bloomFilter option behavior.
+    - ``curve``: only curve-layout rewrites (zorder/hilbert outputs). In a
+      medallion flow every append is compacted and then clustered by the
+      next MAINTAIN pass, so bitsets built for append/compaction-era files
+      are paid for and thrown away within one maintenance cycle — at the
+      10^12-turn design point that is a full key-column read per write for
+      nothing. Files without blooms degrade conservatively everywhere
+      (merge scoping and pruning keep them), so the only cost is scoping
+      precision on not-yet-clustered data.
+    """
+    if not bloom_cols:
+        return []
+    mode = properties.get("stats.bloom.layouts", "all")
+    if mode == "all":
+        return bloom_cols
+    if mode != "curve":
+        raise ValueError(f"stats.bloom.layouts must be all|curve, got {mode!r}")
+    curve = (sort_order or "").partition("(")[0]
+    return bloom_cols if curve in ("zorder", "hilbert") else []
+
+
 def harvest_file_stats(
     spark: SparkSession,
     staging_dir: str | list[str],

@@ -33,7 +33,7 @@ from . import manifest as mf
 from . import snapshot as snap
 from .manifest import DataFile
 from .partition import PartitionSpec
-from .stats import harvest_file_stats, layout_hash_cols
+from .stats import harvest_file_stats, layout_bloom_cols, layout_hash_cols
 from ..plans.pruning import Predicate, prune_files, prune_manifest_records
 
 
@@ -700,13 +700,14 @@ class Table:
         # never prune, so the hash harvest is skipped unless blooms already
         # pay for the key scan (stats.layout_hash_cols; curve rewrites pass
         # their sort spec via run_grouped_rewrites instead)
+        blooms = layout_bloom_cols(self.bloom_stat_columns(),
+                                   self.meta.properties, None)
         return harvest_file_stats(
             self.spark, staging, self.schema,
             [f.name for f in spec.fields],
-            layout_hash_cols(self.hash_stat_columns(),
-                             self.bloom_stat_columns(),
+            layout_hash_cols(self.hash_stat_columns(), blooms,
                              self.meta.properties, None),
-            self.stat_columns(), self.bloom_stat_columns(), self.bloom_bits(),
+            self.stat_columns(), blooms, self.bloom_bits(),
         )
 
     def append(

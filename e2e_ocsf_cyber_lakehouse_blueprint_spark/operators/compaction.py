@@ -34,7 +34,9 @@ from dataclasses import dataclass
 from pyspark.sql import functions as F
 
 from ..format.manifest import DataFile
-from ..format.stats import harvest_file_stats, layout_hash_cols
+from ..format.stats import (
+    harvest_file_stats, layout_bloom_cols, layout_hash_cols,
+)
 from ..format.table import Table
 from .ledger import Ledger, partition_key, spill_metrics, split_size_for_rewrites
 from ..timing import phase_timer
@@ -411,15 +413,16 @@ def run_grouped_rewrites(
         # dirs so the harvest's schema read never sees an empty relation
         harvest_dirs = [d for d in sorted({d for _, d, _ in staged})
                         if _dir_has_parquet(d)]
+        blooms = layout_bloom_cols(table.bloom_stat_columns(),
+                                   table.meta.properties, stamp_sort_order)
         with phase_timer(f"{job_tag}.harvest"):
             files = harvest_file_stats(
                 spark, harvest_dirs, table.schema,
                 pcol_names,
-                layout_hash_cols(table.hash_stat_columns(),
-                                 table.bloom_stat_columns(),
+                layout_hash_cols(table.hash_stat_columns(), blooms,
                                  table.meta.properties, stamp_sort_order),
                 table.stat_columns(),
-                table.bloom_stat_columns(), table.bloom_bits(),
+                blooms, table.bloom_bits(),
             ) if harvest_dirs else []
         if stamp_sort_order is not None:
             # layout provenance (Iceberg sort_order_id analogue): lets the

@@ -251,3 +251,55 @@ def test_bloomfree_agg_path_matches_pandas_path(spark):
         assert agg_path[fp]["hash_bounds"] == pandas_path[fp]["hash_bounds"], fp
         assert agg_path[fp]["blooms"] == {}
     assert agg_path["fnull"]["hash_bounds"] == {}
+
+
+def test_bloom_layouts_curve_policy(spark, tmp_path):
+    """stats.bloom.layouts=curve: append- and compaction-era files skip the
+    bloom harvest (they are rewritten by the next maintenance pass anyway);
+    curve-clustered outputs carry bitsets. Unit: the policy fn; integration:
+    a real append -> compact -> zorder cycle."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.partition import (
+        PartitionSpec,
+    )
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.stats import (
+        layout_bloom_cols,
+    )
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.table import Table
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.clustering import (
+        ClusteringJob,
+    )
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.compaction import (
+        CompactionJob,
+    )
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.sources.transcripts import (
+        SCHEMA_DDL, generate_transcripts,
+    )
+
+    assert layout_bloom_cols(["c"], {}, None) == ["c"]
+    assert layout_bloom_cols(["c"], {"stats.bloom.layouts": "curve"}, None) == []
+    assert layout_bloom_cols(
+        ["c"], {"stats.bloom.layouts": "curve"}, "zorder(conv_id)") == ["c"]
+    with pytest.raises(ValueError, match="all|curve"):
+        layout_bloom_cols(["c"], {"stats.bloom.layouts": "bogus"}, None)
+
+    df = generate_transcripts(spark, n_convs=20, hot_convs=1, hot_turns=40,
+                              span_days=2, seed=3)
+    t = Table.create(
+        spark, str(tmp_path / "t"), T.StructType.fromDDL(SCHEMA_DDL),
+        PartitionSpec.of(),
+        properties={"stats.columns": "conv_id,turn_idx,role,tool,ts",
+                    "stats.bloom-columns": "conv_id",
+                    "stats.bloom.layouts": "curve",
+                    "write.target-file-size-bytes": str(256 * 1024)})
+    t.append(df, n_files=3)
+    assert all(not f.blooms for f in t.live_data_files())   # append: none
+    CompactionJob(t).run()
+    assert all(not f.blooms for f in t.refresh().live_data_files())
+    ClusteringJob(t, curve="zorder").run()
+    clustered = t.refresh().live_data_files()
+    assert clustered and all(f.blooms for f in clustered)   # curve: bitsets
+    # scans stay correct either way (absent bloom = conservative keep)
+    assert t.scan().count() == df.count()
