@@ -366,3 +366,18 @@ def test_refresh_crash_before_commit_is_exactly_once(cat, base, monkeypatch):
     # and the retry advanced the pointer atomically with the data
     assert last_refresh_snapshot(mv.refresh()) == \
         src.refresh().current_snapshot().snapshot_id
+
+
+def test_source_rename_fails_loudly_not_silently(cat, base):
+    """RENAME COLUMN on a source column the view references must surface as
+    an error at the next refresh — never a silently wrong view. (The fix is
+    DROP + re-CREATE of the view; the defn pins the old names.)"""
+    src = make_source(cat, base)
+    mv = create_materialized_view(cat, "default.mv12", "default.src", DEFN)
+    src.rename_column("turn_idx", "turn_no")
+    src.refresh().append(
+        base.withColumnRenamed("turn_idx", "turn_no"), n_files=1)
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException, match="turn_idx"):
+        refresh(mv)
