@@ -498,6 +498,49 @@ WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
 SELECT conv_id, turn_idx, text, ts FROM t WHERE role IN ('user', 'assistant')
 """
 
+_AGG_META_ITEMS = """COUNT(*) AS n_turns, COUNT(tool) AS n_tool,
+       MIN(turn_idx) AS min_turn, MAX(turn_idx) AS max_turn,
+       MIN(ts) AS min_ts, MAX(ts) AS max_ts"""
+
+
+def q_sql_agg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregation (plans/agg_pushdown.py via the sql.py
+    SELECT fast path): COUNT/MIN/MAX planned from manifest statistics — the
+    unfiltered row touches ZERO data files (asserted below: the fast path
+    must claim the statement), the filtered row takes the hybrid split
+    where files the bounds fully cover contribute record_count/bounds and
+    only boundary files are scanned with the predicate re-applied. The
+    platform the reference delegates to answers SELECT COUNT(*) from the
+    Delta log the same way; at 10^12 turns this is O(manifest) vs a full
+    scan."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.sql import (
+        _try_metadata_agg, run_sql,
+    )
+
+    c, _t, _df = _make_catalog_table(spark, sf_dir, n_files=6)
+    q_all = f"SELECT {_AGG_META_ITEMS} FROM ops.transcripts"
+    q_filt = (f"SELECT {_AGG_META_ITEMS} FROM ops.transcripts "
+              "WHERE role = 'user' AND turn_idx >= 5")
+    assert _try_metadata_agg(c, q_all) is not None, \
+        "metadata agg fast path regressed: full-stats table not claimed"
+    return (
+        run_sql(c, q_all).withColumn("q", F.lit("all"))
+        .unionByName(run_sql(c, q_filt).withColumn("q", F.lit("filtered")))
+    )
+
+
+_SQL_AGG_META_ORACLE = f"""
+WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+SELECT 'all' AS q, COUNT(*) AS n_turns, COUNT(tool) AS n_tool,
+       MIN(turn_idx) AS min_turn, MAX(turn_idx) AS max_turn,
+       MIN(ts) AS min_ts, MAX(ts) AS max_ts
+FROM t
+UNION ALL
+SELECT 'filtered', COUNT(*), COUNT(tool), MIN(turn_idx), MAX(turn_idx),
+       MIN(ts), MAX(ts)
+FROM t WHERE role = 'user' AND turn_idx >= 5
+"""
+
 
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALTER TABLE ADD COLUMNS / DROP COLUMN (format/table.py add_columns,
@@ -1541,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_incremental": q_mv_incremental,
         "sql_merge_conditional": q_sql_merge_conditional,
         "sql_select": q_sql_select,
+        "sql_agg_meta": q_sql_agg_meta,
         "sql_ctas": q_sql_ctas,
         "schema_evolution": q_schema_evolution,
         "rename_column": q_rename_column,
@@ -1610,6 +1654,7 @@ def oracle_sql() -> dict[str, str]:
         "mv_incremental": _MV_INCREMENTAL_ORACLE,
         "sql_merge_conditional": _SQL_MERGE_COND_ORACLE,
         "sql_select": _SQL_SELECT_ORACLE,
+        "sql_agg_meta": _SQL_AGG_META_ORACLE,
         "sql_ctas": _SQL_CTAS_ORACLE,
         "schema_evolution": _SCHEMA_EVOLUTION_ORACLE,
         "rename_column": _RENAME_COLUMN_ORACLE,

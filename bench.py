@@ -121,6 +121,25 @@ def _maintenance_bench(spark, sf: float, workdir: str, *, cpus: int = DEFAULT_CP
     timings["cluster_zorder"] = time.time() - t0
 
     if not core_only:
+        # metadata-only aggregate (plans/agg_pushdown.py): COUNT/MIN/MAX
+        # answered from manifest stats on the freshly-maintained (clean)
+        # table — at 10^12 turns this replaces a full-table scan with an
+        # O(manifest) driver computation
+        from e2e_ocsf_cyber_lakehouse_blueprint_spark.plans.agg_pushdown import (
+            AggItem, metadata_agg,
+        )
+
+        t0 = time.time()
+        fast = metadata_agg(table, [
+            AggItem("count_star", None, "n"),
+            AggItem("min", "ts", "min_ts"),
+            AggItem("max", "ts", "max_ts"),
+        ])
+        assert fast is not None, "metadata agg refused the maintained table"
+        meta_row = fast.collect()[0]
+        assert meta_row["n"] == n_turns, (meta_row["n"], n_turns)
+        timings["agg_count_meta"] = time.time() - t0
+
         # scoped merge: corrections to 3 conversations — manifest scoping
         # should rewrite a small neighborhood, not the table
         t0 = time.time()

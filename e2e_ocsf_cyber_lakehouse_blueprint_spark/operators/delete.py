@@ -36,9 +36,9 @@ from typing import Sequence
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..format.manifest import DataFile, decode_bound
+from ..format.manifest import DataFile
 from ..format.table import Table
-from ..plans.pruning import Predicate, _norm_value, prune_files
+from ..plans.pruning import Predicate, prune_files
 from .ledger import Ledger, partition_key, spill_metrics, split_size_for_rewrites
 
 
@@ -59,42 +59,16 @@ class DeleteResult:
 
 
 def _all_rows_match(f: DataFile, col: str, op: str, value,
-                    dtype: T.DataType | None) -> bool:
+                    dtype: T.DataType | None,
+                    alias_names=None) -> bool:
     """True only when the stats PROVE every row of ``f`` satisfies the
-    predicate. Safe under Iceberg-style truncated string bounds (lower bound
-    is <= the true min, upper bound >= the true max, so proofs built on
-    ``lo >= v`` / ``hi <= v`` / ``lo == hi`` only get *harder*, never wrong).
-    Missing stats -> False (the file is rewritten; correctness never depends
-    on stats, mirroring the read-side pruner)."""
-    nc = f.null_counts.get(col)
-    if op == "isnull":
-        return nc is not None and nc == f.record_count
-    if nc is None or nc > 0:
-        return False  # unknown/apparent nulls can't satisfy non-null comparisons
-    if op == "notnull":
-        return True
-    lo_s, hi_s = f.lower_bounds.get(col), f.upper_bounds.get(col)
-    if lo_s is None or hi_s is None:
-        return False
-    lo, hi = decode_bound(lo_s), decode_bound(hi_s)
-    try:
-        if op == "in":
-            vals = {_norm_value(v, dtype) for v in value}
-            return lo == hi and lo in vals
-        v = _norm_value(value, dtype)
-        if op == "=":
-            return lo == hi == v
-        if op == "<":
-            return hi < v
-        if op == "<=":
-            return hi <= v
-        if op == ">":
-            return lo > v
-        if op == ">=":
-            return lo >= v
-    except TypeError:
-        return False
-    return False
+    predicate — delegates to the shared full-match dual in plans/pruning.py
+    (:func:`covers_bounds`), which is also what metadata-only aggregation
+    uses. Missing stats -> False (the file is rewritten; correctness never
+    depends on stats, mirroring the read-side pruner)."""
+    from ..plans.pruning import covers_bounds
+
+    return covers_bounds(f, col, op, value, dtype, alias_names)
 
 
 def write_posdel_files(table: Table, marks: DataFrame,
@@ -278,14 +252,16 @@ class DeleteJob:
         table = self.table
         files = table.live_data_files()
         dtypes = {f.name: f.dataType for f in table.schema.fields}
+        aliases = table.rename_map()
+        names = {c: [c] + list(reversed(olds)) for c, olds in aliases.items()}
         candidates = prune_files(files, self.predicates, table.schema,
-                                 table.spec, aliases=table.rename_map())
+                                 table.spec, aliases=aliases)
         cand_paths = {f.path for f in candidates}
         untouched = [f for f in files if f.path not in cand_paths]
         dropped, rewrite = [], []
         for f in candidates:
             if f.record_count and all(
-                _all_rows_match(f, col, op, v, dtypes.get(col))
+                _all_rows_match(f, col, op, v, dtypes.get(col), names.get(col))
                 for col, op, v in self.predicates
             ):
                 dropped.append(f)

@@ -118,6 +118,54 @@ def _survives_bounds(f: DataFile, col: str, op: str, value: Any,
     return True
 
 
+def covers_bounds(f: DataFile, col: str, op: str, value: Any,
+                  dtype: T.DataType | None,
+                  alias_names: Sequence[str] | None = None) -> bool:
+    """True only when EVERY row of this file provably satisfies the
+    predicate — the dual of :func:`_survives_bounds` ("some row may match").
+    This is what lets metadata-only aggregation (plans/agg_pushdown.py)
+    answer COUNT/MIN/MAX for a file without reading it.
+
+    Sound under Iceberg-style string-bound truncation (manifest.py
+    truncate_lower/truncate_upper): the stored lower bound is <= the true
+    min and the stored upper bound is >= the true max, so
+    ``hi <= v`` still proves ``max <= v`` and ``lo > v`` still proves
+    ``min > v``. For equality, ``lo == hi == v`` implies the upper bound was
+    NOT truncated (truncation increments a character, forcing hi > lo), so
+    both bounds are exact and every row equals ``v``.
+    """
+    name = _stat_name(f, col, alias_names)
+    nc = f.null_counts.get(name)
+    if op == "isnull":
+        return nc is not None and nc == f.record_count
+    if op == "notnull":
+        return nc == 0
+    if nc != 0:  # null (or unknown-null) rows fail every comparison
+        return False
+    lo_s, hi_s = f.lower_bounds.get(name), f.upper_bounds.get(name)
+    if lo_s is None or hi_s is None:
+        return False
+    lo, hi = decode_bound(lo_s), decode_bound(hi_s)
+    try:
+        if op == "in":
+            vals = [_norm_value(v, dtype) for v in value]
+            return lo == hi and lo in vals
+        v = _norm_value(value, dtype)
+        if op == "=":
+            return lo == hi == v
+        if op == "<":
+            return hi < v
+        if op == "<=":
+            return hi <= v
+        if op == ">":
+            return lo > v
+        if op == ">=":
+            return lo >= v
+    except TypeError:
+        return False
+    return False
+
+
 def _survives_partition(f: DataFile, spec: PartitionSpec, col: str, op: str,
                         value: Any) -> bool:
     """Partition-value pruning for identity/days transforms (string-safe ops)."""

@@ -668,6 +668,68 @@ def _select_pushdown(stmt: str, table: Table) -> list[tuple] | None:
     return preds or None
 
 
+_AGG_SELECT_RE = re.compile(
+    rf"SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<tbl>{_ID})"
+    rf"(?:\s+VERSION\s+AS\s+OF\s+(?P<version>\d+)"
+    rf"|\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)'"
+    rf"|\s+AT\s+(?:BRANCH|TAG)\s+(?P<ref>[\w$-]+))?"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+_AGG_ITEM_RE = re.compile(
+    rf"(?P<fn>COUNT|MIN|MAX)\s*\(\s*(?P<arg>\*|{_ID})\s*\)\s+"
+    rf"AS\s+(?P<alias>{_ID})\s*$", re.IGNORECASE)
+
+_AGG_BLOCKERS_RE = re.compile(
+    r"\b(GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|JOIN|DISTINCT|OVER|WINDOW|UNION)\b",
+    re.IGNORECASE)
+
+
+def _try_metadata_agg(catalog: Catalog, stmt: str) -> DataFrame | None:
+    """Metadata-only fast path for ``SELECT count/min/max(..) AS a, ..
+    FROM <tbl> [time travel] [WHERE <and-of-simple-terms>]``
+    (plans/agg_pushdown.py). Every aggregate needs an explicit alias and
+    every WHERE conjunct must be a simple ``col op literal`` term — anything
+    else falls through to the ordinary scan, which computes the same result
+    the slow way."""
+    from .plans.agg_pushdown import AggItem, metadata_agg
+
+    masked = re.sub(r"'[^']*'", "''", stmt)
+    if _AGG_BLOCKERS_RE.search(masked) or re.search(r"\bOR\b", masked,
+                                                    re.IGNORECASE):
+        return None
+    m = _AGG_SELECT_RE.match(stmt.strip())
+    if m is None or not catalog.table_exists(m.group("tbl")):
+        return None
+    items = []
+    for part in _split_top_level(m.group("items")):
+        im = _AGG_ITEM_RE.match(part.strip())
+        if im is None:
+            return None
+        fn, arg = im.group("fn").lower(), im.group("arg")
+        if arg == "*" and fn != "count":
+            return None
+        items.append(AggItem("count_star" if (fn, arg) == ("count", "*")
+                             else fn,
+                             None if arg == "*" else arg, im.group("alias")))
+    if not items:
+        return None
+    preds = None
+    if m.group("where"):
+        try:
+            preds = parse_where(m.group("where"))
+        except Exception:
+            return None
+    kw: dict[str, Any] = {}
+    if m.group("version"):
+        kw["snapshot_id"] = int(m.group("version"))
+    elif m.group("ts"):
+        kw["as_of_timestamp_ms"] = _parse_sql_timestamp_ms(m.group("ts"))
+    elif m.group("ref"):
+        kw["ref"] = m.group("ref")
+    return metadata_agg(catalog.load_table(m.group("tbl")), items, preds, **kw)
+
+
 def _run_select(catalog: Catalog, stmt: str) -> DataFrame:
     """SELECT/WITH query over catalog tables: each ``FROM|JOIN <tbl>
     [VERSION AS OF n | TIMESTAMP AS OF '<iso>' | AT BRANCH|TAG <ref>]``
@@ -676,7 +738,12 @@ def _run_select(catalog: Catalog, stmt: str) -> DataFrame:
     so deletion vectors, equality deletes, and snapshot isolation all apply
     without the user leaving SQL. Single-table WHERE conjuncts additionally
     prune data files via the manifest stats before Catalyst ever sees the
-    scan (multi-table/OR queries fall back to plain Catalyst pushdown)."""
+    scan (multi-table/OR queries fall back to plain Catalyst pushdown).
+    Pure COUNT/MIN/MAX aggregations are answered from manifest statistics
+    without reading data where provably sound (plans/agg_pushdown.py)."""
+    fast = _try_metadata_agg(catalog, stmt)
+    if fast is not None:
+        return fast
     refs = [m for m in _TABLE_REF_RE.finditer(stmt)
             if catalog.table_exists(m.group("tbl"))]
     out, last = [], 0
