@@ -1188,6 +1188,28 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (streaming/window_agg.py,
+    batch twin of the watermarked streaming operator): epoch-aligned hourly
+    windows per user, one hash aggregation, window assignment pure Catalyst
+    arithmetic. DECIMAL-exact sums for cross-engine hash equality; the
+    streaming twin's append-mode/late-data semantics are pinned by
+    tests/test_window_agg.py parity."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.streaming.window_agg import (
+        windowed_agg_batch,
+    )
+
+    ev = _read(spark, sf_dir, "events")
+    return windowed_agg_batch(
+        ev, key_col="user_id", ts_col="ts", window_sec=3600,
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum(F.col("value").cast("decimal(18,6)"))
+                          .cast("double"),
+        },
+    )
+
+
 # ------------------------------------------------------- training-data ops
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1618,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_census": q_stats_census,
         "stats_census_approx": q_stats_census_approx,
         "sessionize": q_sessionize,
+        "window_agg": q_window_agg,
         "asof_join": q_asof_join,
         "agg_rollup": q_agg_rollup,
         "stats_percentiles": q_stats_percentiles,
@@ -1799,6 +1822,16 @@ def oracle_sql() -> dict[str, str]:
                    - CAST(floor(epoch(c.ts)) AS BIGINT) AS secs_since_click
             FROM p ASOF LEFT JOIN clicks c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "window_agg": """
+            SELECT user_id,
+                   time_bucket(INTERVAL '1 hour', ts) AS win_start,
+                   time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+                     AS win_end,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     AS sum_value
+            FROM events GROUP BY 1, 2, 3
         """,
         "sessionize": """
             WITH d AS (
