@@ -445,6 +445,69 @@ FROM fin GROUP BY role
 """
 
 
+def q_mv_continuous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate (operators/matview.py Bucket): a materialized
+    view grouped by ``time_bucket(3600, ts)`` — created through the SQL
+    grammar — maintained incrementally through a CoW DELETE and an eqdel
+    UPSERT. Dirty-group recomputes are scoped by the dirty buckets' time
+    range (manifest ts bounds + days(ts) partition pruning), so refreshing
+    three touched hours of a 10^12-turn table reads three hours of files.
+    The oracle recomputes the same hourly rollup from the final state."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.matview import (
+        read_view, refresh,
+    )
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.sql import run_sql
+
+    c, t, df = _make_catalog_table(spark, sf_dir, n_files=4)
+    t.set_property("write.change-data-feed.enabled", "true")
+    run_sql(c, """
+        CREATE MATERIALIZED VIEW ops.hourly AS
+        SELECT time_bucket(3600, ts) AS hour, role,
+               count(*) AS n_rows, sum(turn_idx) AS sum_turn,
+               min(turn_idx) AS min_turn, max(ts) AS last_ts
+        FROM ops.transcripts
+        GROUP BY hour, role
+    """)
+    mv = c.load_table("ops.hourly")
+    DeleteJob(t.refresh(), [("role", "=", "tool"), ("turn_idx", "<", 3)]).run()
+    r1 = refresh(mv)
+    batch = (df.filter(F.col("turn_idx") % 7 == 2)
+             .withColumn("text", F.concat(F.lit("c:"), F.col("text"))))
+    upsert(t.refresh(), batch, ["conv_id", "turn_idx"], n_files=2)
+    r2 = refresh(mv)
+    if r1.mode != "incremental" or r2.mode != "incremental":
+        raise AssertionError(
+            f"cagg refresh fell back to {r1.mode}/{r2.mode} "
+            f"({r1.fallback_reason or r2.fallback_reason})")
+    return read_view(c.load_table("ops.hourly")).select(
+        "hour", "role",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("sum_turn").cast("long").alias("sum_turn"),
+        F.col("min_turn").cast("int").alias("min_turn"),
+        "last_ts",
+    )
+
+
+_MV_CONTINUOUS_ORACLE = f"""
+WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+a AS (
+  SELECT * FROM t WHERE NOT COALESCE(role = 'tool' AND turn_idx < 3, FALSE)
+),
+fin AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts FROM a WHERE turn_idx % 7 <> 2
+  UNION ALL
+  SELECT conv_id, turn_idx, role, 'c:' || text AS text, tool, ts FROM t
+  WHERE turn_idx % 7 = 2
+)
+SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, role,
+       CAST(COUNT(*) AS BIGINT)      AS n_rows,
+       CAST(SUM(turn_idx) AS BIGINT) AS sum_turn,
+       CAST(MIN(turn_idx) AS INT)    AS min_turn,
+       MAX(ts)                       AS last_ts
+FROM fin GROUP BY 1, 2
+"""
+
+
 def q_sql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT through the SQL dialect over a catalog table
     (sql.py:_run_select): the FROM clause resolves to the table's
@@ -1604,6 +1667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintain_merge": q_maintain_merge,
         "sql_merge_into": q_sql_merge_into,
         "mv_incremental": q_mv_incremental,
+        "mv_continuous": q_mv_continuous,
         "sql_merge_conditional": q_sql_merge_conditional,
         "sql_select": q_sql_select,
         "sql_agg_meta": q_sql_agg_meta,
@@ -1675,6 +1739,7 @@ def oracle_sql() -> dict[str, str]:
         "maintain_merge": _MERGE_ORACLE,
         "sql_merge_into": _SQL_MERGE_ORACLE,
         "mv_incremental": _MV_INCREMENTAL_ORACLE,
+        "mv_continuous": _MV_CONTINUOUS_ORACLE,
         "sql_merge_conditional": _SQL_MERGE_COND_ORACLE,
         "sql_select": _SQL_SELECT_ORACLE,
         "sql_agg_meta": _SQL_AGG_META_ORACLE,

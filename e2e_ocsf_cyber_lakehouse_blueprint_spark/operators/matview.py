@@ -101,12 +101,31 @@ class Agg:
 
 
 @dataclass(frozen=True)
+class Bucket:
+    """A derived time-bucket group key: ``time_bucket(seconds, col) AS
+    alias`` — the continuous-aggregate (hypertable rollup) shape. The alias
+    participates in ``group_keys`` like any column; every source/feed row
+    derives it as the epoch-aligned ``window(col).start`` (same bucketing as
+    streaming/window_agg.py, so batch rollup == streaming windows)."""
+
+    alias: str
+    col: str
+    seconds: int
+
+
+@dataclass(frozen=True)
 class MatViewDefn:
-    """GROUP BY ``group_keys`` + ``aggs`` over ``source WHERE filter``."""
+    """GROUP BY ``group_keys`` + ``aggs`` over ``source WHERE filter``.
+
+    ``buckets`` makes the view a continuous aggregate: dirty-group
+    recomputes are then scoped by the dirty buckets' TIME RANGE, which
+    manifest bounds and ``days(ts)`` partition pruning turn into a scan of
+    just the touched hours — never the 10^12-turn table."""
 
     group_keys: tuple[str, ...]
     aggs: tuple[Agg, ...]
     filter: str | None = None
+    buckets: tuple[Bucket, ...] = ()
 
     def to_json(self) -> str:
         return json.dumps({
@@ -114,6 +133,8 @@ class MatViewDefn:
             "aggs": [{"fn": a.fn, "col": a.col, "alias": a.alias}
                      for a in self.aggs],
             "filter": self.filter,
+            "buckets": [{"alias": b.alias, "col": b.col,
+                         "seconds": b.seconds} for b in self.buckets],
         })
 
     @staticmethod
@@ -123,6 +144,8 @@ class MatViewDefn:
             group_keys=tuple(d["group_keys"]),
             aggs=tuple(Agg(a["fn"], a["col"], a["alias"]) for a in d["aggs"]),
             filter=d.get("filter"),
+            buckets=tuple(Bucket(b["alias"], b["col"], b["seconds"])
+                          for b in d.get("buckets", ())),
         )
 
     def validate(self, source_schema) -> None:
@@ -130,9 +153,29 @@ class MatViewDefn:
             raise ValueError("materialized view needs at least one group key")
         names = {f.name for f in source_schema.fields}
         types = {f.name: f.dataType.simpleString() for f in source_schema.fields}
+        if len(self.buckets) > 1:
+            # Spark allows one time-window expression per projection
+            raise ValueError("at most one time_bucket key per view")
+        bucket_aliases = set()
+        for b in self.buckets:
+            if b.col not in names:
+                raise ValueError(f"time_bucket column {b.col!r} not in source")
+            if not types[b.col].startswith("timestamp"):
+                raise ValueError(
+                    f"time_bucket({b.col}) needs a timestamp column, "
+                    f"got {types[b.col]}")
+            if b.seconds <= 0:
+                raise ValueError("time_bucket width must be positive")
+            if b.alias in names:
+                raise ValueError(
+                    f"time_bucket alias {b.alias!r} shadows a source column")
+            if b.alias not in self.group_keys:
+                raise ValueError(
+                    f"time_bucket alias {b.alias!r} must be a group key")
+            bucket_aliases.add(b.alias)
         seen: set[str] = set(self.group_keys)
         for k in self.group_keys:
-            if k not in names:
+            if k not in names and k not in bucket_aliases:
                 raise ValueError(f"group key {k!r} not in source schema")
         for a in self.aggs:
             if a.fn not in _FNS:
@@ -209,8 +252,20 @@ def user_columns(defn: MatViewDefn) -> list[str]:
     return [*defn.group_keys, *[a.alias for a in defn.aggs]]
 
 
+def derive_keys(df: DataFrame, defn: MatViewDefn) -> DataFrame:
+    """Add the derived time-bucket key columns to source/feed rows
+    (idempotent — a column already present is left as-is)."""
+    for b in defn.buckets:
+        if b.alias not in df.columns:
+            df = df.withColumn(
+                b.alias,
+                F.window(F.col(b.col), f"{b.seconds} seconds")["start"])
+    return df
+
+
 def full_state(df: DataFrame, defn: MatViewDefn) -> DataFrame:
     """Aggregate ``df`` (already filtered) into view-state rows."""
+    df = derive_keys(df, defn)
     exprs: list[Column] = [F.count(F.lit(1)).alias(ROWS_COL)]
     for a in defn.aggs:
         x = F.col(a.col) if a.col else None
@@ -254,6 +309,34 @@ def _in_pruning_predicates(df: DataFrame, col: str,
     vals = [r[col] for r in df.select(col).distinct().limit(cap + 1).collect()]
     if 0 < len(vals) <= cap and all(v is not None for v in vals):
         return [(col, "in", vals)]
+    return None
+
+
+def _dirty_scan_predicates(dirty: DataFrame, defn: MatViewDefn) -> list | None:
+    """Source-pruning predicates for the dirty-group recompute scan.
+
+    A continuous aggregate's best lever is the dirty BUCKETS' time range:
+    ``col >= min_bucket AND col < max_bucket + width`` hits manifest ts
+    bounds and ``days(ts)`` partition pruning, so recomputing three dirty
+    hours of a 10^12-turn table reads three hours of files. Views without a
+    bucket key keep the IN-list pushdown on the first group key."""
+    for b in defn.buckets:
+        row = dirty.agg(F.min(b.alias).alias("lo"),
+                        F.max(b.alias).alias("hi")).collect()[0]
+        if row["lo"] is None:
+            continue
+        import datetime as _dt
+
+        hi = row["hi"] + _dt.timedelta(seconds=b.seconds)
+        fmt = "%Y-%m-%d %H:%M:%S"
+        # string literals: comparable against both timestamp flavors, and
+        # against the manifests' string-encoded bounds
+        return [(b.col, ">=", row["lo"].strftime(fmt)),
+                (b.col, "<", hi.strftime(fmt))]
+    bucket_aliases = {b.alias for b in defn.buckets}
+    for k in defn.group_keys:
+        if k not in bucket_aliases:
+            return _in_pruning_predicates(dirty, k)
     return None
 
 
@@ -408,7 +491,7 @@ def _dirty_from_eqdel(source: Table, defn: MatViewDefn, snap, eq_cols,
         hit = pre.join(F.broadcast(keys), cond, "left_semi")
         if defn.filter:
             hit = hit.filter(defn.filter)
-        hit = hit.select(*defn.group_keys)
+        hit = derive_keys(hit, defn).select(*defn.group_keys)
     return (hit.withColumn(GK_COL, _gk(defn.group_keys))
             .select(GK_COL, *defn.group_keys).distinct())
 
@@ -426,6 +509,7 @@ def _incremental_refresh(mv: Table, source: Table, defn: MatViewDefn,
                               & (F.col(CHANGE_TYPE_COL) == "delete")))
     if defn.filter:
         arith = arith.filter(defn.filter)
+    arith = derive_keys(arith, defn)
     w = (F.when(F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage"),
                 F.lit(1)).otherwise(F.lit(-1)))
 
@@ -541,12 +625,13 @@ def _incremental_refresh(mv: Table, source: Table, defn: MatViewDefn,
         # blooms prune the scan to the touched files; the semi-join stays
         # for exactness either way
         src_scan = source.scan(
-            predicates=_in_pruning_predicates(dirty_full, defn.group_keys[0]),
+            predicates=_dirty_scan_predicates(dirty_full, defn),
             snapshot_id=cur)
         if defn.filter:
             src_scan = src_scan.filter(defn.filter)
         recomputed = full_state(
-            src_scan.withColumn(GK_COL, _gk(defn.group_keys))
+            derive_keys(src_scan, defn)
+            .withColumn(GK_COL, _gk(defn.group_keys))
             .join(dirty, GK_COL, "left_semi").drop(GK_COL),
             defn)
         write_rows = updated.unionByName(recomputed)

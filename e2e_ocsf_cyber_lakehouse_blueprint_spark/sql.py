@@ -500,24 +500,34 @@ _MV_AGG_RE = re.compile(
     r"\s*\(\s*(?P<arg>\*|[\w$]+)\s*\)\s+"
     r"AS\s+(?P<alias>[\w$]+)\s*$", re.IGNORECASE)
 
+_MV_BUCKET_RE = re.compile(
+    r"time_bucket\s*\(\s*(?P<n>\d+)\s*,\s*(?P<col>[\w$]+)\s*\)\s+"
+    r"AS\s+(?P<alias>[\w$]+)\s*$", re.IGNORECASE)
+
 
 def _parse_matview_defn(select: str, keys: str, where: str | None):
     """``SELECT k1, fn(col) AS a, ... GROUP BY k1`` -> MatViewDefn. Bare
     select items must be group keys; every aggregate needs an alias (the
-    view's physical column name)."""
-    from .operators.matview import Agg, MatViewDefn
+    view's physical column name). ``time_bucket(seconds, ts_col) AS alias``
+    declares a continuous-aggregate bucket key — reference the ALIAS in
+    GROUP BY."""
+    from .operators.matview import Agg, Bucket, MatViewDefn
 
     group_keys = tuple(_cols(keys))
-    aggs = []
+    aggs, buckets = [], []
     for item in _split_top_level(select):
         item = item.strip()
         am = _MV_AGG_RE.match(item)
+        bm = _MV_BUCKET_RE.match(item)
         if am:
             fn, arg = am.group("fn").lower(), am.group("arg")
             aggs.append(Agg("count_star" if (fn, arg) == ("count", "*")
                             else fn,
                             None if arg == "*" else arg,
                             am.group("alias")))
+        elif bm:
+            buckets.append(Bucket(bm.group("alias"), bm.group("col"),
+                                  int(bm.group("n"))))
         elif re.match(r"[\w$]+$", item):
             if item not in group_keys:
                 raise ValueError(
@@ -525,10 +535,12 @@ def _parse_matview_defn(select: str, keys: str, where: str | None):
                     "an aggregate nor a GROUP BY key")
         else:
             raise ValueError(
-                "materialized-view select items must be group keys or "
+                "materialized-view select items must be group keys, "
+                "time_bucket(seconds, col) AS alias, or "
                 f"count|sum|min|max|avg(col) AS alias, got: {item!r}")
     return MatViewDefn(group_keys=group_keys, aggs=tuple(aggs),
-                       filter=where.strip() if where else None)
+                       filter=where.strip() if where else None,
+                       buckets=tuple(buckets))
 
 
 def _dispatch_catalog(action: str, catalog: Catalog, m: re.Match) -> Any:
