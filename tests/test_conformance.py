@@ -58,10 +58,19 @@ ALL_OPS = ["append", "compact", "cluster", "merge", "expire", "restore",
            "delete_eq", "upsert"]
 
 
-def _run_sequence(spark, tmp_path, seed, seq_builder, cdf=False):
+def _run_sequence(spark, tmp_path, seed, seq_builder, cdf=False, mv_defn=None):
     """Shared conformance driver: build a table, apply the op sequence from
     ``seq_builder(rng)``, and assert scan == step-maintained oracle after
-    EVERY op."""
+    EVERY op. Two standing invariants ride along:
+
+    - metadata-only aggregation (plans/agg_pushdown.py): whenever the fast
+      path claims COUNT(*), its manifest-derived answer must equal the
+      oracle's row count — at every step, against whatever delete/restore/
+      evolution state the sequence has produced.
+    - with ``mv_defn``: a materialized view (continuous aggregate when the
+      defn has a bucket) is refreshed after every op and must equal a
+      from-scratch aggregate of the oracle — incremental where the change
+      feed allows, full-fallback across replace/restore windows."""
     rng = random.Random(seed)
     base = generate_transcripts(
         spark, n_convs=60, hot_convs=2, hot_turns=80, span_days=6, seed=seed
@@ -76,6 +85,13 @@ def _run_sequence(spark, tmp_path, seed, seq_builder, cdf=False):
     )
     t.set_cluster_keys(["conv_id"])
     t.append(base, n_files=3)
+    mv = None
+    if mv_defn is not None:
+        from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.matview import (
+            create_materialized_view_table,
+        )
+        mv = create_materialized_view_table(
+            spark, str(tmp_path / "mv"), t, mv_defn)
     oracle = base
     # oracle state per snapshot id, for restore targets
     hist = {t.current_snapshot().snapshot_id: oracle}
@@ -210,6 +226,31 @@ def _run_sequence(spark, tmp_path, seed, seq_builder, cdf=False):
         want = rows(oracle)
         assert got == want, f"divergence after step {step} ({op}) in {seq}"
 
+        from e2e_ocsf_cyber_lakehouse_blueprint_spark.plans.agg_pushdown import (
+            AggItem, metadata_agg,
+        )
+        fast = metadata_agg(t, [AggItem("count_star", None, "n")])
+        if fast is not None:
+            n = fast.collect()[0]["n"]
+            assert n == len(want), \
+                f"metadata COUNT(*) {n} != oracle {len(want)} after " \
+                f"step {step} ({op}) in {seq}"
+
+        if mv is not None:
+            from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.matview import (
+                full_state, read_view, refresh, user_columns,
+            )
+            refresh(mv)
+            cols = user_columns(mv_defn)
+            got_v = sorted(
+                (tuple(r[c] for c in cols)
+                 for r in read_view(mv.refresh()).collect()), key=str)
+            want_v = sorted(
+                (tuple(r[c] for c in cols)
+                 for r in full_state(oracle, mv_defn).collect()), key=str)
+            assert got_v == want_v, \
+                f"matview divergence after step {step} ({op}) in {seq}"
+
     # final: live files on disk, every snapshot scannable, ledgers consistent
     for f in t.live_data_files():
         import os
@@ -244,6 +285,30 @@ def test_eqdel_evolution_branch_combined(spark, tmp_path, seed):
         return seq
 
     _run_sequence(spark, tmp_path, seed, build, cdf=False)
+
+
+@pytest.mark.parametrize("seed", [13, 29])
+def test_cagg_follows_random_sequence(spark, tmp_path, seed):
+    """A continuous aggregate (time-bucket materialized view) refreshed
+    after EVERY op of a random maintenance sequence must always equal a
+    from-scratch rollup of the oracle — incremental refreshes across
+    appends/deletes/upserts, full-refresh fallbacks across compaction/
+    clustering/restore windows, eqdel parent-snapshot bucket derivation.
+    The per-step metadata-COUNT invariant rides along for free."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.matview import (
+        Agg, Bucket, MatViewDefn,
+    )
+
+    defn = MatViewDefn(
+        group_keys=("hour", "role"),
+        aggs=(Agg("count_star", None, "n_rows"),
+              Agg("sum", "turn_idx", "sum_turn"),
+              Agg("max", "ts", "last_ts")),
+        buckets=(Bucket("hour", "ts", 7200),),
+    )
+    _run_sequence(spark, tmp_path, seed,
+                  lambda rng: [rng.choice(ALL_OPS) for _ in range(8)],
+                  cdf=True, mv_defn=defn)
 
 
 def test_distributed_checksum_equivalence(spark, tmp_path):
