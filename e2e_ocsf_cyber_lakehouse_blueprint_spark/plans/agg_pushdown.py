@@ -112,9 +112,14 @@ def metadata_agg(
         if predicates or any(it.fn != "count_star" for it in items):
             return None
         total = sum(f.record_count for f in files)
+        # live-path restriction via a broadcast semi-join, not a giant
+        # isin literal — at 10^5+ files an IN expression tree chokes
+        # codegen while a metadata-sized build side broadcasts fine
+        live = table.spark.createDataFrame(
+            [(p,) for p in paths], "file_path string")
         masked = (
             table.spark.read.parquet(*[d.path for d in hit_dels])
-            .filter(F.col("file_path").isin(list(paths)))
+            .join(F.broadcast(live), "file_path", "left_semi")
             .select("file_path", "pos").distinct().count()
         )
         row = [tuple(total - masked for _ in items)]
