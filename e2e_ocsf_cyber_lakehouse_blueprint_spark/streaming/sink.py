@@ -26,6 +26,12 @@ Scale shape: the sink adds zero plan nodes to the streaming query — the
 batch DataFrame goes straight into the table's ordinary write path
 (target-size splits, stats harvest, optimistic commit), and the marker
 check is a driver-side walk of the snapshot summaries.
+
+Marker retention: snapshot expiration can discard the snapshots carrying
+old markers, but Spark's streaming checkpoint only ever replays the LAST
+unacknowledged epoch, which is always newer than anything expiration may
+retire (expire keeps the most recent snapshots) — so dedup never depends
+on markers older than the streaming checkpoint itself.
 """
 
 from __future__ import annotations
