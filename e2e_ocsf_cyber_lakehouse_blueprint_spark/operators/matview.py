@@ -634,9 +634,13 @@ def _incremental_refresh(mv: Table, source: Table, defn: MatViewDefn,
             .withColumn(GK_COL, _gk(defn.group_keys))
             .join(dirty, GK_COL, "left_semi").drop(GK_COL),
             defn)
-        write_rows = updated.unionByName(recomputed)
+        # persist both frames the commit reads twice (emptiness probe, then
+        # write): without this the dirty-group source scan and the feed
+        # arithmetic re-run per action — at bench scale that alone makes the
+        # incremental path slower than a full rebuild
+        write_rows = updated.unionByName(recomputed).persist()
         all_keys = (j.select(GK_COL).unionByName(dirty.select(GK_COL))
-                    .distinct())
+                    .distinct().persist())
 
         if all_keys.isEmpty():
             # window held only layout/no-op commits — nothing to commit; the
@@ -664,7 +668,7 @@ def _incremental_refresh(mv: Table, source: Table, defn: MatViewDefn,
             elapsed_sec=time.time() - t0)
     finally:
         j.unpersist()
-        try:
-            dirty_full.unpersist()
-        except NameError:  # pragma: no cover
-            pass
+        for name in ("dirty_full", "write_rows", "all_keys"):
+            df = locals().get(name)
+            if df is not None:
+                df.unpersist()
