@@ -234,6 +234,21 @@ def test_fallback_full_refresh_when_cdf_off(cat, base):
     assert_view_current(mv, src)
 
 
+def test_fallback_full_refresh_on_restore_in_window(cat, base):
+    # RESTORE rewinds visible rows without change files; the feed raises for
+    # the unknown-op snapshot and the refresh must fall back to a full
+    # recompute of the restored state — never a wrong incremental apply
+    src = make_source(cat, base)
+    mv = create_materialized_view(cat, "default.mvr", "default.src", DEFN)
+    keep = src.current_snapshot().snapshot_id
+    src.append(base.limit(80), n_files=1)
+    src.restore(keep)
+    res = refresh(mv)
+    assert res.mode == "full"
+    assert res.fallback_reason and "restore" in res.fallback_reason
+    assert_view_current(mv, src)
+
+
 def test_full_refresh_requested(cat, base):
     src = make_source(cat, base)
     mv = create_materialized_view(cat, "default.mv7", "default.src", DEFN)
