@@ -122,6 +122,13 @@ def run_maintenance(
     else:
         compaction = CompactionJob(table, max_concurrency=max_concurrency).run()
 
+    # refresh dependent views BEFORE expiration: the view pointer references
+    # a source snapshot in the feed window, and expiring it first would
+    # demote every refresh in this pass to a full recompute (the fallback is
+    # correct but O(source), not O(changes))
+    views = (refresh_dependent_views(catalog, table)
+             if catalog is not None else None)
+
     expiration = None
     keep_last = table.property_int("maintenance.expire.keep-last", 3)
     if keep_last > 0:
@@ -157,9 +164,6 @@ def run_maintenance(
     if max_dv > 0 and n_delete_files > max_dv:
         from .rewrite_deletes import RewriteDeletesJob
         rewrite_deletes = RewriteDeletesJob(table).run()
-
-    views = (refresh_dependent_views(catalog, table)
-             if catalog is not None else None)
 
     return MaintenanceResult(
         compaction=compaction,

@@ -334,6 +334,25 @@ def test_maintain_refreshes_dependent_views(cat, base):
     assert_view_current(mv, src)
 
 
+def test_maintain_refreshes_views_before_expiring_snapshots(cat, base):
+    """Aggressive retention must not demote view refreshes to full rebuilds:
+    MAINTAIN refreshes dependent views BEFORE snapshot expiration, while the
+    view pointer's feed window is still resolvable."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.sql import run_sql
+
+    src = make_source(cat, base)
+    src.set_property("maintenance.expire.keep-last", "1")
+    mv = create_materialized_view(cat, "default.mv11", "default.src", DEFN)
+    # pointer falls several snapshots behind; keep-last=1 would expire it
+    src.append(base.filter(F.col("turn_idx") == 0), n_files=1)
+    src.append(base.filter(F.col("turn_idx") == 1), n_files=1)
+    res = run_sql(cat, "MAINTAIN default.src")
+    assert res.expiration is not None and res.expiration.expired_snapshot_ids
+    assert res.views_refreshed[0][1].mode == "incremental", \
+        res.views_refreshed[0][1].fallback_reason
+    assert_view_current(mv, src)
+
+
 def test_in_pruning_predicates(spark):
     from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.matview import (
         _in_pruning_predicates,
