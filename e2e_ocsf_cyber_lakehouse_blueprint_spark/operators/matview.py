@@ -380,11 +380,9 @@ def create_materialized_view(
 
     The view is an ordinary engine table (scans, DESCRIBE, time travel all
     work); ``mv.*`` properties carry the definition and source binding."""
-    if catalog.table_exists(name):
-        raise ValueError(f"table {name} already exists")
     source = catalog.load_table(source_name)
     return create_materialized_view_table(
-        catalog.spark, catalog._loc(name), source, defn,
+        catalog.spark, catalog.location_for_new(name), source, defn,
         properties=properties)
 
 

@@ -111,6 +111,10 @@ table-maintenance statements the engine owns:
     REFRESH MATERIALIZED VIEW <db.mv> [FULL]
     INSERT INTO <tbl> SELECT ...
     DROP TABLE [IF EXISTS] <db.tbl>
+    ALTER TABLE <db.tbl> RENAME TO <db.new>
+        O(1) catalog-metadata rename at any table size: manifests carry
+        absolute data-file paths, so the physical location never moves —
+        the logical name is catalog state (format/catalog.py indirection)
     SHOW TABLES [IN <db>]
     DESCRIBE DETAIL <tbl>
     SELECT ... | WITH ... SELECT ...
@@ -475,6 +479,9 @@ _CATALOG_STATEMENTS: list[tuple[re.Pattern, str]] = [
     (re.compile(
         rf"DROP\s+TABLE\s+(?P<if_exists>IF\s+EXISTS\s+)?(?P<tbl>{_ID})\s*;?\s*$",
         re.IGNORECASE), "drop_table"),
+    (re.compile(  # catalog-level: the name changes, the location never does
+        rf"ALTER\s+TABLE\s+(?P<tbl>{_ID})\s+RENAME\s+TO\s+(?P<new>{_ID})\s*;?\s*$",
+        re.IGNORECASE), "rename_table"),
     (re.compile(
         r"SHOW\s+TABLES(?:\s+IN\s+(?P<db>[\w$-]+))?\s*;?\s*$",
         re.IGNORECASE), "show_tables"),
@@ -561,8 +568,11 @@ def _dispatch_catalog(action: str, catalog: Catalog, m: re.Match) -> Any:
             kw["as_of_timestamp_ms"] = _parse_sql_timestamp_ms(m.group("ts"))
         elif m.group("ref"):
             kw["ref"] = m.group("ref")
-        return clone_table(src, catalog._loc(name),
+        return clone_table(src, catalog.location_for_new(name),
                            deep=m.group("depth").upper() == "DEEP", **kw)
+    if action == "rename_table":
+        catalog.rename_table(m.group("tbl"), m.group("new"))
+        return None
     if action == "copy_into":
         from .operators.copy_into import copy_into
 

@@ -872,3 +872,46 @@ def test_merge_extended_writes_change_feed(cat):
     pre = feed.filter("_change_type = 'update_preimage'")
     assert {r["role"] for r in pre.select("role").distinct().collect()} \
         == {"user"}  # ONLY condition-met rows have change records
+
+
+def test_rename_table_is_catalog_metadata_only(cat):
+    c, df = cat
+    t = c.load_table("ops.transcripts")
+    rows, loc = _rows(t), t.location
+    run_sql(c, "ALTER TABLE ops.transcripts RENAME TO ops.conversations")
+    # old name gone, new name resolves to the SAME physical location
+    assert not c.table_exists("ops.transcripts")
+    assert c.table_exists("ops.conversations")
+    renamed = c.load_table("ops.conversations")
+    assert renamed.location == loc  # zero bytes moved
+    assert _rows(renamed) == rows
+    assert c.list_tables("ops") == ["conversations"]
+    with pytest.raises(ValueError, match="unknown table"):
+        c.load_table("ops.transcripts").scan()
+    # the renamed table keeps working end to end (write + maintenance)
+    renamed.append(df.limit(10), n_files=1)
+    run_sql(c, "OPTIMIZE ops.conversations")
+    assert renamed.refresh().scan().count() == len(rows) + 10
+
+
+def test_recreate_old_name_after_rename_never_collides(cat):
+    c, df = cat
+    run_sql(c, "ALTER TABLE ops.transcripts RENAME TO ops.conversations")
+    # re-creating the OLD name must not touch the renamed table's bytes
+    run_sql(c, "CREATE TABLE ops.transcripts (conv_id STRING, turn_idx INT, "
+               "role STRING, text STRING, tool STRING, ts TIMESTAMP)")
+    fresh = c.load_table("ops.transcripts")
+    renamed = c.load_table("ops.conversations")
+    assert fresh.location != renamed.location
+    assert fresh.scan().count() == 0
+    assert renamed.scan().count() > 0
+    assert sorted(c.list_tables("ops")) == ["conversations", "transcripts"]
+    # rename chains: a mapped name renames again without breaking resolution
+    run_sql(c, "ALTER TABLE ops.conversations RENAME TO ops.archive")
+    assert c.load_table("ops.archive").scan().count() > 0
+    assert not c.table_exists("ops.conversations")
+    with pytest.raises(ValueError, match="already exists"):
+        run_sql(c, "ALTER TABLE ops.archive RENAME TO ops.transcripts")
+    # dropping the renamed table purges its (shadowed) physical dir
+    c.drop_table("ops.archive")
+    assert sorted(c.list_tables("ops")) == ["transcripts"]
