@@ -353,6 +353,27 @@ def test_maintain_refreshes_views_before_expiring_snapshots(cat, base):
     assert_view_current(mv, src)
 
 
+def test_refresh_survives_source_table_rename(cat, base):
+    """Views bind to the source by LOCATION (mv.source-location), and a
+    catalog rename never moves bytes — so renaming the source table must
+    leave incremental refresh working untouched."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.sql import run_sql
+
+    src = make_source(cat, base)
+    mv = create_materialized_view(cat, "default.mv12", "default.src", DEFN)
+    run_sql(cat, "ALTER TABLE default.src RENAME TO default.src_renamed")
+    src = cat.load_table("default.src_renamed")
+    src.append(base.filter(F.col("turn_idx") == 0), n_files=1)
+    res = refresh(mv)
+    assert res.mode == "incremental"
+    assert_view_current(mv, src)
+    # MAINTAIN on the renamed source still discovers and refreshes the view
+    src.append(base.filter(F.col("turn_idx") == 1), n_files=1)
+    out = run_sql(cat, "MAINTAIN default.src_renamed")
+    assert out.views_refreshed and out.views_refreshed[0][0] == "default.mv12"
+    assert_view_current(mv, src)
+
+
 def test_in_pruning_predicates(spark):
     from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.matview import (
         _in_pruning_predicates,
