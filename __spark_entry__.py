@@ -692,6 +692,46 @@ FROM t WHERE turn_idx >= 0
 """
 
 
+def q_rename_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ... RENAME TO (format/catalog.py rename_table via sql.py):
+    O(1) catalog-metadata rename — manifests carry absolute paths, so zero
+    bytes move. Half the rows are written under the old name, the table is
+    renamed, the other half lands through the NEW name, then OPTIMIZE runs
+    against the new name (maintenance follows the rename); the old name must
+    no longer resolve and the renamed scan must carry every era's rows."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.catalog import Catalog
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.sql import run_sql
+
+    tune_session(spark)
+    df = transcripts_from_events(spark, sf_dir)
+    c = Catalog(spark, tempfile.mkdtemp(prefix="sqlwh-"))
+    c.create_database("ops")
+    t = c.create_table(
+        "ops.transcripts",
+        T.StructType.fromDDL(
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp_ntz"),
+        PartitionSpec.of(days("ts_day", "ts")),
+        properties={"write.target-file-size-bytes": str(8 * 1024 * 1024),
+                    "stats.columns": "conv_id,turn_idx,ts"},
+    )
+    t.append(df.filter(F.col("turn_idx") % 2 == 0), n_files=4)
+    run_sql(c, "ALTER TABLE ops.transcripts RENAME TO ops.conversations")
+    assert not c.table_exists("ops.transcripts")
+    t2 = c.load_table("ops.conversations")
+    assert t2.location == t.location  # zero bytes moved
+    t2.append(df.filter(F.col("turn_idx") % 2 == 1), n_files=4)
+    run_sql(c, "OPTIMIZE ops.conversations")
+    return c.load_table("ops.conversations").scan(
+        columns=["conv_id", "turn_idx", "role", "text", "ts"])
+
+
+_RENAME_TABLE_ORACLE = f"""
+WITH t AS ({TRANSCRIPTS_FROM_EVENTS_SQL})
+SELECT conv_id, turn_idx, role, text, ts FROM t
+"""
+
+
 def q_widen_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALTER TABLE ALTER COLUMN ... TYPE (format/table.py widen_column via
     sql.py): metadata-only lossless type widening across file eras. Half the
@@ -1674,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_ctas": q_sql_ctas,
         "schema_evolution": q_schema_evolution,
         "rename_column": q_rename_column,
+        "rename_table": q_rename_table,
         "widen_column": q_widen_column,
         "incremental_cluster": q_incremental_cluster,
         "maintain_delete": q_maintain_delete,
@@ -1746,6 +1787,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_ctas": _SQL_CTAS_ORACLE,
         "schema_evolution": _SCHEMA_EVOLUTION_ORACLE,
         "rename_column": _RENAME_COLUMN_ORACLE,
+        "rename_table": _RENAME_TABLE_ORACLE,
         "widen_column": _WIDEN_COLUMN_ORACLE,
         "incremental_cluster": _MAINT_ORACLE,
         "maintain_delete": _DELETE_ORACLE,
