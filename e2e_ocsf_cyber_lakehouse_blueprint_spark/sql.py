@@ -40,6 +40,10 @@ table-maintenance statements the engine owns:
     UPDATE <tbl> SET col = <sql-expr>[, ...] [WHERE <conjunction>]
         right-hand sides are Spark SQL expressions over the OLD row values
     VACUUM <tbl> [RETAIN <n> HOURS]
+        retention-duration check (Delta semantics): RETAIN below
+        'vacuum.min-retention-hours' (default 168) is refused unless
+        'vacuum.retention-check.enabled'='false'; bare VACUUM uses the
+        minimum as its grace period
     EXPIRE SNAPSHOTS <tbl> [OLDER THAN '<iso-ts>'] [KEEP LAST <n>]
         age-based snapshot retention (Iceberg expire_snapshots): only
         snapshots committed before the cutoff expire; KEEP LAST (default 3)
@@ -988,7 +992,27 @@ def _dispatch(action: str, table: Table, m: re.Match,
                 suggest_shuffle_partitions(table, preds),
         }
     if action == "vacuum":
-        hours = float(m.group("hours") or 0)
+        # Delta's retention-duration check: deleting orphans younger than the
+        # retention window can break in-flight readers and streaming sources
+        # pinned to recent snapshots, so short RETAIN values are refused
+        # unless the table explicitly opts out (the
+        # spark.databricks.delta.retentionDurationCheck.enabled analogue)
+        min_hours = float(table.meta.properties.get(
+            "vacuum.min-retention-hours", "168"))
+        check = table.meta.properties.get(
+            "vacuum.retention-check.enabled", "true") != "false"
+        if m.group("hours") is None:
+            hours = min_hours
+        else:
+            hours = float(m.group("hours"))
+            if check and hours < min_hours:
+                raise ValueError(
+                    f"VACUUM RETAIN {hours:g} HOURS is below the minimum "
+                    f"retention ({min_hours:g}h): files younger than the "
+                    "window may still be referenced by in-flight readers or "
+                    "streaming checkpoints. Raise RETAIN, lower "
+                    "'vacuum.min-retention-hours', or set "
+                    "'vacuum.retention-check.enabled'='false' on the table.")
         return ExpireSnapshotsJob(
             table, grace_period_sec=hours * 3600.0
         ).run()

@@ -65,10 +65,34 @@ def test_vacuum_retain_hours(cat, tmp_path):
     t = c.load_table("ops.transcripts")
     run_sql(c, "OPTIMIZE ops.transcripts")
     run_sql(c, "OPTIMIZE ops.transcripts ZORDER BY (conv_id)")
+    # Delta retention-duration check: a sub-minimum RETAIN is refused until
+    # the table opts out (in-flight readers may still reference the files)
+    with pytest.raises(ValueError, match="below the minimum retention"):
+        run_sql(c, "VACUUM ops.transcripts RETAIN 0 HOURS")
+    t.set_property("vacuum.retention-check.enabled", "false")
     res = run_sql(c, "VACUUM ops.transcripts RETAIN 0 HOURS")
     assert res.expired_snapshot_ids
     t.refresh()
     assert len(t.snapshots) <= 4  # keep_last(3) + expire marker
+
+
+def test_vacuum_default_retention_protects_fresh_orphans(cat, tmp_path):
+    import os
+
+    c, _ = cat
+    t = c.load_table("ops.transcripts")
+    # a freshly-written uncommitted file (simulated crashed writer) survives
+    # a default VACUUM: its mtime is inside the 168h retention window
+    stray = os.path.join(t.location, "data", "stray-inflight.parquet")
+    os.makedirs(os.path.dirname(stray), exist_ok=True)
+    with open(stray, "wb") as f:
+        f.write(b"PAR1crashed-writer-bytesPAR1")
+    run_sql(c, "VACUUM ops.transcripts")
+    assert os.path.exists(stray)
+    # lowering the floor via the property makes the same statement delete it
+    t.set_property("vacuum.min-retention-hours", "0")
+    run_sql(c, "VACUUM ops.transcripts")
+    assert not os.path.exists(stray)
 
 
 def test_restore_version_and_timestamp(cat):
