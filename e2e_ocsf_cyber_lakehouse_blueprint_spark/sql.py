@@ -120,6 +120,7 @@ table-maintenance statements the engine owns:
         absolute data-file paths, so the physical location never moves —
         the logical name is catalog state (format/catalog.py indirection)
     SHOW TABLES [IN <db>]
+    SHOW TBLPROPERTIES <tbl> [('key')]
     DESCRIBE DETAIL <tbl>
     SELECT ... | WITH ... SELECT ...
         every FROM/JOIN reference to a catalog table — optionally with
@@ -492,6 +493,10 @@ _CATALOG_STATEMENTS: list[tuple[re.Pattern, str]] = [
     (re.compile(
         rf"DESCRIBE\s+DETAIL\s+(?P<tbl>{_ID})\s*;?\s*$",
         re.IGNORECASE), "describe_detail"),
+    (re.compile(
+        rf"SHOW\s+TBLPROPERTIES\s+(?P<tbl>{_ID})"
+        rf"(?:\s*\(\s*'(?P<key>[^']+)'\s*\))?\s*;?\s*$",
+        re.IGNORECASE), "show_tblproperties"),
 ]
 
 
@@ -645,6 +650,15 @@ def _dispatch_catalog(action: str, catalog: Catalog, m: re.Match) -> Any:
         return catalog.list_tables(m.group("db") or "default")
     if action == "describe_detail":
         return catalog.load_table(m.group("tbl")).describe()
+    if action == "show_tblproperties":
+        props = catalog.load_table(m.group("tbl")).meta.properties
+        key = m.group("key")
+        if key is not None:
+            if key not in props:
+                raise ValueError(f"property {key!r} not set on "
+                                 f"{m.group('tbl')}")
+            return {key: props[key]}
+        return dict(sorted(props.items()))
     raise AssertionError(action)
 
 

@@ -939,3 +939,16 @@ def test_recreate_old_name_after_rename_never_collides(cat):
     # dropping the renamed table purges its (shadowed) physical dir
     c.drop_table("ops.archive")
     assert sorted(c.list_tables("ops")) == ["transcripts"]
+
+
+def test_show_tblproperties(cat):
+    c, _ = cat
+    t = c.load_table("ops.transcripts")
+    t.set_property("custom.owner", "ops-team")
+    props = run_sql(c, "SHOW TBLPROPERTIES ops.transcripts")
+    assert props["custom.owner"] == "ops-team"
+    assert props["write.target-file-size-bytes"] == str(256 * 1024)
+    one = run_sql(c, "SHOW TBLPROPERTIES ops.transcripts ('custom.owner')")
+    assert one == {"custom.owner": "ops-team"}
+    with pytest.raises(ValueError, match="not set"):
+        run_sql(c, "SHOW TBLPROPERTIES ops.transcripts ('nope')")
