@@ -338,15 +338,25 @@ def simhash_chunk_layout(max_hamming: int) -> list[tuple[int, int]]:
 
 def simhash_candidates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    max_hamming: int = 3,
+    max_hamming: int = 3, max_bucket: int = 10_000,
 ) -> DataFrame:
-    """Near-dup pairs (id_a < id_b, hamming <= max_hamming), complete.
+    """Near-dup pairs (id_a < id_b, hamming <= max_hamming), complete up to
+    the hot-bucket cap.
 
     Candidate generation bands the signature into ``max_hamming + 1`` chunks
     (see ``simhash_chunk_layout``); any chunk-equal pair is a candidate and is
     then verified with an exact xor-popcount. Zero-word docs are excluded up
     front — they all share signature 0 and would otherwise form one degenerate
-    all-pairs bucket (the same hot-bucket guard as minhash LSH)."""
+    all-pairs bucket (the same hot-bucket guard as minhash LSH).
+
+    ``max_bucket`` bounds the self-join fan-out: a (ci, cv) chunk bucket
+    holding more than ``max_bucket`` docs (a near-identical corpus slab —
+    boilerplate-heavy crawls concentrate into one 16-bit chunk value) would
+    make one reducer expand O(b^2) pairs. The cap is a window count over the
+    same (ci, cv) keys the self-join shuffles on, so it adds no exchange;
+    docs dropped from ONE hot chunk can still pair via their other
+    ``max_hamming`` chunks, so recall degrades gracefully rather than the
+    job dying."""
     sh = (
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
         .filter(F.size(word_tokens("_t")) > 0)
@@ -364,6 +374,10 @@ def simhash_candidates(
             for i, (off, w) in enumerate(layout)
         ])).alias("c"),
     ).select("_id", "_sh", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    wc = Window.partitionBy("ci", "cv")
+    chunks = chunks.withColumn("_n", F.count("*").over(wc)).filter(
+        F.col("_n") <= max_bucket
+    ).drop("_n")
     pairs = (
         chunks.alias("a")
         .join(chunks.alias("b"),

@@ -25,7 +25,7 @@ driver's cross-engine value-hash gate (CORRECTNESS) provable.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -168,21 +168,46 @@ def lsh_pairs(
     threshold: float = 0.9,
     n_planes: int = 6,
     seed: int = 11,
+    n_tables: int = 1,
+    max_bucket: int = 20_000,
 ) -> DataFrame:
     """Near-pair search at scale: candidates share an LSH bucket (equi-join on
     the signature, never a cross product), then exact cosine >= threshold.
 
-    Same output shape as ``pairwise_cosine_knn`` (its exact O(N^2) verifier);
-    recall misses only pairs split by every hyperplane — use fewer planes or
-    multiple tables for higher recall."""
-    sig = df.select(
+    Same output shape as ``pairwise_cosine_knn`` (its exact O(N^2) verifier).
+
+    Scale guards:
+    - ``max_bucket`` caps the signature-bucket self-join fan-out with a
+      window count over the same (table, sig) keys the join shuffles on (no
+      extra exchange). With 2^n_planes buckets, a dominant embedding cluster
+      (common in dedup'd web corpora) otherwise lands thousands of vectors in
+      one bucket and a single reducer does O(b^2) pair expansion.
+    - ``n_tables`` OR-amplifies recall: each table hashes with an independent
+      hyperplane set (seed + 1000*t), candidates are unioned before the exact
+      verify. A pair split by every plane of one table, or dropped by that
+      table's hot-bucket cap, can still surface via another table. The union
+      happens BEFORE the join key, as extra (table, sig) rows — still one
+      equi-join, n_tables x the candidate rows, never a cross product."""
+    sigs = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
         norm(F.col(vec_col)).alias("_n"),
-        lsh_signature(vec_col, dim, n_planes, seed).alias("_sig"),
-    )
-    a, b = sig.alias("a"), sig.alias("b")
-    return (
-        a.join(b, (F.col("a._sig") == F.col("b._sig"))
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_signature(vec_col, dim, n_planes, seed + 1000 * t).alias("sig"),
+            )
+            for t in range(n_tables)
+        ])).alias("_s"),
+    ).select("_id", "_v", "_n",
+             F.col("_s.tbl").alias("_tbl"), F.col("_s.sig").alias("_sig"))
+    wb = Window.partitionBy("_tbl", "_sig")
+    sigs = sigs.withColumn("_bn", F.count("*").over(wb)).filter(
+        F.col("_bn") <= max_bucket
+    ).drop("_bn")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    out = (
+        a.join(b, (F.col("a._tbl") == F.col("b._tbl"))
+               & (F.col("a._sig") == F.col("b._sig"))
                & (F.col("a._id") < F.col("b._id")))
         .select(
             F.col("a._id").alias("id_a"),
@@ -193,6 +218,8 @@ def lsh_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+    # n_tables == 1 emits each pair at most once; skip the dedup exchange.
+    return out.distinct() if n_tables > 1 else out
 
 
 def embedding_dedup_survivors(

@@ -400,3 +400,61 @@ def test_ngram_jaccard_hot_shingle_df_cap(spark):
     # expands the boilerplate bucket's O(n^2) pairs
     n_cand = D.ngram_jaccard_pairs(df, threshold=0.0, max_df=50).count()
     assert n_cand <= 10  # vs ~45k all-pairs if the hot shingle joined
+
+
+def test_simhash_hot_bucket_cap(spark):
+    """A near-identical corpus slab (every doc shares every signature chunk)
+    must not make one reducer expand O(b^2) pairs: with max_bucket below the
+    slab size the hot (ci, cv) buckets are dropped, pair counts stay bounded,
+    and genuinely-distinct near-dup pairs outside the slab still surface."""
+    slab_text = "terms of service apply to every page of this website footer"
+    rows = [(i, slab_text) for i in range(400)]
+    # two distinct near-dup pairs whose chunk buckets stay sub-cap
+    rows += [(1000, "orange bicycle thunder marble quiet violet ladder"),
+             (1001, "orange bicycle thunder marble quiet violet ladder"),
+             (2000, "crimson harbor velvet anchor silent meadow lantern"),
+             (2001, "crimson harbor velvet anchor silent meadow lantern")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = D.simhash_candidates(df, max_hamming=3, max_bucket=50).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert got == {(1000, 1001), (2000, 2001)}
+    assert all(r["hamming"] == 0 for r in capped)
+
+    # default cap (10k) leaves the small slab intact: full clique recovered
+    n_all = D.simhash_candidates(df, max_hamming=3).count()
+    assert n_all == (400 * 399) // 2 + 2
+
+
+def test_lsh_pairs_hot_bucket_cap_and_multitable(spark):
+    """A dominant embedding cluster concentrating into one signature bucket
+    must not blow up the self-join: with max_bucket below the cluster size
+    its bucket is dropped while sub-cap pairs survive; n_tables>1 OR-amplifies
+    recall back (independent hyperplane sets re-bucket the survivors)."""
+    import random
+    rnd = random.Random(42)
+    base = [rnd.gauss(0, 1) for _ in range(16)]
+    rows = []
+    for i in range(300):  # dominant cluster: tiny perturbations of one vector
+        rows.append((i, [x + rnd.gauss(0, 1e-3) for x in base]))
+    # an isolated near-pair far from the cluster
+    other = [-x for x in base]
+    rows.append((1000, other))
+    rows.append((1001, [x + 1e-3 for x in other]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    capped = S.lsh_pairs(df, dim=16, threshold=0.99, n_planes=4, max_bucket=50)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(1000, 1001)}
+
+    # multi-table on real embeddings: recall(n_tables=3) >= recall(n_tables=1),
+    # still a subset of the exact verifier
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {(r["id_a"], r["id_b"])
+             for r in S.pairwise_cosine_knn(embs, threshold=0.3).collect()}
+    one = {(r["id_a"], r["id_b"])
+           for r in S.lsh_pairs(embs, dim=64, threshold=0.3, n_planes=4).collect()}
+    multi = {(r["id_a"], r["id_b"])
+             for r in S.lsh_pairs(embs, dim=64, threshold=0.3, n_planes=4,
+                                  n_tables=3).collect()}
+    assert one <= multi <= exact
