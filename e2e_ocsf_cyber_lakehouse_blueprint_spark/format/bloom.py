@@ -99,6 +99,39 @@ def _find_word(body: str, idx: int) -> int:
     return int(body[start:] if end < 0 else body[start:end], 16)
 
 
+def bloom_of_values(values, m: int = BLOOM_DEFAULT_BITS, k: int = BLOOM_K) -> str:
+    """Encoded bitset of the given string values — same hash family as the
+    harvested per-file blooms, so the result is directly comparable with
+    ``bloom_might_contain`` / ``blooms_disjoint``."""
+    words: dict[int, int] = {}
+    for v in values:
+        for pos in _positions(str(v), m, k):
+            words[pos >> 6] = words.get(pos >> 6, 0) | (1 << (pos & 63))
+    return encode_bloom(m, k, words)
+
+
+def blooms_disjoint(a: str, b: str) -> bool:
+    """True when two same-geometry bitsets PROVE their key sets share no
+    value: any shared value sets the same k positions in both (same m, k,
+    hash family), so an empty word-wise AND rules out every common key.
+    A nonempty AND (possibly bit-collision) or mismatched geometry returns
+    False — the caller must treat that conservatively. Cost is one pass
+    over the SMALLER sparse word map (an equality delete's bitset has a few
+    set words; a data file's has thousands) — pure driver-side metadata."""
+    am, ak, abody = a.split(":", 2)
+    bm, bk, bbody = b.split(":", 2)
+    if (am, ak) != (bm, bk):
+        return False
+    small, big = (abody, bbody) if len(abody) <= len(bbody) else (bbody, abody)
+    if not small:
+        return True
+    for tok in small.split(","):
+        i, w = tok.split("=")
+        if int(w, 16) & _find_word(big, int(i)):
+            return False
+    return True
+
+
 def bloom_might_contain(encoded: str, value: str) -> bool:
     m_s, k_s, body = encoded.split(":", 2)
     m, k = int(m_s), int(k_s)

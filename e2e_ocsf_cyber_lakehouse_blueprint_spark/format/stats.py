@@ -58,6 +58,22 @@ _META_PATH = "_meta_file_path"
 _META_SIZE = "_meta_file_size"
 
 
+def inputs_carry_key_stats(files) -> bool:
+    """True when any input file of a copy-on-write rewrite carries bloom
+    bitsets or derived xxh64 bounds. A map-only rewrite (delete/update/merge)
+    keeps each file's key neighborhood, so dropping those stats on the
+    outputs silently demotes point lookups on the rewritten span to
+    bounds-only pruning (wide lexical bounds on curve files prune nothing)
+    until the next clustering pass; callers pass this as
+    ``write_data_files(harvest_key_stats=...)`` to preserve stats quality
+    through the rewrite. Append-era inputs without key stats stay cheap:
+    no stats to preserve, no forced harvest."""
+    return any(
+        f.blooms or any(k.startswith("xxh64(") for k in f.lower_bounds)
+        for f in files
+    )
+
+
 def layout_hash_cols(
     hash_cols: list[str],
     bloom_cols: list[str],

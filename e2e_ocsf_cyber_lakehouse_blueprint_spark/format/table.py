@@ -31,6 +31,7 @@ from pyspark.sql import types as T
 
 from . import manifest as mf
 from . import snapshot as snap
+from .bloom import bloom_key, blooms_disjoint
 from .manifest import DataFile
 from .partition import PartitionSpec
 from .stats import harvest_file_stats, layout_bloom_cols, layout_hash_cols
@@ -44,7 +45,17 @@ def _eq_bounds_may_match(f: DataFile, d: DataFile) -> bool:
     Missing bounds or cross-type comparisons -> True (the anti-join decides).
     Safe under Iceberg-style truncated string bounds: a data file's stored
     lower bound is <= its true min and upper >= its true max, so a proven
-    disjointness only gets HARDER, never wrong."""
+    disjointness only gets HARDER, never wrong.
+
+    When both sides carry a bloom bitset for a key column (the eqdel writer
+    blooms its deleted keys for 'stats.bloom-columns'), an empty bitset
+    intersection also proves disjointness — the test that actually fires on
+    curve-layout files, whose lexical bounds are inherently wide."""
+    for c in d.eq_columns:
+        bk = bloom_key(c)
+        fb, db = f.blooms.get(bk), d.blooms.get(bk)
+        if fb and db and blooms_disjoint(fb, db):
+            return False
     for c in d.eq_columns:
         flo_s, fhi_s = f.lower_bounds.get(c), f.upper_bounds.get(c)
         dlo_s, dhi_s = d.lower_bounds.get(c), d.upper_bounds.get(c)
@@ -364,63 +375,124 @@ class Table:
         covered = set()
         for d in hit:
             covered.update(d.covered_paths)
-        dirty_files = [
-            f for f in files
-            if f.path in covered
-            or any(d.data_sequence > f.data_sequence
-                   and _eq_bounds_may_match(f, d) for d in eq_hit)
-        ]
+        # per-file applicable eqdels (sequence rule + bounds/bloom pruning);
+        # files sharing the same applicable SET are read and filtered as one
+        # group, so no per-row sequence column or non-equi join is needed —
+        # every eqdel of a group applies to every row of that group
+        eq_of: dict[str, tuple[DataFile, ...]] = {}
+        for f in files:
+            app = tuple(d for d in eq_hit
+                        if d.data_sequence > f.data_sequence
+                        and _eq_bounds_may_match(f, d))
+            if app:
+                eq_of[f.path] = app
+        dirty_files = [f for f in files if f.path in covered or f.path in eq_of]
         if not dirty_files:  # bounds pruned every candidate: pure clean path
             return self.read_parquet([f.path for f in files], schema)
-        clean = [f.path for f in files if f.path not in {x.path for x in dirty_files}]
-        raw = self.read_parquet([f.path for f in dirty_files], schema,
-                                filepos=("_fp", "_pos"))
-        out = raw
-        if hit:
-            ddf = (
-                self.spark.read.parquet(*[d.path for d in hit])
-                .select(F.col("file_path").alias("_fp"),
-                        F.col("pos").alias("_pos"))
-            )
-            out = out.join(F.broadcast(ddf), ["_fp", "_pos"], "left_anti")
-        if eq_hit:
-            # per-row commit sequence via a broadcast (path -> seq) join:
-            # metadata-sized build side, hash join with a non-equi residual —
-            # narrow, shuffle-free, scan partitioning survives (the same
-            # contract the posdel anti-join keeps)
-            seq_df = self.spark.createDataFrame(
-                [(f.path, f.data_sequence) for f in dirty_files],
-                "path string, _seq long",
-            )
-            out = out.join(F.broadcast(seq_df), out["_fp"] == seq_df["path"],
-                           "left").drop("path")
-            by_keys: dict[tuple[str, ...], list[DataFile]] = {}
-            for d in eq_hit:
-                by_keys.setdefault(tuple(d.eq_columns), []).append(d)
-            # an eqdel's key columns are recorded under the names at delete
-            # time; a later RENAME COLUMN must still match them against the
-            # CURRENT data column (the eqdel file itself keeps its old name)
-            cur_of = {o: cur for cur, olds in self.rename_map().items()
-                      for o in olds}
-            for keys, group in by_keys.items():
-                kdf = None
-                for d in group:
-                    one = (
-                        self.spark.read.parquet(d.path)
-                        .select(*[F.col(k).alias(f"_ek_{i}")
-                                  for i, k in enumerate(keys)])
-                        .withColumn("_delseq", F.lit(d.data_sequence))
+        dirty_paths = {x.path for x in dirty_files}
+        clean = [f.path for f in files if f.path not in dirty_paths]
+        # an eqdel's key columns are recorded under the names at delete
+        # time; a later RENAME COLUMN must still match them against the
+        # CURRENT data column (the eqdel file itself keeps its old name)
+        cur_of = {o: cur for cur, olds in self.rename_map().items()
+                  for o in olds}
+        eqdel_by_path = {d.path: d for d in eq_hit}
+        groups: dict[tuple[tuple[str, ...], bool], list[DataFile]] = {}
+        for f in dirty_files:
+            key = (tuple(d.path for d in eq_of.get(f.path, ())),
+                   f.path in covered)
+            groups.setdefault(key, []).append(f)
+        ddf = None
+        pieces: list[DataFrame] = []
+        for (app_paths, posdel), fs in groups.items():
+            app = tuple(eqdel_by_path[p] for p in app_paths)
+            piece = self.read_parquet(
+                [f.path for f in fs], schema,
+                filepos=("_fp", "_pos") if posdel else None)
+            if posdel:
+                if ddf is None:
+                    ddf = (
+                        self.spark.read.parquet(*[d.path for d in hit])
+                        .select(F.col("file_path").alias("_fp"),
+                                F.col("pos").alias("_pos"))
                     )
-                    kdf = one if kdf is None else kdf.unionByName(one)
-                cond = F.col("_seq") < F.col("_delseq")
-                for i, k in enumerate(keys):
-                    cond = cond & (out[cur_of.get(k, k)] == F.col(f"_ek_{i}"))
-                out = out.join(F.broadcast(kdf), cond, "left_anti")
-            out = out.drop("_seq")
-        out = out.drop("_fp", "_pos")
+                piece = (piece.join(F.broadcast(ddf), ["_fp", "_pos"],
+                                    "left_anti")
+                         .drop("_fp", "_pos"))
+            by_keys: dict[tuple[str, ...], list[DataFile]] = {}
+            for d in app:
+                by_keys.setdefault(tuple(d.eq_columns), []).append(d)
+            for keys, group in by_keys.items():
+                piece = self._apply_eqdel_group(piece, keys, group, cur_of)
+            pieces.append(piece)
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p)
         if clean:
             out = self.read_parquet(clean, schema).unionByName(out)
         return out
+
+    def _apply_eqdel_group(
+        self,
+        piece: DataFrame,
+        keys: tuple[str, ...],
+        group: list[DataFile],
+        cur_of: dict[str, str],
+    ) -> DataFrame:
+        """Drop rows of ``piece`` whose key tuple appears in the eqdel files
+        of ``group`` (all of which apply to every row of the piece).
+
+        Small key sets (the common shape between maintenance passes: a few
+        corrected conversations) inline as a literal filter expression built
+        from one driver-side pyarrow read of the metadata-sized key parquet —
+        zero Spark jobs, zero joins, whole-stage-codegen'd alongside the
+        scan. Large key sets (bulk streaming upserts) fall back to ONE
+        parquet read of the group's key files and a broadcast LEFT ANTI hash
+        join on pure key equality. NULL key tuples never match in either
+        path (SQL equality), mirroring the join semantics."""
+        inline_max = self.property_int("scan.eqdel.inline-max-keys", 1000)
+        total = sum(d.record_count for d in group)
+        cols = [cur_of.get(k, k) for k in keys]
+        if total <= inline_max:
+            tuples: set[tuple] = set()
+            for d in group:
+                tuples.update(self._eqdel_key_tuples(d, keys))
+            terms = []
+            for tup in sorted(tuples, key=repr):
+                if any(v is None for v in tup):
+                    continue
+                t = F.lit(True)
+                for c, v in zip(cols, tup):
+                    t = t & (F.col(c) == F.lit(v))
+                terms.append(t)
+            if not terms:
+                return piece
+            cond = terms[0]
+            for t in terms[1:]:
+                cond = cond | t
+            return piece.filter(~F.coalesce(cond, F.lit(False)))
+        kdf = (
+            self.spark.read.parquet(*[d.path for d in group])
+            .select(*[F.col(k).alias(f"_ek_{i}") for i, k in enumerate(keys)])
+        )
+        cond = F.lit(True)
+        for i, c in enumerate(cols):
+            cond = cond & (piece[c] == F.col(f"_ek_{i}"))
+        return piece.join(F.broadcast(kdf), cond, "left_anti")
+
+    def _eqdel_key_tuples(self, d: DataFile, keys: tuple[str, ...]) -> list[tuple]:
+        """Driver-side key tuples of one eqdel parquet (pyarrow, no Spark
+        job), cached per immutable file path."""
+        cache = getattr(self, "_eqdel_tuple_cache", None)
+        if cache is None:
+            cache = self._eqdel_tuple_cache = {}
+        got = cache.get(d.path)
+        if got is None:
+            import pyarrow.parquet as pq
+            tbl = pq.read_table(d.path, columns=list(keys))
+            got = list(zip(*(tbl.column(k).to_pylist() for k in keys)))
+            cache[d.path] = got
+        return got
 
     def deleted_row_count(
         self,
@@ -664,6 +736,7 @@ class Table:
         n_files: int | None = None,
         sort_within: Sequence[str] | None = None,
         job_tag: str = "append",
+        harvest_key_stats: bool | None = None,
     ) -> list[DataFile]:
         """Write df as data files under this table's location; return stat'd entries.
 
@@ -673,7 +746,18 @@ class Table:
         ``write.optimize-write.enabled`` table property and no explicit
         ``n_files``, the count is sized automatically from Catalyst's plan
         size estimate and the target file size.
-        """
+
+        ``harvest_key_stats`` overrides the layout-based bloom/hash harvest
+        policy (stats.layout_bloom_cols): ``True`` forces the fused key-stats
+        scan on the outputs regardless of layout. Copy-on-write rewrites
+        (delete/update/merge) pass True when their INPUT files carried
+        blooms or hash bounds — a map-only rewrite keeps each file's key
+        neighborhood, so skipping the harvest would silently demote every
+        point lookup on the rewritten span from bloom-pruned to
+        bounds-only (wide lexical bounds on curve files prune nothing)
+        until the next clustering pass. Row-delta upserts pass True because
+        their batch-sized files sit on every scan's read path until
+        MAINTAIN folds them."""
         spec = self.spec
         out = df
         if spec.fields:
@@ -695,18 +779,24 @@ class Table:
         if spec.fields:
             writer = writer.partitionBy(*spec.column_names)
         writer.parquet(staging)
-        # appends (and merge/update/upsert rewrites routed through here) are
-        # lexicographic layouts — per-file xxh64 ranges are ~full-width and
-        # never prune, so the hash harvest is skipped unless blooms already
-        # pay for the key scan (stats.layout_hash_cols; curve rewrites pass
-        # their sort spec via run_grouped_rewrites instead)
-        blooms = layout_bloom_cols(self.bloom_stat_columns(),
-                                   self.meta.properties, None)
+        # appends are lexicographic layouts — per-file xxh64 ranges are
+        # ~full-width and never prune, so the hash harvest is skipped unless
+        # blooms already pay for the key scan (stats.layout_hash_cols; curve
+        # rewrites pass their sort spec via run_grouped_rewrites instead);
+        # stats-preserving rewrites and row-delta batches force it via
+        # harvest_key_stats=True
+        if harvest_key_stats:
+            blooms = self.bloom_stat_columns()
+            hashes = self.hash_stat_columns()
+        else:
+            blooms = layout_bloom_cols(self.bloom_stat_columns(),
+                                       self.meta.properties, None)
+            hashes = layout_hash_cols(self.hash_stat_columns(), blooms,
+                                      self.meta.properties, None)
         return harvest_file_stats(
             self.spark, staging, self.schema,
             [f.name for f in spec.fields],
-            layout_hash_cols(self.hash_stat_columns(), blooms,
-                             self.meta.properties, None),
+            hashes,
             self.stat_columns(), blooms, self.bloom_bits(),
         )
 

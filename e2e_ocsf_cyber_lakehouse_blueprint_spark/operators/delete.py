@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..format.manifest import DataFile
+from ..format.stats import inputs_carry_key_stats
 from ..format.table import Table
 from ..plans.pruning import Predicate, prune_files
 from .ledger import Ledger, partition_key, spill_metrics, split_size_for_rewrites
@@ -117,10 +118,19 @@ def write_eqdel_file(table: Table, keys: "DataFrame") -> list[DataFile]:
     Per-key-column min/max bounds ride in the entry: the scan side compares
     them against each data file's stats and skips the anti-join for files
     provably outside the deleted key range — a 3-conversation delete on a
-    100 TB table marks a handful of files dirty, not all of them."""
+    100 TB table marks a handful of files dirty, not all of them.
+
+    For key columns the table blooms ('stats.bloom-columns'), a bloom bitset
+    of the DELETED key values also rides in the entry (same m/k as the data
+    files): curve-layout files have inherently wide lexical bounds, so the
+    bounds test alone marks nearly every file of the touched partitions
+    dirty — the scan side intersects the two bitsets instead (empty
+    intersection PROVES no deleted key can be in the file, see
+    ``format.table._eq_bounds_may_match``)."""
     import os
     import uuid
 
+    from ..format.bloom import harvest_blooms
     from ..format.manifest import encode_bound
 
     cols = list(keys.columns)
@@ -146,12 +156,24 @@ def write_eqdel_file(table: Table, keys: "DataFrame") -> list[DataFile]:
         if lo is not None and hi is not None:
             lower[c] = encode_bound(lo)
             upper[c] = encode_bound(hi)
+    bloom_cols = [c for c in cols if c in table.bloom_stat_columns()]
+    blooms_by_path: dict[str, dict[str, str]] = {}
+    if bloom_cols:
+        from ..format.stats import normalize_path
+        blooms_by_path = {
+            normalize_path(p): b
+            for p, b in harvest_blooms(
+                kdf.withColumn("_p", F.col("_metadata.file_path")),
+                "_p", bloom_cols, m=table.bloom_bits(),
+            ).items()
+        }
     return [
         DataFile(
             path=p, partition={}, record_count=n,
             file_size_bytes=os.path.getsize(p),
             lower_bounds=lower, upper_bounds=upper,
             content="eqdel", eq_columns=cols,
+            blooms=blooms_by_path.get(p, {}),
         )
         for p in paths
     ]
@@ -306,6 +328,7 @@ class DeleteJob:
                 outs = table.write_data_files(
                     survivors, n_files=None,
                     sort_within=self.sort_keys or None, job_tag="delete",
+                    harvest_key_stats=inputs_carry_key_stats(rewrite),
                 )
 
         cdir = self._write_cdf(dropped, rewrite, pred)

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..format.manifest import DataFile, decode_bound
 from ..format.table import Table
+from ..format.stats import inputs_carry_key_stats
 from .ledger import Ledger, partition_key, spill_metrics
 from .skew import salted_join
 
@@ -415,7 +416,8 @@ class MergeIntoJob:
         bytes_affected = sum(f.file_size_bytes for f in affected) or 1
         n_files = max(1, round(bytes_affected / target_size)) or 1
         outs = table.write_data_files(
-            merged, n_files=n_files, sort_within=self.sort_keys, job_tag="merge"
+            merged, n_files=n_files, sort_within=self.sort_keys, job_tag="merge",
+            harvest_key_stats=inputs_carry_key_stats(affected),
         )
 
         # merge stats WITHOUT a second shuffle of the target keys (the old

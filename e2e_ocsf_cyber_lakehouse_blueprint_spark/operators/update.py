@@ -32,6 +32,7 @@ from typing import Mapping, Sequence
 from pyspark.sql import functions as F
 
 from ..format.table import Table
+from ..format.stats import inputs_carry_key_stats
 from ..plans.pruning import Predicate, prune_files
 from .delete import record_rewrite_lineage
 from .ledger import spill_metrics, split_size_for_rewrites
@@ -134,6 +135,7 @@ class UpdateJob:
             outs = table.write_data_files(
                 updated, n_files=None,
                 sort_within=self.sort_keys or None, job_tag="update",
+                harvest_key_stats=inputs_carry_key_stats(rewrite),
             )
         summary = {
             "job": "update",

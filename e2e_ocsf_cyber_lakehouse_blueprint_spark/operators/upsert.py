@@ -61,8 +61,13 @@ def upsert(
         raise ValueError(f"upsert key columns not in batch: {missing}")
     aligned, _ = table._align_to_schema(df, merge_schema=False)
     table.check_constraints(aligned)
+    # force the bloom/xxh64 harvest on the batch files: they sit on EVERY
+    # scan's read path until MAINTAIN folds them, and the batch is small so
+    # the key scan is batch-sized — without it, point lookups between the
+    # upsert and the next clustering pass degrade to bounds-only pruning
     data_files = table.write_data_files(
-        aligned, n_files=n_files, sort_within=sort_within, job_tag="upsert")
+        aligned, n_files=n_files, sort_within=sort_within, job_tag="upsert",
+        harvest_key_stats=True)
     eq_files = write_eqdel_file(table, aligned.select(*key_columns))
     summary = {
         "job": "upsert",

@@ -291,3 +291,79 @@ def test_eqdel_retry_after_lost_race_gets_fresh_sequence(
         F.col("conv_id").isin(victims + victims_late)).count() == 0
     remaining = t.scan().count()
     assert remaining == base.filter(~F.col("conv_id").isin(victims)).count()
+
+
+# ------------------------------------------------- bloom-scoped eqdel scans
+
+def test_blooms_disjoint_unit():
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.bloom import (
+        blooms_disjoint, bloom_of_values,
+    )
+    a = bloom_of_values(["conv-a", "conv-b"], m=8192)
+    b = bloom_of_values(["conv-c", "conv-d"], m=8192)
+    c = bloom_of_values(["conv-b", "conv-z"], m=8192)
+    assert blooms_disjoint(a, b)
+    assert not blooms_disjoint(a, c)       # shares conv-b
+    d = bloom_of_values(["conv-a"], m=4096)
+    assert not blooms_disjoint(a, d)       # geometry mismatch: conservative
+
+
+def test_eqdel_bloom_scopes_dirty_files(spark, tmp_path, base):
+    """With 'stats.bloom-columns' on the key, the eqdel entry carries a
+    bitset of the DELETED keys; scan planning proves disjointness per data
+    file via bitset intersection, so only files genuinely holding a deleted
+    conversation take the anti-join path — curve files' wide lexical bounds
+    no longer mark everything dirty."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.table import (
+        _eq_bounds_may_match,
+    )
+    t = make_table(spark, str(tmp_path / "t"), base,
+                   **{"stats.bloom-columns": "conv_id"})
+    ClusteringJob(t).run()
+    victims = sorted({r["conv_id"] for r in t.scan().select("conv_id")
+                      .distinct().collect()})[:2]
+    before = rows(t.scan([("conv_id", "in", victims)]))
+    assert before
+    equality_delete(
+        t, spark.createDataFrame([(v,) for v in victims], "conv_id string"))
+    eq = t.live_eq_delete_files()
+    assert len(eq) == 1 and eq[0].blooms, "eqdel entry must carry a bitset"
+    datafiles = t.live_data_files()
+    dirty = [f for f in datafiles if _eq_bounds_may_match(f, eq[0])]
+    truly = [f for f in datafiles
+             if t.read_parquet([f.path], t.schema)
+                 .filter(F.col("conv_id").isin(victims)).count() > 0]
+    assert {f.path for f in truly} <= {f.path for f in dirty}
+    assert len(dirty) < len(datafiles), "bitset test must prune clean files"
+    assert rows(t.scan([("conv_id", "in", victims)])) == []
+
+
+def test_eqdel_inline_and_join_paths_agree(spark, tmp_path, base):
+    """The driver-inlined literal filter (small key sets) and the broadcast
+    anti-join fallback (large key sets) must produce identical survivors."""
+    t1 = make_table(spark, str(tmp_path / "a"), base)
+    t2 = make_table(spark, str(tmp_path / "b"), base)
+    t2.meta.properties["scan.eqdel.inline-max-keys"] = "0"  # force join path
+    keys = (base.select("conv_id", "turn_idx").distinct().limit(7))
+    equality_delete(t1, keys)
+    equality_delete(t2, keys)
+    assert rows(t1.scan()) == rows(t2.scan())
+    assert len(rows(t1.scan())) < base.count()
+
+
+def test_cow_delete_preserves_key_stats(spark, tmp_path, base):
+    """A copy-on-write DELETE over bloomed/curve files must re-harvest the
+    key stats on its outputs (map-only rewrite keeps each file's key
+    neighborhood) — otherwise point lookups degrade to bounds-only pruning
+    until the next clustering pass."""
+    t = make_table(spark, str(tmp_path / "t"), base,
+                   **{"stats.bloom-columns": "conv_id",
+                      "stats.bloom.layouts": "curve"})
+    ClusteringJob(t).run()
+    assert all(f.blooms for f in t.live_data_files())
+    res = DeleteJob(t, [("turn_idx", "<", 2)], mode="copy-on-write").run()
+    assert res.files_rewritten > 0
+    rewritten = [f for f in t.live_data_files()
+                 if "/delete-" in f.path]
+    assert rewritten and all(f.blooms for f in rewritten), \
+        "rewrite outputs must keep the bloom bitsets their inputs had"
