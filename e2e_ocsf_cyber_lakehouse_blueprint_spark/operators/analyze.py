@@ -48,10 +48,16 @@ class AnalyzeResult:
 
 def analyze_table(table: Table, columns: list[str] | None = None,
                   *, exact: bool = False, rsd: float = 0.05,
-                  persist: bool = True) -> AnalyzeResult:
+                  persist: bool = True,
+                  frequency_columns: list[str] | None = None) -> AnalyzeResult:
     """Compute and (by default) persist column statistics for the CURRENT
     snapshot. Returns the stats; ``DESCRIBE STATS`` reads the persisted copy.
-    """
+
+    ``frequency_columns`` additionally records ``top_count`` (rows held by
+    the single most frequent value) for the named columns — the skew signal
+    ``plans.costs.suggest_salt_buckets`` derives MERGE salting from. Each
+    costs one groupBy shuffle on that column (the same exchange a merge on
+    it would pay), so it is opt-in and meant for the table's join keys."""
     t0 = time.time()
     table.refresh()
     cur = table.current_snapshot()
@@ -95,6 +101,21 @@ def analyze_table(table: Table, columns: list[str] | None = None,
             st["avg_len"] = (round(float(row[f"_len_{i}"]), 2)
                              if row[f"_len_{i}"] is not None else None)
         cols[c] = st
+
+    # frequency stats survive later ANALYZE calls that do not recompute
+    # them (successive narrow ANALYZEs would otherwise drop the skew signal
+    # the merge planner reads); they are heuristic inputs, so a slightly
+    # stale top_count is acceptable and 'stale' flags the payload anyway
+    prior = read_stats(table) or {"columns": {}}
+    for c, st in prior["columns"].items():
+        if "top_count" in st and c not in (frequency_columns or []):
+            cols.setdefault(c, {})["top_count"] = st["top_count"]
+    for c in frequency_columns or []:
+        if c not in by_name:
+            raise ValueError(f"unknown frequency column: {c}")
+        top = (table.scan(columns=[c]).groupBy(c).count()
+               .agg(F.max("count").alias("_m")).collect()[0]["_m"])
+        cols.setdefault(c, {})["top_count"] = int(top or 0)
 
     res = AnalyzeResult(
         snapshot_id=cur.snapshot_id if cur else 0,
@@ -146,12 +167,13 @@ def describe_stats(table: Table) -> list[dict]:
         out.append({
             "column": c,
             "rows": payload["rows"],
-            "null_count": st["null_count"],
-            "ndv": st["ndv"],
-            "ndv_exact": st["ndv_exact"],
+            "null_count": st.get("null_count"),
+            "ndv": st.get("ndv"),
+            "ndv_exact": st.get("ndv_exact"),
             "min": st.get("min"),
             "max": st.get("max"),
             "avg_len": st.get("avg_len"),
+            "top_count": st.get("top_count"),
             "analyzed_snapshot_id": payload["snapshot_id"],
             "stale": stale,
         })

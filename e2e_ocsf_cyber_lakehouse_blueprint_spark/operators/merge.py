@@ -236,7 +236,12 @@ class MergeIntoJob:
         means ``UPDATE SET *`` (source row replaces). ``matched_condition``/
         ``not_matched_condition`` are the Delta ``WHEN [NOT] MATCHED AND``
         predicates (NULL = false, per SQL); unmet matched rows are kept
-        verbatim, unmet source rows are not inserted."""
+        verbatim, unmet source rows are not inserted.
+
+        ``salt_buckets``: None (default) auto-derives from the persisted
+        ANALYZE frequency stats (``plans.costs.suggest_salt_buckets`` —
+        no stats or no skew means no salting); 0 disables salting
+        unconditionally; an explicit N pins the hand-tuned plan."""
         if when_matched not in ("update", "delete"):
             raise ValueError(when_matched)
         if when_not_matched not in ("insert", "ignore"):
@@ -345,6 +350,32 @@ class MergeIntoJob:
         # (and thereby folded into the rewritten files)
         tgt = table.read_data_files(affected)
 
+        # salting auto-derives from persisted ANALYZE frequency stats when
+        # not set explicitly (0 disables): the one tuning knob the round-3
+        # plan left manual. suggest_salt_buckets returns None unless the
+        # hottest key dwarfs an average shuffle partition, so unskewed
+        # tables keep the plain exchange-reusing plan.
+        salt = self.salt_buckets
+        if salt is None:
+            from ..plans.costs import suggest_salt_buckets
+            salt = suggest_salt_buckets(table, self.key_cols[0])
+        self._resolved_salt = salt
+
+        # metadata-driven broadcast: the affected files' LIVE row count is
+        # exact manifest arithmetic, and the update join only needs the key
+        # projection of the target — when those keys fit the session
+        # broadcast threshold, hint it so the (possibly huge) source never
+        # shuffles for the matched leg. Catalyst's own size estimate can't
+        # see this: it prices the full-width file scan, not the projection.
+        from ..plans.costs import parse_size
+        n_tgt_rows = (sum(f.record_count for f in affected)
+                      - table.deleted_row_count(affected))
+        key_width = 32 * len(self.key_cols)
+        thr = parse_size(
+            table.spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+                                 "10MB"))
+        bcast_keys = thr > 0 and n_tgt_rows * key_width <= thr
+
         # 3-way merge (exchange-reused shuffles on the same keys)
         pre = None
         if self._extended:
@@ -387,16 +418,19 @@ class MergeIntoJob:
                     ins = ins.filter(F.coalesce(
                         F.expr(self.not_matched_condition), F.lit(False)))
                 ins = ins.select(*cols)
-        elif self.salt_buckets and self.when_matched == "update":
+        elif salt and self.when_matched == "update":
             upd = salted_join(
                 tgt.select(*self.key_cols),
                 source, self.key_cols,
-                how="inner", salt_buckets=self.salt_buckets,
+                how="inner", salt_buckets=salt,
             ).select(*cols)
             keep = tgt.join(source.select(*self.key_cols), self.key_cols, "left_anti")
             ins = source.join(tgt.select(*self.key_cols), self.key_cols, "left_anti")
         else:
-            upd = tgt.select(*self.key_cols).join(source, self.key_cols, "inner").select(*cols)
+            tkeys = tgt.select(*self.key_cols)
+            if bcast_keys:
+                tkeys = F.broadcast(tkeys)
+            upd = tkeys.join(source, self.key_cols, "inner").select(*cols)
             keep = tgt.join(source.select(*self.key_cols), self.key_cols, "left_anti")
             ins = source.join(tgt.select(*self.key_cols), self.key_cols, "left_anti")
 
@@ -452,6 +486,8 @@ class MergeIntoJob:
             n_ins = 0
         n_keep = n_tgt - n_matched
         summary = {"job": "merge", "matched": n_matched, "inserted": n_ins}
+        if salt:
+            summary["salt-buckets"] = str(salt)
         cdir = self._write_cdf(tgt, source, upd, ins, cols, pre=pre)
         if cdir:
             summary["change-data-dir"] = cdir

@@ -176,3 +176,33 @@ def suggest_shuffle_partitions(
     if floor is None:
         floor = table.spark.sparkContext.defaultParallelism
     return max(floor, min(cap, -(-est // target_partition_bytes)))
+
+
+def suggest_salt_buckets(
+    table, key_col: str, *, skew_factor: float = 4.0, cap: int = 64,
+) -> int | None:
+    """Salt-bucket count for a join keyed on ``key_col``, derived from the
+    persisted ANALYZE ``top_count`` frequency stat (the rows held by the
+    single hottest key — ``analyze_table(frequency_columns=[key_col])``).
+
+    A key is pathological when its row count dwarfs the average shuffle
+    partition: AQE's skew split can divide an oversized PARTITION, but all
+    rows of one key still land in one task's join hash bucket, so only
+    salting fans the hot key itself out. Returns None (no salting) when no
+    stats / no frequency stat exist or the hot key fits within
+    ``skew_factor`` average partitions; otherwise ceil(top / avg-partition)
+    clamped to [2, cap] — enough buckets that each salted slice of the hot
+    key is about one average partition's worth of rows."""
+    payload = read_stats(table)
+    if payload is None:
+        return None
+    st = payload["columns"].get(key_col) or {}
+    top = st.get("top_count")
+    if not top:
+        return None
+    rows = max(1, payload["rows"])
+    parts = int(table.spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    avg_per_part = max(1.0, rows / max(1, parts))
+    if top <= skew_factor * avg_per_part:
+        return None
+    return min(cap, max(2, -(-int(top) // int(avg_per_part))))

@@ -238,3 +238,55 @@ def test_bloom_scoping_drops_bounds_overlapping_files(spark, tmp_table_dir):
     res = MergeIntoJob(t).run(source)
     assert res.rows_updated == source.count()
     assert rows(t.scan()) == rows(oracle_merge(df, source))
+
+
+def test_merge_auto_salt_from_analyze_stats(spark, tmp_table_dir):
+    """With ANALYZE frequency stats persisted, salt_buckets=None derives the
+    salted plan automatically: the hot conversation (far beyond an average
+    shuffle partition) triggers the same bucket count a hand-tuned job
+    would pick, results stay oracle-equal, and an unskewed key draws no
+    salting."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.analyze import (
+        analyze_table,
+    )
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.plans.costs import (
+        suggest_salt_buckets,
+    )
+
+    df = generate_transcripts(spark, n_convs=50, hot_convs=1, hot_turns=3000,
+                              span_days=5)
+    t = Table.create(
+        spark, tmp_table_dir, schema(),
+        PartitionSpec.of(days("ts_day", "ts")),
+        properties={"write.target-file-size-bytes": str(512 * 1024)},
+    )
+    t.append(df, n_files=2, sort_within=("conv_id", "turn_idx"))
+
+    assert suggest_salt_buckets(t, "conv_id") is None  # no stats: no guess
+    res = analyze_table(t, frequency_columns=["conv_id"])
+    assert res.columns["conv_id"]["top_count"] >= 3000
+
+    expect = suggest_salt_buckets(t, "conv_id")
+    assert expect is not None and expect >= 2
+    # the unskewed key (turn_idx frequencies are ~n_convs) stays plain when
+    # the hot count sits within skew_factor average partitions
+    rows_total = df.count()
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if 50 <= 4.0 * rows_total / parts:  # turn frequencies ≈ n_convs = 50
+        analyze_table(t, frequency_columns=["turn_idx"])
+        assert suggest_salt_buckets(t, "turn_idx") is None
+
+    hot = (df.groupBy("conv_id").count().orderBy(F.desc("count"))
+           .first()["conv_id"])
+    source = (df.filter(F.col("conv_id") == hot)
+              .withColumn("text", F.concat(F.lit("HOT:"), "text")))
+    job = MergeIntoJob(t)  # salt_buckets=None -> auto
+    res = job.run(source)
+    assert job._resolved_salt == expect, "auto must match the derived plan"
+    assert res.rows_updated == source.count()
+    assert rows(t.scan()) == rows(oracle_merge(df, source))
+
+    # explicit 0 pins the unsalted plan even with stats present
+    job2 = MergeIntoJob(t, salt_buckets=0)
+    job2.run(source.withColumn("text", F.concat(F.lit("X:"), "text")))
+    assert job2._resolved_salt == 0
