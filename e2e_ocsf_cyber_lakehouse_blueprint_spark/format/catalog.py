@@ -62,10 +62,13 @@ class Catalog:
         db, _, tbl = name.rpartition(".")
         return os.path.join(self.warehouse, db or "default", tbl)
 
-    def _loc(self, name: str) -> str:
+    def _loc(self, name: str, m: dict | None = None) -> str:
         """Resolved location of ``name``: the catalog map wins, else the
-        conventional directory."""
-        m = self._mapping()
+        conventional directory. Pass a preloaded ``m`` to avoid re-reading
+        ``_catalog.json`` inside one public operation (an object-store
+        warehouse pays a GET per read)."""
+        if m is None:
+            m = self._mapping()
         return m["locations"].get(self._canon(name),
                                   self._conventional_loc(name))
 
@@ -86,7 +89,19 @@ class Catalog:
         cluster_keys: Sequence[str] = (),
     ) -> Table:
         loc = self.location_for_new(name)
-        return Table.create(self.spark, loc, schema, partition_spec, properties, cluster_keys)
+        try:
+            return Table.create(self.spark, loc, schema, partition_spec,
+                                properties, cluster_keys)
+        except BaseException:
+            # a non-conventional location was already recorded in the map;
+            # a failed create (e.g. invalid schema) must not leave a
+            # dangling entry accumulating in _catalog.json
+            m = self._mapping()
+            if m["locations"].get(self._canon(name)) == loc \
+                    and not os.path.exists(os.path.join(loc, "metadata")):
+                del m["locations"][self._canon(name)]
+                self._write_mapping(m)
+            raise
 
     def location_for_new(self, name: str) -> str:
         """Allocate (and, when non-conventional, record) a physical location
@@ -94,10 +109,11 @@ class Catalog:
         renamed-away table still physically occupies it — then a unique
         sibling dir is allocated and mapped, so re-creating an old name never
         collides with the renamed table's live bytes."""
-        if self.table_exists(name):
-            raise ValueError(f"table {name} already exists at {self._loc(name)}")
-        conv = self._conventional_loc(name)
         m = self._mapping()
+        if self.table_exists(name, m):
+            raise ValueError(
+                f"table {name} already exists at {self._loc(name, m)}")
+        conv = self._conventional_loc(name)
         key = self._canon(name)
         if conv not in m["shadowed"] and not os.path.exists(
                 os.path.join(conv, "metadata")):
@@ -114,12 +130,12 @@ class Catalog:
         """``ALTER TABLE old RENAME TO new`` — O(1) catalog metadata, zero
         bytes moved (manifests carry absolute paths; the physical location is
         permanent, the logical name is not)."""
-        if not self.table_exists(old):
-            raise ValueError(f"unknown table {old}")
-        if self.table_exists(new):
-            raise ValueError(f"table {new} already exists")
-        loc = self._loc(old)
         m = self._mapping()
+        if not self.table_exists(old, m):
+            raise ValueError(f"unknown table {old}")
+        if self.table_exists(new, m):
+            raise ValueError(f"table {new} already exists")
+        loc = self._loc(old, m)
         old_key, new_key = self._canon(old), self._canon(new)
         m["locations"].pop(old_key, None)
         if loc == self._conventional_loc(old):
@@ -132,14 +148,16 @@ class Catalog:
         self._write_mapping(m)
 
     def load_table(self, name: str) -> Table:
-        if not self.table_exists(name):
+        m = self._mapping()
+        if not self.table_exists(name, m):
             raise ValueError(f"unknown table {name}")
-        return Table.load(self.spark, self._loc(name))
+        return Table.load(self.spark, self._loc(name, m))
 
-    def table_exists(self, name: str) -> bool:
-        loc = self._loc(name)
-        if loc == self._conventional_loc(name) \
-                and loc in self._mapping()["shadowed"]:
+    def table_exists(self, name: str, m: dict | None = None) -> bool:
+        if m is None:
+            m = self._mapping()
+        loc = self._loc(name, m)
+        if loc == self._conventional_loc(name) and loc in m["shadowed"]:
             return False
         return os.path.exists(os.path.join(loc, "metadata"))
 
@@ -169,18 +187,23 @@ class Catalog:
         delete the data + metadata tree. Refuses unknown names loudly."""
         import shutil
 
-        if not self.table_exists(name):
+        m = self._mapping()
+        if not self.table_exists(name, m):
             raise ValueError(f"unknown table {name}")
-        loc = self._loc(name)
+        loc = self._loc(name, m)
         if purge:
             shutil.rmtree(loc)
         else:
             # metadata removal alone unregisters; data files remain for
             # external retention tooling
             shutil.rmtree(os.path.join(loc, "metadata"))
-        m = self._mapping()
         changed = m["locations"].pop(self._canon(name), None) is not None
-        if loc in m["shadowed"] and not os.path.exists(loc):
+        # the shadow marked this dir as occupied by a renamed-away TABLE;
+        # once no table metadata lives there the original name may reclaim
+        # its conventional location — leftover unpurged data files do not
+        # pin it (they are unreferenced by any future table's manifests)
+        if loc in m["shadowed"] and not os.path.exists(
+                os.path.join(loc, "metadata")):
             m["shadowed"] = sorted(set(m["shadowed"]) - {loc})
             changed = True
         if changed:

@@ -641,9 +641,18 @@ def _incremental_refresh(mv: Table, source: Table, defn: MatViewDefn,
                     .distinct().persist())
 
         if all_keys.isEmpty():
-            # window held only layout/no-op commits — nothing to commit; the
-            # pointer stays behind and the next refresh re-walks the (empty)
-            # window idempotently
+            # window held only layout/no-op commits — no row changes to
+            # apply, but ADVANCE the source-snapshot pointer with an empty
+            # commit (metadata-only: zero data files): leaving it behind
+            # lets the expiration that typically follows a maintenance
+            # refresh expire the pointed-at source snapshot, demoting the
+            # NEXT refresh to a full recompute. The empty snapshot keeps
+            # pointer+data atomic (the pointer stays in snapshot summaries
+            # along main ancestry).
+            mv._commit_append([], summary_extra={
+                "job": "mv-refresh", "mode": "noop",
+                SUMMARY_SRC_SNAPSHOT: str(cur),
+            }, operation="append")
             return RefreshResult("noop", cur, elapsed_sec=time.time() - t0)
 
         # ---- one atomic row-delta commit (upsert shape) -------------------

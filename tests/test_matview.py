@@ -436,3 +436,33 @@ def test_source_rename_fails_loudly_not_silently(cat, base):
 
     with pytest.raises(AnalysisException, match="turn_idx"):
         refresh(mv)
+
+
+def test_noop_refresh_advances_pointer_past_layout_commits(cat, base, spark):
+    """A refresh whose window holds only layout commits (compaction) must
+    ADVANCE the source-snapshot pointer via an empty commit: otherwise the
+    expiration that follows a maintenance refresh can expire the pointed-at
+    snapshot and demote the NEXT refresh to a full recompute."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.compaction import (
+        CompactionJob,
+    )
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.operators.expire import (
+        ExpireSnapshotsJob,
+    )
+
+    src = make_source(cat, base)
+    mv = create_materialized_view(cat, "default.mv", "default.src", DEFN)
+    CompactionJob(src.refresh()).run()          # layout-only window
+    r = refresh(mv)
+    assert r.mode == "noop"
+    cur = src.refresh().current_snapshot().snapshot_id
+    assert last_refresh_snapshot(mv.refresh()) == cur, \
+        "noop refresh must advance the pointer"
+    # aggressive expiration retires everything but the latest snapshot;
+    # with the pointer advanced, the next (real) refresh stays incremental
+    ExpireSnapshotsJob(src.refresh(), keep_last=1, grace_period_sec=0).run()
+    extra = generate_transcripts(spark, n_convs=5, span_days=2, seed=7)
+    src.refresh().append(extra, n_files=1)
+    r2 = refresh(mv)
+    assert r2.mode == "incremental", r2.fallback_reason
+    assert_view_current(mv, src)

@@ -230,3 +230,43 @@ def test_dropped_names_never_reusable(spark, tmp_table_dir, small_df):
     t.add_columns([T.StructField("tool_v2", T.StringType())])
     assert t.scan().where(F.col("tool_v2").isNotNull()).count() == 0
     assert t.scan().count() == small_df.count()
+
+
+def test_drop_unpurged_renamed_table_releases_conventional_dir(
+        spark, tmp_path, small_df):
+    """DROP TABLE (purge=False) on a renamed-away table removes only the
+    metadata tree; the shadow on its conventional dir must clear anyway —
+    leftover data files are unreferenced by any future manifests, so the
+    original name can reclaim its conventional location instead of
+    allocating __uuid sibling dirs forever."""
+    import os
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table("default.a", T.StructType.fromDDL(SCHEMA_DDL))
+    t.append(small_df, n_files=1)
+    conv_dir = cat._conventional_loc("default.a")
+    cat.rename_table("default.a", "default.b")
+    cat.drop_table("default.b", purge=False)
+    assert os.path.isdir(conv_dir), "unpurged data files should remain"
+    assert conv_dir not in cat._mapping()["shadowed"], \
+        "shadow must clear once no table metadata lives there"
+    t2 = cat.create_table("default.a", T.StructType.fromDDL(SCHEMA_DDL))
+    assert os.path.abspath(t2.location) == os.path.abspath(conv_dir)
+    t2.append(small_df, n_files=1)
+    assert cat.load_table("default.a").scan().count() == small_df.count()
+
+
+def test_failed_create_leaves_no_dangling_mapping(spark, tmp_path, small_df):
+    """A create that fails after a non-conventional location was allocated
+    must prune its mapping entry from _catalog.json."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table("default.a", T.StructType.fromDDL(SCHEMA_DDL))
+    t.append(small_df, n_files=1)
+    cat.rename_table("default.a", "default.b")  # shadows default.a's dir
+    with pytest.raises(Exception):
+        cat.create_table("default.a", "not-a-schema")  # type: ignore[arg-type]
+    assert "default.a" not in cat._mapping()["locations"], \
+        "failed create must not leave a dangling locations entry"
+    # and a subsequent good create works normally
+    cat.create_table("default.a", T.StructType.fromDDL(SCHEMA_DDL))
+    assert cat.table_exists("default.a")
