@@ -201,46 +201,39 @@ def harvest_key_stats(
     k: int = BLOOM_K,
 ) -> dict[str, dict]:
     """ONE fused narrow job computing BOTH per-file xxh64 hash bounds (for
-    ``hash_cols``) and bloom bitsets (for ``bloom_cols``).
+    ``hash_cols``) and bloom bitsets (for ``bloom_cols``) — entirely
+    JVM-side.
 
-    The post-write harvest used to be two jobs — a min/max(xxhash64) agg
-    plus the explode-based ``harvest_blooms`` — each re-scanning the same
-    key column of the files just written; measured together they were the
-    dominant per-write serial floor once footer stats removed the wide
-    scan. This fusion runs a single scan that ships only
-    ``(file, h1, h2)`` longs (hashes computed JVM-side by Catalyst, never
-    strings).
+    Evolution of this path, each step measured in the two-cluster-size
+    protocol: (1) two jobs (min/max agg + explode-based ``harvest_blooms``)
+    re-scanned the key column twice; (2) a fused ``mapInPandas`` partials
+    pass with numpy scatter-OR shipped only ~1 KiB partials per batch — but
+    its floor turned out to be the Python worker round trip itself (the
+    passthrough with NO compute costs the same ~2s at 7.6M rows as the full
+    bitset build; Arrow variant identical). (3) This version keeps every row
+    JVM-side: per non-null key, ``explode`` the k probe indices, derive
+    ``pos = pmod(p1 + i*p2, m)`` on the pre-reduced hashes (no 64-bit
+    overflow under ANSI — same identity as ``_positions``), and fold with a
+    two-level ``bit_or`` aggregation:
 
-    MAP-SIDE PARTIALS, no row shuffle: rows arrive file-contiguous from the
-    scan, so a ``mapInPandas`` pass folds each Arrow batch into per-(file,
-    column) partial bitsets (numpy scatter-OR) and h1 min/max. Only those
-    ~1 KiB partials — one per batch per column, not one row per key — cross
-    the wire into the final ``groupBy(file)`` merge. The previous
-    ``groupBy(file).applyInPandas`` single-stage version shuffled every
-    (file, h1, h2) row: ~25 bytes/turn, i.e. a full-data exchange per write
-    at the 10^12-turn design point, and the measured non-scaling component
-    of the post-write harvest in the two-cluster-size protocol.
+        groupBy(file, col, pos div 64).agg(bit_or(mask), min/max(h1))
+        groupBy(file, col).agg(collect_list(word, mask), min/max)
 
-    NULL keys are masked JVM-side into a boolean column, and partial bounds
-    travel as non-null int64 + presence flag, so int64 hash precision
-    survives the pandas transfer (a nullable long would degrade to float64).
+    Whole-stage codegen end to end, map-side partial ``bit_or`` (grouping
+    cardinality per task is files-in-task x m/64 — a small hash map), and
+    the shuffle carries at most files x m/64 word rows, never key rows.
+    Measured 2.1x the pandas-partials version at bench scale and
+    byte-identical encoded bitsets; zero Python workers at any scale.
 
-    BLOOM-FREE FAST PATH: when ``bloom_cols`` is empty the bitset machinery
-    is dead weight, yet the pandas stages would still pay Python worker
-    spawn + numpy/pandas import on first use in a JVM. Hash bounds alone
-    are a plain ``groupBy(file).agg(min/max(xxhash64))`` —
-    whole-stage-codegen'd, map-side-combined, zero Python processes — so
-    that path is taken instead and rows ship through pandas only when
-    bitsets are actually requested. (stats.harvest_file_stats routes
-    bloom-free harvests to its own agg already; this guard makes the fused
-    entry point safe to call directly with either shape.)
+    NULL keys ride as zero-mask probes: they set no bit and widen no bound,
+    but keep the file's entry alive — an all-null file gets an EMPTY bloom,
+    which PROVES every equality probe misses it. Hash-only columns ride the
+    same union with a single zero-mask probe — their word rows collapse to
+    one per file, and only the bounds are read out.
 
     Returns ``{file_path: {"hash_bounds": {col: (lo, hi)},
     "blooms": {bloom(col): encoded}}}``.
     """
-    import numpy as np
-    import pandas as pd
-
     if m & (m - 1):
         raise ValueError(f"bloom m must be a power of two, got {m}")
     all_cols = list(dict.fromkeys([*hash_cols, *bloom_cols]))
@@ -248,7 +241,7 @@ def harvest_key_stats(
         return {}
     if not bloom_cols:
         # null keys hash to NULL (not the xxhash64 seed) so min/max skip them,
-        # matching the pandas path's isNotNull mask
+        # matching the probe path's isNotNull filter
         sel = [F.col(path_col).alias("_fp")] + [
             F.when(F.col(c).isNotNull(), F.xxhash64(F.col(c))).alias(f"_h_{c}")
             for c in all_cols
@@ -264,100 +257,67 @@ def harvest_key_stats(
                 if r[f"_lo_{c}"] is not None:
                     e["hash_bounds"][c] = (r[f"_lo_{c}"], r[f"_hi_{c}"])
         return acc
-    sel = [F.col(path_col).alias("_fp")]
-    for c in all_cols:
-        h1 = F.xxhash64(F.col(c))
-        sel.append(F.col(c).isNotNull().alias(f"_nn_{c}"))
-        sel.append(F.coalesce(h1, F.lit(0).cast("long")).alias(f"_h1_{c}"))
-        if c in bloom_cols:
-            h2 = (F.xxhash64(F.concat(F.col(c), F.lit(_H2_SALT)))
-                  .bitwiseOR(F.lit(1).cast("long")))
-            sel.append(F.coalesce(h2, F.lit(1).cast("long")).alias(f"_h2_{c}"))
-    keyed = df.select(*sel)
 
     hash_set, bloom_set = set(hash_cols), set(bloom_cols)
-    partial_schema = ("_fp string, _col string, _has boolean, _lo long, "
-                      "_hi long, _bits binary")
-
-    def partials(batches):
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            out = {"_fp": [], "_col": [], "_has": [], "_lo": [], "_hi": [],
-                   "_bits": []}
-            # a scan partition packs whole files sequentially, so a batch
-            # holds at most a couple of file runs; group within the batch
-            for fp, g in pdf.groupby("_fp", sort=False):
-                for c in all_cols:
-                    mask = g[f"_nn_{c}"].to_numpy(dtype=bool)
-                    h1 = g[f"_h1_{c}"].to_numpy(dtype=np.int64)[mask]
-                    has = bool(h1.size)
-                    lo = int(h1.min()) if has else 0
-                    hi = int(h1.max()) if has else 0
-                    raw = None
-                    if c in bloom_set:
-                        bits = np.zeros(m // 64, dtype=np.uint64)
-                        if has:
-                            h2 = g[f"_h2_{c}"].to_numpy(dtype=np.int64)[mask]
-                            with np.errstate(over="ignore"):
-                                p1 = (h1 % m).astype(np.uint64)
-                                p2 = (h2 % m).astype(np.uint64)
-                                for i in range(k):
-                                    # hashes reduced mod m BEFORE the
-                                    # double-hash walk, same as _positions
-                                    # and harvest_blooms — no overflow, bit
-                                    # placement identical
-                                    pos = (p1 + np.uint64(i) * p2) % np.uint64(m)
-                                    np.bitwise_or.at(
-                                        bits, pos // np.uint64(64),
-                                        np.uint64(1) << (pos % np.uint64(64)))
-                        raw = bits.tobytes()
-                    out["_fp"].append(fp)
-                    out["_col"].append(c)
-                    out["_has"].append(has)
-                    out["_lo"].append(lo)
-                    out["_hi"].append(hi)
-                    out["_bits"].append(raw)
-            yield pd.DataFrame(out)
-
-    def merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        fp = pdf["_fp"].iloc[0]
-        out = {"_fp": [], "_col": [], "_lo": [], "_hi": [], "_bloom": []}
-        for c in all_cols:
-            sub = pdf[pdf["_col"] == c]
-            hasm = sub["_has"].to_numpy(dtype=bool)
-            lo = hi = None
-            if c in hash_set and hasm.any():
-                lo = int(sub["_lo"].to_numpy(dtype=np.int64)[hasm].min())
-                hi = int(sub["_hi"].to_numpy(dtype=np.int64)[hasm].max())
-            enc = None
-            if c in bloom_set:
-                bits = np.zeros(m // 64, dtype=np.uint64)
-                for raw in sub["_bits"]:
-                    if raw is not None:
-                        bits |= np.frombuffer(bytes(raw), dtype=np.uint64)
-                nz = np.nonzero(bits)[0]
-                enc = encode_bloom(
-                    m, k, {int(w): int(bits[w]) for w in nz})
-            out["_fp"].append(fp)
-            out["_col"].append(c)
-            out["_lo"].append(lo)
-            out["_hi"].append(hi)
-            out["_bloom"].append(enc)
-        return pd.DataFrame(out)
-
-    rows = (
-        keyed.mapInPandas(partials, partial_schema)
-        .groupBy("_fp")
-        .applyInPandas(merge,
-                       "_fp string, _col string, _lo long, _hi long, _bloom string")
-        .collect()
+    branches = []
+    for c in all_cols:
+        # NULL keys stay in the stream as zero-mask probes: they never set a
+        # bit and never widen the bounds (_h1 is NULL for them), but they
+        # keep the file's entry alive — an all-null file gets an EMPTY bloom,
+        # which proves every equality probe misses it (prunable), where a
+        # missing entry would only be conservative
+        nn = F.col(c).isNotNull()
+        h1 = F.xxhash64(F.col(c))
+        if c in bloom_set:
+            h2 = (F.xxhash64(F.concat(F.col(c), F.lit(_H2_SALT)))
+                  .bitwiseOR(F.lit(1).cast("long")))
+            branch = (
+                df.select(
+                    F.col(path_col).alias("_fp"),
+                    F.lit(c).alias("_col"),
+                    F.when(nn, F.pmod(h1, F.lit(m))).otherwise(0).alias("_p1"),
+                    F.when(nn, F.pmod(h2, F.lit(m))).otherwise(0).alias("_p2"),
+                    F.when(nn, h1).alias("_h1"),
+                    nn.alias("_nn"),
+                    F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"),
+                )
+                .withColumn("_pos", F.expr(f"pmod(_p1 + _i * _p2, {m}L)"))
+                .select(
+                    "_fp", "_col", "_h1",
+                    F.expr("cast(_pos div 64 as int)").alias("_word"),
+                    F.expr("if(_nn, shiftleft(1L, cast(_pos % 64 as int)), 0L)")
+                     .alias("_mask"),
+                )
+            )
+        else:  # bounds only: one zero-mask probe so the union stays narrow
+            branch = (
+                df.select(
+                    F.col(path_col).alias("_fp"),
+                    F.lit(c).alias("_col"),
+                    F.when(nn, h1).alias("_h1"),
+                    F.lit(0).alias("_word"),
+                    F.lit(0).cast("long").alias("_mask"),
+                )
+            )
+        branches.append(branch)
+    probes = branches[0]
+    for b in branches[1:]:
+        probes = probes.unionByName(b)
+    lvl2 = (
+        probes.groupBy("_fp", "_col", "_word")
+        .agg(F.bit_or("_mask").alias("_m"),
+             F.min("_h1").alias("_lo"), F.max("_h1").alias("_hi"))
+        .groupBy("_fp", "_col")
+        .agg(F.collect_list(F.struct("_word", "_m")).alias("_words"),
+             F.min("_lo").alias("_lo"), F.max("_hi").alias("_hi"))
     )
-    acc: dict[str, dict] = {}
-    for r in rows:
+    acc = {}
+    for r in lvl2.collect():
         e = acc.setdefault(r["_fp"], {"hash_bounds": {}, "blooms": {}})
-        if r["_lo"] is not None:
-            e["hash_bounds"][r["_col"]] = (r["_lo"], r["_hi"])
-        if r["_bloom"] is not None:
-            e["blooms"][bloom_key(r["_col"])] = r["_bloom"]
+        c = r["_col"]
+        if c in hash_set and r["_lo"] is not None:
+            e["hash_bounds"][c] = (r["_lo"], r["_hi"])
+        if c in bloom_set:
+            words = {w["_word"]: w["_m"] for w in r["_words"] if w["_m"]}
+            e["blooms"][bloom_key(c)] = encode_bloom(m, k, words)
     return acc
