@@ -24,6 +24,7 @@ from pyspark.sql import types as T
 from .bloom import harvest_blooms, harvest_key_stats
 from .manifest import DataFile, encode_bound, truncate_lower, truncate_upper
 from .partition import PARTITION_COL_PREFIX
+from ..timing import phase_timer
 
 _BOUNDABLE = (
     T.StringType, T.IntegerType, T.LongType, T.ShortType, T.ByteType,
@@ -169,8 +170,9 @@ def harvest_file_stats(
     file whose footer lacks usable stats (pre-engine writers) falls back to
     the one-scan path."""
     dirs = [staging_dir] if isinstance(staging_dir, str) else list(staging_dir)
-    files = _harvest_from_footers(
-        dirs, schema, partition_col_names, stat_columns)
+    with phase_timer("harvest.footers"):
+        files = _harvest_from_footers(
+            dirs, schema, partition_col_names, stat_columns)
     if files is not None:
         string_cols = {f.name for f in schema.fields
                        if isinstance(f.dataType, T.StringType)}
@@ -187,8 +189,9 @@ def harvest_file_stats(
                 for d in dirs
             ]
             df = functools.reduce(lambda a, b: a.unionByName(b), parts)
-            by_path = harvest_key_stats(df, "_kfp", hash_cols, bloom_cols,
-                                        m=bloom_bits)
+            with phase_timer("harvest.keys"):
+                by_path = harvest_key_stats(df, "_kfp", hash_cols, bloom_cols,
+                                            m=bloom_bits)
             by_path = {normalize_path(p): e for p, e in by_path.items()}
             for f in files:
                 e = by_path.get(f.path)
