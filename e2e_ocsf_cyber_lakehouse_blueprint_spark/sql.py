@@ -67,8 +67,11 @@ table-maintenance statements the engine owns:
         coalesce positional-delete (DV) files + drop dangling delete rows,
         and convert equality deletes to positional marks
     ANALYZE TABLE <tbl> COMPUTE STATISTICS [FOR COLUMNS (c1[, ...])]
+        [FOR FREQUENCY COLUMNS (k1[, ...])]
         one-pass column stats (null count, HLL NDV, min/max, avg_len)
-        persisted in table metadata, stamped with the snapshot id
+        persisted in table metadata, stamped with the snapshot id;
+        frequency columns additionally record top_count (hottest key's
+        row count — the MERGE auto-salting input), one groupBy each
     DESCRIBE STATS <tbl>
         the persisted ANALYZE rows + staleness vs the current snapshot
     ALTER TABLE <tbl> ADD CONSTRAINT <name> CHECK (<expr>)
@@ -375,7 +378,8 @@ _STATEMENTS: list[tuple[re.Pattern, str]] = [
         rf"MAINTAIN\s+(?P<tbl>{_ID})\s*;?\s*$", re.IGNORECASE), "maintain"),
     (re.compile(
         rf"ANALYZE\s+TABLE\s+(?P<tbl>{_ID})\s+COMPUTE\s+STATISTICS"
-        rf"(?:\s+FOR\s+COLUMNS\s*\((?P<cols>[^)]+)\))?\s*;?\s*$",
+        rf"(?:\s+FOR\s+COLUMNS\s*\((?P<cols>[^)]+)\))?"
+        rf"(?:\s+FOR\s+FREQUENCY\s+COLUMNS\s*\((?P<fcols>[^)]+)\))?\s*;?\s*$",
         re.IGNORECASE), "analyze"),
     (re.compile(
         rf"DESCRIBE\s+STATS\s+(?P<tbl>{_ID})\s*;?\s*$", re.IGNORECASE),
@@ -1061,7 +1065,8 @@ def _dispatch(action: str, table: Table, m: re.Match,
     if action == "analyze":
         from .operators.analyze import analyze_table
         cols = _cols(m.group("cols")) if m.group("cols") else None
-        return analyze_table(table, cols)
+        fcols = _cols(m.group("fcols")) if m.group("fcols") else None
+        return analyze_table(table, cols, frequency_columns=fcols)
     if action == "describe_stats":
         from .operators.analyze import describe_stats
         return describe_stats(table)

@@ -108,3 +108,28 @@ def test_sql_statements(spark, tmp_path):
     rows = run_sql(c, "DESCRIBE STATS ops.t")
     assert [r["column"] for r in rows] == ["conv_id", "role"]
     assert rows[0]["rows"] == res.rows
+
+
+def test_sql_analyze_frequency_columns(spark, tmp_path):
+    """ANALYZE ... FOR FREQUENCY COLUMNS records top_count, DESCRIBE STATS
+    shows it, and the merge planner derives salting from it."""
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.catalog import Catalog
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.plans.costs import (
+        suggest_salt_buckets,
+    )
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.sql import run_sql
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.sources.transcripts import (
+        generate_transcripts,
+    )
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t = cat.create_table("default.t", T.StructType.fromDDL(SCHEMA_DDL))
+    t.append(generate_transcripts(spark, n_convs=30, hot_convs=1,
+                                  hot_turns=2000, span_days=3), n_files=1)
+    run_sql(spark, cat,
+            "ANALYZE TABLE default.t COMPUTE STATISTICS "
+            "FOR FREQUENCY COLUMNS (conv_id)")
+    rows = run_sql(spark, cat, "DESCRIBE STATS default.t")
+    by_col = {r["column"]: r for r in rows}
+    assert by_col["conv_id"]["top_count"] >= 2000
+    assert suggest_salt_buckets(cat.load_table("default.t"), "conv_id") >= 2
