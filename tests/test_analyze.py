@@ -126,10 +126,10 @@ def test_sql_analyze_frequency_columns(spark, tmp_path):
     t = cat.create_table("default.t", T.StructType.fromDDL(SCHEMA_DDL))
     t.append(generate_transcripts(spark, n_convs=30, hot_convs=1,
                                   hot_turns=2000, span_days=3), n_files=1)
-    run_sql(spark, cat,
+    run_sql(cat,
             "ANALYZE TABLE default.t COMPUTE STATISTICS "
             "FOR FREQUENCY COLUMNS (conv_id)")
-    rows = run_sql(spark, cat, "DESCRIBE STATS default.t")
+    rows = run_sql(cat, "DESCRIBE STATS default.t")
     by_col = {r["column"]: r for r in rows}
     assert by_col["conv_id"]["top_count"] >= 2000
     assert suggest_salt_buckets(cat.load_table("default.t"), "conv_id") >= 2
