@@ -1762,13 +1762,70 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry order is deliberate gate-rotation hygiene: the driver gates a
-    # window of entries per round, so the families that rode an older round's
-    # green rows (text/dedup/similarity/multimodal/cdc/checksum) lead this
-    # round, followed by the newly-added stream_sink row, then the core
-    # maintenance set. Every entry runs in the builder's own full gate
-    # (scripts/check_entry.py) regardless of order.
+    # Registry order (round-5 rotation, per VERDICT.md r4 "Next round #2" and
+    # the ADVICE principle that the gated window must cover what changed):
+    # (1) the 15 entries whose last driver-gated row was round 3 lead, so the
+    # driver re-certifies them this round; (2) the core maintenance/scan/SQL
+    # entries — the code paths touched by this round's serial-floor and
+    # harvest work — stay inside the gate window; (3) the text/dedup/
+    # similarity/multimodal/cdc/stream families, all freshly driver-certified
+    # in round 4 with no code changes on their paths, close the list. Every
+    # entry runs in the builder's own full gate (scripts/check_entry.py)
+    # regardless of order.
     return {
+        # -- (1) r3-certified tail, rotated to the front for re-certification
+        "window_dedup": q_window_dedup,
+        "turn_numbering": q_turn_numbering,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "join_top_orders": q_join_top_orders,
+        "join_broadcast_dim": q_join_broadcast_dim,
+        "anti_join_gc": q_anti_join_gc,
+        "stats_census": q_stats_census,
+        "stats_census_approx": q_stats_census_approx,
+        "sessionize": q_sessionize,
+        "window_agg": q_window_agg,
+        "asof_join": q_asof_join,
+        "agg_rollup": q_agg_rollup,
+        "stats_percentiles": q_stats_percentiles,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        # -- (2) core maintenance / scan / SQL — touched this round
+        "maintain_compact": q_maintain_compact,
+        "maintain_zorder": q_maintain_zorder,
+        "maintain_hilbert": q_maintain_hilbert,
+        "incremental_cluster": q_incremental_cluster,
+        "maintain_merge": q_maintain_merge,
+        "streaming_upsert": q_streaming_upsert,
+        "maintain_delete": q_maintain_delete,
+        "maintain_delete_eq": q_maintain_delete_eq,
+        "maintain_update": q_maintain_update,
+        "analyze_stats": q_analyze_stats,
+        "sql_merge_into": q_sql_merge_into,
+        "sql_merge_conditional": q_sql_merge_conditional,
+        "maintain_expire": q_maintain_expire,
+        "maintain_manifests": q_maintain_manifests,
+        "sql_select": q_sql_select,
+        "sql_agg_meta": q_sql_agg_meta,
+        "sql_ctas": q_sql_ctas,
+        "mv_incremental": q_mv_incremental,
+        "mv_continuous": q_mv_continuous,
+        "schema_evolution": q_schema_evolution,
+        "rename_column": q_rename_column,
+        "rename_table": q_rename_table,
+        "widen_column": q_widen_column,
+        "meta_partitions": q_meta_partitions,
+        "wap_publish": q_wap_publish,
+        "branch_publish": q_branch_publish,
+        "time_travel": q_time_travel,
+        "snapshot_changes": q_snapshot_changes,
+        "clone_pit": q_clone_pit,
+        "copy_into": q_copy_into,
+        "partition_evolution": q_partition_evolution,
+        "bronze_ingest": q_bronze_ingest,
+        "silver_extract": q_silver_extract,
+        "gold_case_route": q_gold_case_route,
+        "union_by_name": q_union_by_name,
+        # -- (3) r4-certified families, unchanged code paths
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_rolling_fp": q_text_rolling_fp,
@@ -1788,56 +1845,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_checksum": q_scan_checksum,
         "cdc_feed": q_cdc_feed,
         "stream_sink": q_stream_sink,
-        "maintain_compact": q_maintain_compact,
-        "maintain_zorder": q_maintain_zorder,
-        "maintain_hilbert": q_maintain_hilbert,
-        "maintain_merge": q_maintain_merge,
-        "sql_merge_into": q_sql_merge_into,
-        "mv_incremental": q_mv_incremental,
-        "mv_continuous": q_mv_continuous,
-        "sql_merge_conditional": q_sql_merge_conditional,
-        "sql_select": q_sql_select,
-        "sql_agg_meta": q_sql_agg_meta,
-        "sql_ctas": q_sql_ctas,
-        "schema_evolution": q_schema_evolution,
-        "rename_column": q_rename_column,
-        "rename_table": q_rename_table,
-        "widen_column": q_widen_column,
-        "incremental_cluster": q_incremental_cluster,
-        "maintain_delete": q_maintain_delete,
-        "maintain_delete_eq": q_maintain_delete_eq,
-        "streaming_upsert": q_streaming_upsert,
-        "analyze_stats": q_analyze_stats,
-        "maintain_update": q_maintain_update,
-        "maintain_expire": q_maintain_expire,
-        "maintain_manifests": q_maintain_manifests,
-        "meta_partitions": q_meta_partitions,
-        "wap_publish": q_wap_publish,
-        "branch_publish": q_branch_publish,
-        "time_travel": q_time_travel,
-        "snapshot_changes": q_snapshot_changes,
-        "clone_pit": q_clone_pit,
-        "copy_into": q_copy_into,
-        "partition_evolution": q_partition_evolution,
-        "bronze_ingest": q_bronze_ingest,
-        "silver_extract": q_silver_extract,
-        "gold_case_route": q_gold_case_route,
-        "union_by_name": q_union_by_name,
-        "window_dedup": q_window_dedup,
-        "turn_numbering": q_turn_numbering,
-        "agg_pricing_summary": q_agg_pricing_summary,
-        "join_top_orders": q_join_top_orders,
-        "join_broadcast_dim": q_join_broadcast_dim,
-        "anti_join_gc": q_anti_join_gc,
-        "stats_census": q_stats_census,
-        "stats_census_approx": q_stats_census_approx,
-        "sessionize": q_sessionize,
-        "window_agg": q_window_agg,
-        "asof_join": q_asof_join,
-        "agg_rollup": q_agg_rollup,
-        "stats_percentiles": q_stats_percentiles,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     }
 
 

@@ -367,12 +367,14 @@ def run_once(sf_dir: str, cpus: int, *, maintenance_only: bool = False,
     trials = max(1, int(os.environ.get("BENCH_MAINT_TRIALS", "2")))
     try:
         maint = None
+        raw_trials: list[dict] = []
         for i in range(trials):
             wd = os.path.join(workdir, f"t{i}")
             os.makedirs(wd, exist_ok=True)
             m = _maintenance_bench(
                 spark, sf, wd, cpus=cpus, core_only=core_only,
                 turns_scale=int(os.environ.get("BENCH_TURNS_SCALE", "8000000")))
+            raw_trials.append(dict(m["timings"]))
             if maint is None:
                 maint = m
             else:
@@ -385,6 +387,21 @@ def run_once(sf_dir: str, cpus: int, *, maintenance_only: bool = False,
         if not maintenance_only:
             queries.update(_query_bench(spark, sf_dir))
         total = round(sum(queries.values()), 3)
+        # per-phase spread across maintenance trials (VERDICT r4 item #8):
+        # host-steal regressions adjudicate from one artifact instead of a
+        # re-investigation — a phase whose min moved but whose max overlaps
+        # the previous round's spread is window noise, not a code change
+        spread = {}
+        if len(raw_trials) >= 2:
+            for k in raw_trials[0]:
+                if k.endswith("_frac"):
+                    continue
+                vals = sorted(t[k] for t in raw_trials)
+                spread[k] = {
+                    "min": round(vals[0], 3),
+                    "median": round(vals[len(vals) // 2], 3),
+                    "max": round(vals[-1], 3),
+                }
         return {
             "metric": "maintenance+query wall clock (compact+zorder core -> turns/sec)",
             "value": total,
@@ -395,6 +412,7 @@ def run_once(sf_dir: str, cpus: int, *, maintenance_only: bool = False,
             "turns": maint["turns"],
             "throughput_turns_per_sec": maint["throughput_turns_per_sec"],
             "maint_trials": trials,
+            "maint_phase_spread": spread,
         }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

@@ -259,50 +259,70 @@ def harvest_key_stats(
         return acc
 
     hash_set, bloom_set = set(hash_cols), set(bloom_cols)
-    branches = []
+    # Single-scan probe generation: every column's probes come out of ONE
+    # select as an array of structs exploded once (a one-branch-per-column
+    # union re-scanned the just-staged files once per key column). NULL keys
+    # stay in the stream as zero-mask probes: they never set a bit and never
+    # widen the bounds (_h1 is NULL for them), but they keep the file's
+    # entry alive — an all-null file gets an EMPTY bloom, which proves every
+    # equality probe misses it (prunable), where a missing entry would only
+    # be conservative. Hash-only columns ride as a single zero-mask probe.
+    row_probes = []
     for c in all_cols:
-        # NULL keys stay in the stream as zero-mask probes: they never set a
-        # bit and never widen the bounds (_h1 is NULL for them), but they
-        # keep the file's entry alive — an all-null file gets an EMPTY bloom,
-        # which proves every equality probe misses it (prunable), where a
-        # missing entry would only be conservative
         nn = F.col(c).isNotNull()
         h1 = F.xxhash64(F.col(c))
+        h1n = F.when(nn, h1).alias("_h1")
         if c in bloom_set:
             h2 = (F.xxhash64(F.concat(F.col(c), F.lit(_H2_SALT)))
                   .bitwiseOR(F.lit(1).cast("long")))
-            branch = (
-                df.select(
-                    F.col(path_col).alias("_fp"),
+            p1 = (F.when(nn, F.pmod(h1, F.lit(m)))
+                  .otherwise(F.lit(0).cast("long")))
+            p2 = (F.when(nn, F.pmod(h2, F.lit(m)))
+                  .otherwise(F.lit(0).cast("long")))
+            for i in range(k):
+                pos = F.pmod(p1 + F.lit(i).cast("long") * p2, F.lit(m))
+                row_probes.append(F.struct(
                     F.lit(c).alias("_col"),
-                    F.when(nn, F.pmod(h1, F.lit(m))).otherwise(0).alias("_p1"),
-                    F.when(nn, F.pmod(h2, F.lit(m))).otherwise(0).alias("_p2"),
-                    F.when(nn, h1).alias("_h1"),
-                    nn.alias("_nn"),
-                    F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"),
-                )
-                .withColumn("_pos", F.expr(f"pmod(_p1 + _i * _p2, {m}L)"))
-                .select(
-                    "_fp", "_col", "_h1",
-                    F.expr("cast(_pos div 64 as int)").alias("_word"),
-                    F.expr("if(_nn, shiftleft(1L, cast(_pos % 64 as int)), 0L)")
-                     .alias("_mask"),
-                )
-            )
-        else:  # bounds only: one zero-mask probe so the union stays narrow
-            branch = (
-                df.select(
-                    F.col(path_col).alias("_fp"),
-                    F.lit(c).alias("_col"),
-                    F.when(nn, h1).alias("_h1"),
-                    F.lit(0).alias("_word"),
-                    F.lit(0).cast("long").alias("_mask"),
-                )
-            )
-        branches.append(branch)
-    probes = branches[0]
-    for b in branches[1:]:
-        probes = probes.unionByName(b)
+                    h1n,
+                    F.shiftright(pos, 6).cast("int").alias("_word"),
+                    # call_function: the F.shiftleft wrapper only accepts a
+                    # Python int for numBits; the SQL builtin takes a column
+                    F.when(nn, F.call_function(
+                        "shiftleft", F.lit(1).cast("long"),
+                        F.pmod(pos, F.lit(64)).cast("int")))
+                     .otherwise(F.lit(0).cast("long")).alias("_mask"),
+                ))
+        else:
+            row_probes.append(F.struct(
+                F.lit(c).alias("_col"),
+                h1n,
+                F.lit(0).cast("int").alias("_word"),
+                F.lit(0).cast("long").alias("_mask"),
+            ))
+    probes = (
+        df.select(F.col(path_col).alias("_fp"),
+                  F.explode(F.array(*row_probes)).alias("_p"))
+        .select("_fp", F.col("_p._col").alias("_col"),
+                F.col("_p._h1").alias("_h1"),
+                F.col("_p._word").alias("_word"),
+                F.col("_p._mask").alias("_mask"))
+    )
+    # Sparse-hex encoding happens JVM-SIDE (byte-identical to encode_bloom:
+    # ascending word index, zero words dropped, lowercase unpadded hex), so
+    # the driver receives exactly the manifest-sized strings instead of
+    # m/64 word structs per (file, column) — at a 10^5-file maintenance
+    # scope that is the difference between ~metadata-sized rows and a
+    # multi-GB transient Row spike.
+    enc = F.concat(
+        F.lit(f"{m}:{k}:"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.filter(
+                    F.col("_words"), lambda w: w["_m"] != F.lit(0))),
+                lambda w: F.concat(w["_word"].cast("string"), F.lit("="),
+                                   F.lower(F.hex(w["_m"])))),
+            ","),
+    )
     lvl2 = (
         probes.groupBy("_fp", "_col", "_word")
         .agg(F.bit_or("_mask").alias("_m"),
@@ -310,14 +330,16 @@ def harvest_key_stats(
         .groupBy("_fp", "_col")
         .agg(F.collect_list(F.struct("_word", "_m")).alias("_words"),
              F.min("_lo").alias("_lo"), F.max("_hi").alias("_hi"))
+        .select("_fp", "_col", "_lo", "_hi", enc.alias("_enc"))
     )
     acc = {}
-    for r in lvl2.collect():
+    # toLocalIterator: driver residency is bounded by one result partition
+    # (plus prefetch), never the whole file set at once
+    for r in lvl2.toLocalIterator(prefetchPartitions=True):
         e = acc.setdefault(r["_fp"], {"hash_bounds": {}, "blooms": {}})
         c = r["_col"]
         if c in hash_set and r["_lo"] is not None:
             e["hash_bounds"][c] = (r["_lo"], r["_hi"])
         if c in bloom_set:
-            words = {w["_word"]: w["_m"] for w in r["_words"] if w["_m"]}
-            e["blooms"][bloom_key(c)] = encode_bloom(m, k, words)
+            e["blooms"][bloom_key(c)] = r["_enc"]
     return acc

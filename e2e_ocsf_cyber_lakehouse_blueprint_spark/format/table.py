@@ -50,7 +50,15 @@ def _eq_bounds_may_match(f: DataFile, d: DataFile) -> bool:
     When both sides carry a bloom bitset for a key column (the eqdel writer
     blooms its deleted keys for 'stats.bloom-columns'), an empty bitset
     intersection also proves disjointness — the test that actually fires on
-    curve-layout files, whose lexical bounds are inherently wide."""
+    curve-layout files, whose lexical bounds are inherently wide.
+
+    Name-identity note: both lookups use the eqdel's DELETE-TIME column
+    name without rename-lineage mapping. This is sound because the catalog
+    forbids any other column from ever reusing a renamed-away name
+    (rename_column and add_columns both reject historical names, and
+    renaming back a->b->a keeps a/b bound to the same logical column), so
+    equal names always denote the same logical column; a data file from a
+    different name era simply misses the lookup and stays conservative."""
     for c in d.eq_columns:
         bk = bloom_key(c)
         fb, db = f.blooms.get(bk), d.blooms.get(bk)
@@ -453,7 +461,19 @@ class Table:
         inline_max = self.property_int("scan.eqdel.inline-max-keys", 1000)
         total = sum(d.record_count for d in group)
         cols = [cur_of.get(k, k) for k in keys]
-        if total <= inline_max:
+        # the literal path round-trips key values through pyarrow->Python->
+        # F.lit, which is exact only for string/integral/boolean keys;
+        # timestamp (session-timezone), decimal, and binary literals can
+        # diverge from the join path's parquet-to-parquet comparison and
+        # silently resurrect deleted rows — such keys take the join path
+        types = {f.name: f.dataType for f in piece.schema.fields}
+        inline_safe = all(
+            isinstance(types.get(c), (T.StringType, T.IntegerType,
+                                      T.LongType, T.ShortType, T.ByteType,
+                                      T.BooleanType))
+            for c in cols
+        )
+        if total <= inline_max and inline_safe:
             tuples: set[tuple] = set()
             for d in group:
                 tuples.update(self._eqdel_key_tuples(d, keys))

@@ -113,7 +113,11 @@ def analyze_table(table: Table, columns: list[str] | None = None,
     for c in frequency_columns or []:
         if c not in by_name:
             raise ValueError(f"unknown frequency column: {c}")
-        top = (table.scan(columns=[c]).groupBy(c).count()
+        # NULL keys never survive the MERGE inner join this signal tunes, so
+        # a NULL-heavy column must not report NULL's row count as its hottest
+        # key (it would salt a join whose join drops those rows anyway)
+        top = (table.scan(columns=[c]).filter(F.col(c).isNotNull())
+               .groupBy(c).count()
                .agg(F.max("count").alias("_m")).collect()[0]["_m"])
         cols.setdefault(c, {})["top_count"] = int(top or 0)
 

@@ -39,7 +39,8 @@ from ..format.stats import (
 )
 from ..format.table import Table
 from .ledger import Ledger, partition_key, spill_metrics, split_size_for_rewrites
-from ..timing import phase_timer
+from ..timing import ENABLED as TIMING_ON, phase_timer
+import sys
 
 DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024
 
@@ -139,7 +140,9 @@ def write_group_binpack(table: Table, group: RewriteGroup,
 
     # DataFrame construction costs a driver round trip per child (file-index
     # listing); build the children concurrently
-    with ThreadPoolExecutor(max_workers=min(16, max(1, len(group.plans)))) as pool:
+    gtag = f"{job_tag}.g{group.plans[0].key if group.plans else '?'}"
+    with phase_timer(f"{gtag}.children"), ThreadPoolExecutor(
+            max_workers=min(16, max(1, len(group.plans)))) as pool:
         subs = list(pool.map(child, group.plans))
     out = functools.reduce(lambda a, b: a.unionByName(b), subs)
     # ONE sort over the union: sortWithinPartitions is per-task, and Union is
@@ -149,7 +152,8 @@ def write_group_binpack(table: Table, group: RewriteGroup,
     # narrow projection after the sort: intra-partition order is preserved
     out = spec.with_partition_columns(out)
     out_dir = _staging_dir(table, job_tag)
-    _partitioned_write(table, out, out_dir)
+    with phase_timer(f"{gtag}.write"):
+        _partitioned_write(table, out, out_dir)
     return out_dir
 
 
@@ -196,6 +200,10 @@ def write_group_global_range(table: Table, group: RewriteGroup, key_col_name: st
     )
     if os.environ.get("SPARK_GRAFT_RANGE_SAMPLE") == "1":  # A/B override
         use_router = False
+    gtag = f"{job_tag}.g{group.plans[0].key if group.plans else '?'}"
+    if TIMING_ON:
+        print(f"[timing] {gtag} rows={total_rows} plans={len(group.plans)} "
+              f"bins={n} router={use_router}", file=sys.stderr, flush=True)
     if not use_router:
         df = table.read_data_files(files, delete_files=dels,
                                    eq_delete_files=eqdels)
@@ -227,7 +235,8 @@ def write_group_global_range(table: Table, group: RewriteGroup, key_col_name: st
                 plan.input_files, delete_files=dels, eq_delete_files=eqdels
             ).withColumn("_pidx", F.lit(i))
 
-        with ThreadPoolExecutor(max_workers=min(16, max(1, len(group.plans)))) as pool:
+        with phase_timer(f"{gtag}.children"), ThreadPoolExecutor(
+                max_workers=min(16, max(1, len(group.plans)))) as pool:
             children = list(pool.map(child, enumerate(group.plans)))
         # ONE union, ONE key projection: the curve key is a large expression;
         # keeping it out of the per-child branches means Catalyst analyzes
@@ -247,14 +256,15 @@ def write_group_global_range(table: Table, group: RewriteGroup, key_col_name: st
         narrow = (un_raw if frac >= 1.0
                   else un_raw.sample(False, frac, seed=42))
         narrow = narrow.withColumn(key_col_name, key_expr)
-        stat_rows = (
-            narrow.groupBy("_pidx")
-            .agg(F.percentile_approx(
-                     key_col_name, F.array(*[F.lit(f) for f in fr]),
-                     F.lit(2000)).alias("_grid"),
-                 F.count(F.lit(1)).alias("_rows"))
-            .collect()
-        )
+        with phase_timer(f"{gtag}.sketch"):
+            stat_rows = (
+                narrow.groupBy("_pidx")
+                .agg(F.percentile_approx(
+                         key_col_name, F.array(*[F.lit(f) for f in fr]),
+                         F.lit(2000)).alias("_grid"),
+                     F.count(F.lit(1)).alias("_rows"))
+                .collect()
+            )
         stats = {r["_pidx"]: (list(r["_grid"] or []), r["_rows"])
                  for r in stat_rows}
         n_children = len(children)
@@ -291,7 +301,8 @@ def write_group_global_range(table: Table, group: RewriteGroup, key_col_name: st
             .drop(key_col_name, "_range_label", "_pidx")
         )
     out_dir = _staging_dir(table, job_tag)
-    _partitioned_write(table, out, out_dir)
+    with phase_timer(f"{gtag}.write"):
+        _partitioned_write(table, out, out_dir)
     return out_dir
 
 

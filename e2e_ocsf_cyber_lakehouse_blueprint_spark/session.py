@@ -80,6 +80,13 @@ def get_spark(
     )
     if local_dir:
         builder = builder.config("spark.local.dir", local_dir)
+    # SPARK_GRAFT_CONF="k=v;k2=v2" — the sandbox equivalent of
+    # `spark-submit --conf`, so bench/scaling runs can pin executor-level
+    # knobs (GC flags, off-heap memory) without code changes
+    for pair in os.environ.get("SPARK_GRAFT_CONF", "").split(";"):
+        if "=" in pair:
+            k, _, v = pair.partition("=")
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

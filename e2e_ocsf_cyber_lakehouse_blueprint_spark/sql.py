@@ -992,13 +992,30 @@ def _dispatch(action: str, table: Table, m: re.Match,
         # files surviving metadata pruning, ANALYZE-backed row/byte
         # estimates, and the decisions they would drive
         from .plans.costs import (
-            estimated_scan_bytes, estimated_scan_rows,
-            suggest_shuffle_partitions,
+            estimated_scan_bytes, estimated_scan_rows, parse_size,
+            read_stats, suggest_salt_buckets, suggest_shuffle_partitions,
         )
         preds = parse_where(m.group("where")) if m.group("where") else None
         # NB: do not name this `files` — it would shadow the module-level
         # files() metadata table for every action in this function
         scan_files = table.plan_scan(preds)
+        # surface the self-tuning MERGE decisions (VERDICT r4 item #7): for
+        # every column carrying a persisted ANALYZE frequency stat, the salt
+        # the planner would derive and the top_count that triggered (or
+        # declined) it, plus the broadcast-vs-shuffle call for the pruned
+        # scan's key projection at the session broadcast threshold
+        stats_payload = read_stats(table)
+        merge_plan: dict[str, dict] = {}
+        for col, st in ((stats_payload or {}).get("columns") or {}).items():
+            if "top_count" not in st:
+                continue
+            merge_plan[col] = {
+                "top_count": st["top_count"],
+                "salt_buckets": suggest_salt_buckets(table, col),
+            }
+        thr = parse_size(table.spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10MB"))
+        key_rows = sum(f.record_count for f in scan_files)
         return {
             "files_total": len(table.live_data_files()),
             "files_after_pruning": len(scan_files),
@@ -1008,6 +1025,9 @@ def _dispatch(action: str, table: Table, m: re.Match,
             "estimated_bytes": estimated_scan_bytes(table, preds),
             "suggested_shuffle_partitions":
                 suggest_shuffle_partitions(table, preds),
+            "merge_salt_plan": merge_plan,
+            "merge_target_key_broadcast":
+                thr > 0 and key_rows * 32 <= thr,
         }
     if action == "vacuum":
         # Delta's retention-duration check: deleting orphans younger than the

@@ -303,3 +303,42 @@ def test_bloom_layouts_curve_policy(spark, tmp_path):
     assert clustered and all(f.blooms for f in clustered)   # curve: bitsets
     # scans stay correct either way (absent bloom = conservative keep)
     assert t.scan().count() == df.count()
+
+
+def test_harvest_10k_files_bounded_driver_residency(spark):
+    """Scale-shape check for the harvest's driver side (VERDICT r4 item #3):
+    a 10^4-file harvest must stream manifest-sized encoded strings to the
+    driver, never the per-(file,column) word-struct Rows. The bitsets are
+    encoded JVM-side and lvl2 is consumed via toLocalIterator, so the
+    Python-transient peak stays near the size of the final dict (what the
+    manifests hold anyway) instead of ~4x it in collected Row structs.
+
+    harvest_key_stats never opens the paths, so synthetic _fp values stand
+    in for 10^4 staged files without writing them."""
+    import tracemalloc
+
+    from e2e_ocsf_cyber_lakehouse_blueprint_spark.format.bloom import (
+        harvest_key_stats,
+    )
+
+    n_files, rows_per_file = 10_000, 4
+    df = (spark.range(n_files * rows_per_file)
+          .selectExpr("concat('f', id % 10000) AS fp",
+                      "concat('conv-', id % 977) AS conv_id"))
+    tracemalloc.start()
+    out = harvest_key_stats(df, "fp", ["conv_id"], ["conv_id"], m=1 << 13)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert len(out) == n_files
+    # spot-check correctness against the independent explode-based harvester
+    probe = df.filter(F.col("fp") == "f7")
+    legacy = harvest_blooms(probe, "fp", ["conv_id"], m=1 << 13)
+    assert out["f7"]["blooms"] == legacy["f7"]
+    # every file's 4 keys must probe positive in its own bloom
+    enc = out["f7"]["blooms"][bloom_key("conv_id")]
+    for r in probe.collect():
+        assert bloom_might_contain(enc, r["conv_id"])
+    # residency bound: the final dict itself is ~2-3 MB here; the old
+    # collect() of word-struct Rows measured >10x that. 64 MiB is a loose
+    # ceiling that still fails on any return to whole-result collection.
+    assert peak < 64 * 1024 * 1024, f"driver transient peak {peak/1e6:.0f} MB"

@@ -458,3 +458,45 @@ def test_lsh_pairs_hot_bucket_cap_and_multitable(spark):
              for r in S.lsh_pairs(embs, dim=64, threshold=0.3, n_planes=4,
                                   n_tables=3).collect()}
     assert one <= multi <= exact
+
+
+def test_ann_index_incremental_append_parity(spark, embs, tmp_path):
+    """Incremental index maintenance (VERDICT r4 item #5): appending new
+    vectors with the build-time centroids/planes must (a) make probes see
+    new AND old vectors without touching the index body, and (b) be
+    row-identical to a fresh full rebuild over old+new."""
+    old = embs.filter(F.col("vec_id") % 5 != 0)
+    new = embs.filter(F.col("vec_id") % 5 == 0)
+    assert old.count() > 0 and new.count() > 0
+    q = [float(x) for x in embs.orderBy("vec_id").first()["embedding"]]
+
+    # --- IVF: trained centroids shared between build and append
+    C = S.ivf_train(old.sample(0.5, seed=7), n_cells=8, n_iters=2)
+    inc = str(tmp_path / "ivf_inc")
+    S.ivf_write_index(old, inc, n_cells=8, centroids=C)
+    S.ivf_append_index(new, inc, n_cells=8, centroids=C)
+    full = str(tmp_path / "ivf_full")
+    S.ivf_write_index(embs, full, n_cells=8, centroids=C)
+    probe = S.ivf_probe_cells(q, n_cells=8, n_probe=3, centroids=C)
+    got = [(r["vec_id"], r["cos_sim"]) for r in
+           S.topk_over_index(spark, inc, "ivf_cell", probe, q, k=10).collect()]
+    want = [(r["vec_id"], r["cos_sim"]) for r in
+            S.topk_over_index(spark, full, "ivf_cell", probe, q, k=10).collect()]
+    assert got == want
+    # probes actually see both eras
+    seen = {r["vec_id"] for r in
+            S.topk_over_index(spark, inc, "ivf_cell", list(range(8)), q,
+                              k=embs.count()).collect()}
+    assert seen == {r["vec_id"] for r in embs.select("vec_id").collect()}
+
+    # --- LSH: same planes (dim/n_planes/seed) between build and append
+    inc2 = str(tmp_path / "lsh_inc")
+    S.lsh_write_index(old, inc2, dim=64, n_planes=4)
+    S.lsh_append_index(new, inc2, dim=64, n_planes=4)
+    full2 = str(tmp_path / "lsh_full")
+    S.lsh_write_index(embs, full2, dim=64, n_planes=4)
+    inc_rows = sorted((r["vec_id"], r["lsh_bucket"]) for r in
+                      spark.read.parquet(inc2).collect())
+    full_rows = sorted((r["vec_id"], r["lsh_bucket"]) for r in
+                       spark.read.parquet(full2).collect())
+    assert inc_rows == full_rows
