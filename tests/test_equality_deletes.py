@@ -367,3 +367,44 @@ def test_cow_delete_preserves_key_stats(spark, tmp_path, base):
                  if "/delete-" in f.path]
     assert rewritten and all(f.blooms for f in rewritten), \
         "rewrite outputs must keep the bloom bitsets their inputs had"
+
+
+def test_eqdel_nonintegral_keys_take_join_path_and_delete_correctly(
+        spark, tmp_path, base, monkeypatch):
+    """ADVICE r4: literal round-tripping of timestamp/decimal/binary keys
+    through pyarrow -> F.lit can diverge from the parquet-to-parquet join
+    comparison (session timezone, type inference), silently resurrecting
+    deleted rows. Such key types must take the broadcast anti-join path
+    even under the inline threshold — asserted by poisoning the inline
+    tuple reader, which the join path never calls — and the delete itself
+    must still land exactly."""
+    t = make_table(spark, str(tmp_path / "t"), base)
+    victim = (base.groupBy("conv_id", "ts").count()
+              .filter(F.col("count") >= 1).limit(3)
+              .select("conv_id", "ts"))
+    n_victim_rows = base.join(victim, ["conv_id", "ts"], "left_semi").count()
+    assert n_victim_rows > 0
+
+    def poisoned(self, d, keys):
+        raise AssertionError(
+            "inline literal path must not run for timestamp keys")
+
+    monkeypatch.setattr(Table, "_eqdel_key_tuples", poisoned)
+    equality_delete(t, victim)
+    survivors = t.scan()
+    assert survivors.count() == base.count() - n_victim_rows
+    assert survivors.join(victim, ["conv_id", "ts"], "left_semi").count() == 0
+    # string/int-keyed deletes still use the inline fast path
+    monkeypatch.undo()
+    t2 = make_table(spark, str(tmp_path / "t2"), base)
+    called = {"n": 0}
+    real = Table._eqdel_key_tuples
+
+    def counting(self, d, keys):
+        called["n"] += 1
+        return real(self, d, keys)
+
+    monkeypatch.setattr(Table, "_eqdel_key_tuples", counting)
+    equality_delete(t2, base.select("conv_id", "turn_idx").distinct().limit(4))
+    t2.scan().count()
+    assert called["n"] > 0
