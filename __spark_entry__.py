@@ -1490,6 +1490,26 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SS.topk_over_index(spark, idx, "ivf_cell", probe, q, k=10)
 
 
+def q_sim_ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-index maintenance (functions/similarity.py
+    ivf_append_index): the index is BUILT over a subset of the vectors,
+    the remainder is APPENDED with the build-time centroids (delta-cost —
+    only the new rows and the cells they land in are written), and the
+    probe must see old + new. Because cell assignment is a pure function
+    of (vector, centroids), the final index is row-identical to one built
+    over everything, so the exact-rerank oracle is the same SQL as
+    sim_ivf_topk."""
+    embs = _read(spark, sf_dir, "embeddings")
+    q = [float(x) for x in embs.filter(F.col("vec_id") == 0).first()["embedding"]]
+    idx = os.path.join(tempfile.mkdtemp(prefix="ivfapp-"), "idx")
+    SS.ivf_write_index(embs.filter(F.col("vec_id") % 3 != 0), idx,
+                       n_cells=16, dim=64)
+    SS.ivf_append_index(embs.filter(F.col("vec_id") % 3 == 0), idx,
+                        n_cells=16, dim=64)
+    probe = SS.ivf_probe_cells(q, n_cells=16, n_probe=6)
+    return SS.topk_over_index(spark, idx, "ivf_cell", probe, q, k=10)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthetic_media(spark, n=96)
     return extract_features(media).drop("feature")  # array<float> kept engine-side
@@ -1823,9 +1843,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_evolution": q_partition_evolution,
         "bronze_ingest": q_bronze_ingest,
         "silver_extract": q_silver_extract,
-        "gold_case_route": q_gold_case_route,
         "union_by_name": q_union_by_name,
+        # new this round — incremental ANN-index append (in-window)
+        "sim_ivf_append_topk": q_sim_ivf_append_topk,
         # -- (3) r4-certified families, unchanged code paths
+        # (gold_case_route rotated here to keep the window at 50: its
+        # pipeline code path is untouched this round and has a fresh r4 row)
+        "gold_case_route": q_gold_case_route,
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "text_rolling_fp": q_text_rolling_fp,
@@ -2182,6 +2206,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle(10),
         "sim_lsh_topk": _lsh_topk_oracle(10, 4, 11, 64),
         "sim_ivf_topk": _ivf_topk_oracle(10, 16, 6, 13, 64),
+        # append-then-probe converges to the same index content as a full
+        # build (pure-function cell assignment), so the oracle is identical
+        "sim_ivf_append_topk": _ivf_topk_oracle(10, 16, 6, 13, 64),
         "multimodal_features": _multimodal_oracle(96, 5),
         "scan_checksum": _CHECKSUM_ORACLE,
         "cdc_feed": _CDC_FEED_ORACLE,
